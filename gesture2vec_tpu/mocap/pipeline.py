@@ -1,0 +1,383 @@
+"""Vectorized motion preprocessing pipeline.
+
+Replaces the reference's pandas/sklearn transformer stack
+(ref: scripts/pymo/preprocessing.py) with numpy column operations over a
+lightweight Track structure. Semantics are kept behavior-compatible with
+the reference Trinity ingest pipeline
+(ref: scripts/trinity_data_to_lmdb.py:37-44):
+
+    Downsample(20 fps) -> RootCentric -> Mirror(X, append)
+      -> JointSelect(15 joints + root) -> ConstantsRemover -> Numpyfy
+
+Each stage exposes fit/transform/inverse_transform and a state dict so a
+fitted pipeline can be saved with numpy+json instead of joblib pickles
+(the reference persists `data_pipe.sav` via joblib,
+ref: scripts/trinity_data_to_lmdb.py:47).
+
+Known reference quirk preserved on purpose: Mirror only swaps joints whose
+names contain the TWH-style "_l_"/"_r_" markers
+(ref: scripts/pymo/preprocessing.py:292-293), so on the Trinity skeleton
+("LeftArm"/"RightArm") the "mirrored" track is a pure per-axis sign flip
+with no left/right swap. `Mirror(lr_markers=("Left", "Right"))` gives the
+anatomically correct behavior when parity with the reference corpus is
+not required.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from gesture2vec_tpu.io.bvh import BVHData
+
+
+@dataclasses.dataclass
+class Track:
+    """A motion track mid-pipeline: named columns over frames."""
+
+    source: BVHData  # skeleton / root / framerate context (values ignored)
+    columns: List[str]
+    values: np.ndarray  # (frames, len(columns))
+    framerate: float
+
+    @classmethod
+    def from_bvh(cls, data: BVHData) -> "Track":
+        return cls(source=data, columns=data.column_names(),
+                   values=np.asarray(data.values, dtype=np.float64),
+                   framerate=data.framerate)
+
+    def col(self, name: str) -> np.ndarray:
+        return self.values[:, self.columns.index(name)]
+
+    def replace(self, **kw) -> "Track":
+        return dataclasses.replace(self, **kw)
+
+    def to_bvh(self) -> BVHData:
+        out = self.source.clone()
+        idx = {f"{j}_{c}": i for i, (j, c) in
+               enumerate(out.channel_names)}
+        vals = np.zeros((self.values.shape[0], len(out.channel_names)))
+        for i, c in enumerate(self.columns):
+            if c in idx:
+                vals[:, idx[c]] = self.values[:, i]
+        out.values = vals
+        out.frame_time = 1.0 / self.framerate
+        return out
+
+
+class Transform:
+    """Base: fit on a list of Tracks, transform/inverse lists of Tracks."""
+
+    def fit(self, tracks: List[Track]) -> "Transform":
+        return self
+
+    def transform(self, tracks: List[Track]) -> List[Track]:
+        raise NotImplementedError
+
+    def inverse_transform(self, tracks: List[Track]) -> List[Track]:
+        return tracks
+
+    def state_dict(self) -> Dict:
+        return {}
+
+    def load_state_dict(self, state: Dict) -> None:
+        pass
+
+
+class Downsample(Transform):
+    """Integer-rate fps downsampling (ref: pymo/preprocessing.py:899-931).
+
+    Matches the reference's slicing `values[ii:-1:rate]` including its
+    off-by-one (the final frame is always dropped). keep_all=True emits
+    every phase offset as its own track.
+    """
+
+    def __init__(self, tgt_fps: int, keep_all: bool = False):
+        self.tgt_fps = tgt_fps
+        self.keep_all = keep_all
+
+    def transform(self, tracks: List[Track]) -> List[Track]:
+        out = []
+        for tr in tracks:
+            rate = max(1, int(round(tr.framerate)) // self.tgt_fps)
+            for phase in range(rate):
+                out.append(tr.replace(values=tr.values[phase:-1:rate].copy(),
+                                      framerate=float(self.tgt_fps)))
+                if not self.keep_all:
+                    break
+        return out
+
+
+class RootCentric(Transform):
+    """Zero out root position+rotation channels
+    (ref: pymo/preprocessing.py:532-556, method='hip_centric')."""
+
+    def transform(self, tracks: List[Track]) -> List[Track]:
+        out = []
+        for tr in tracks:
+            root = tr.source.root_name
+            vals = tr.values.copy()
+            for suffix in ("Xposition", "Yposition", "Zposition",
+                           "Xrotation", "Yrotation", "Zrotation"):
+                name = f"{root}_{suffix}"
+                if name in tr.columns:
+                    vals[:, tr.columns.index(name)] = 0.0
+            out.append(tr.replace(values=vals))
+        return out
+
+
+_MIRROR_SIGNS = {"X": np.array([1.0, -1.0, -1.0]),
+                 "Y": np.array([-1.0, 1.0, -1.0]),
+                 "Z": np.array([-1.0, -1.0, 1.0])}
+
+
+class Mirror(Transform):
+    """Mirror motion across a body plane (ref: pymo/preprocessing.py:246-321).
+
+    Root positions are negated per the complementary axes; rotation
+    channels flip sign per axis; joints whose names contain the left
+    marker swap values with the right counterpart. append=True keeps the
+    original tracks followed by mirrored copies, like the reference.
+    """
+
+    def __init__(self, axis: str = "X", append: bool = True,
+                 lr_markers: Tuple[str, str] = ("_l_", "_r_")):
+        self.axis = axis
+        self.append = append
+        self.lr_markers = tuple(lr_markers)
+
+    def transform(self, tracks: List[Track]) -> List[Track]:
+        out = list(tracks) if self.append else []
+        signs = _MIRROR_SIGNS[self.axis]
+        lmark, rmark = self.lr_markers
+        for tr in tracks:
+            root = tr.source.root_name
+            vals = tr.values.copy()
+            cidx = {c: i for i, c in enumerate(tr.columns)}
+
+            for ax_i, pos in enumerate(("Xposition", "Yposition",
+                                        "Zposition")):
+                name = f"{root}_{pos}"
+                if name in cidx:
+                    vals[:, cidx[name]] = -signs[ax_i] * tr.values[:, cidx[name]]
+
+            joints = {c.rsplit("_", 1)[0] for c in tr.columns
+                      if "rotation" in c}
+            for joint in joints:
+                if lmark in joint:
+                    other = joint.replace(lmark, rmark)
+                elif rmark in joint:
+                    other = joint.replace(rmark, lmark)
+                else:
+                    other = joint
+                for ax_i, ax in enumerate("XYZ"):
+                    dst = f"{joint}_{ax}rotation"
+                    src = f"{other}_{ax}rotation"
+                    if dst in cidx and src in cidx:
+                        vals[:, cidx[dst]] = signs[ax_i] * tr.values[:, cidx[src]]
+            out.append(tr.replace(values=vals))
+        return out
+
+
+class JointSelect(Transform):
+    """Keep only channels of selected joints
+    (ref: pymo/preprocessing.py:326-381)."""
+
+    def __init__(self, joints: Sequence[str], include_root: bool = False):
+        self.joints = list(joints)
+        self.include_root = include_root
+        self.selected_channels: List[str] = []
+        self.dropped: Dict[str, float] = {}
+
+    def fit(self, tracks: List[Track]) -> "JointSelect":
+        t0 = tracks[0]
+        selected = ([t0.source.root_name] if self.include_root else []) + \
+            self.joints
+        # channel order is per-joint in selection order (root first, then
+        # the requested joints), matching the reference's column layout
+        # (ref: pymo/preprocessing.py:338-347) on which the published
+        # 135-dim data_mean/data_std vectors depend.
+        self.selected_channels = [
+            c for j in selected for c in t0.columns
+            if c.rsplit("_", 1)[0] == j and "Nub" not in c
+        ]
+        self.dropped = {
+            c: float(t0.values[0, i]) for i, c in enumerate(t0.columns)
+            if c not in self.selected_channels
+        }
+        return self
+
+    def transform(self, tracks: List[Track]) -> List[Track]:
+        out = []
+        for tr in tracks:
+            keep = [tr.columns.index(c) for c in self.selected_channels]
+            out.append(tr.replace(columns=list(self.selected_channels),
+                                  values=tr.values[:, keep].copy()))
+        return out
+
+    def inverse_transform(self, tracks: List[Track]) -> List[Track]:
+        out = []
+        for tr in tracks:
+            cols = list(tr.columns) + list(self.dropped.keys())
+            extra = np.tile(np.array(list(self.dropped.values())),
+                            (tr.values.shape[0], 1))
+            out.append(tr.replace(columns=cols,
+                                  values=np.hstack([tr.values, extra])))
+        return out
+
+    def state_dict(self):
+        return {"selected_channels": self.selected_channels,
+                "dropped": self.dropped}
+
+    def load_state_dict(self, state):
+        self.selected_channels = list(state["selected_channels"])
+        self.dropped = dict(state["dropped"])
+
+
+class ConstantsRemover(Transform):
+    """Drop channels whose std over the first track is < eps
+    (ref: pymo/preprocessing.py:755-797)."""
+
+    def __init__(self, eps: float = 1e-6):
+        self.eps = eps
+        self.const_values: Dict[str, float] = {}
+
+    def fit(self, tracks: List[Track]) -> "ConstantsRemover":
+        t0 = tracks[0]
+        stds = t0.values.std(axis=0)
+        self.const_values = {
+            c: float(t0.values[0, i]) for i, c in enumerate(t0.columns)
+            if stds[i] < self.eps
+        }
+        return self
+
+    def transform(self, tracks: List[Track]) -> List[Track]:
+        out = []
+        for tr in tracks:
+            keep = [i for i, c in enumerate(tr.columns)
+                    if c not in self.const_values]
+            out.append(tr.replace(
+                columns=[tr.columns[i] for i in keep],
+                values=tr.values[:, keep].copy()))
+        return out
+
+    def inverse_transform(self, tracks: List[Track]) -> List[Track]:
+        out = []
+        for tr in tracks:
+            cols = list(tr.columns) + list(self.const_values.keys())
+            extra = np.tile(np.array(list(self.const_values.values())),
+                            (tr.values.shape[0], 1))
+            out.append(tr.replace(columns=cols,
+                                  values=np.hstack([tr.values, extra])))
+        return out
+
+    def state_dict(self):
+        return {"const_values": self.const_values}
+
+    def load_state_dict(self, state):
+        self.const_values = dict(state["const_values"])
+
+
+class Numpyfy(Transform):
+    """Track list -> stacked float array; remembers the column template so
+    inverse_transform can rebuild Tracks (ref: pymo/preprocessing.py:384-423).
+    """
+
+    def __init__(self):
+        self.template: Optional[Track] = None
+
+    def fit(self, tracks: List[Track]) -> "Numpyfy":
+        self.template = tracks[0]
+        return self
+
+    def transform(self, tracks: List[Track]) -> np.ndarray:
+        return np.stack([tr.values for tr in tracks], axis=0)
+
+    def inverse_transform(self, arrays) -> List[Track]:
+        assert self.template is not None, "Numpyfy not fitted"
+        out = []
+        for arr in arrays:
+            out.append(self.template.replace(values=np.asarray(arr,
+                                                               dtype=np.float64)))
+        return out
+
+    def state_dict(self):
+        # store template columns + a single-frame snapshot of source BVH
+        t = self.template
+        from gesture2vec_tpu.io.bvh import write_bvh
+        snap = t.source.clone()
+        snap.values = snap.values[:1] if snap.values.shape[0] else snap.values
+        return {"columns": t.columns, "framerate": t.framerate,
+                "bvh_header": write_bvh(snap)}
+
+    def load_state_dict(self, state):
+        from gesture2vec_tpu.io.bvh import parse_bvh
+        src = parse_bvh(state["bvh_header"], from_text=True)
+        self.template = Track(source=src, columns=list(state["columns"]),
+                              values=np.zeros((0, len(state["columns"]))),
+                              framerate=float(state["framerate"]))
+
+
+class MotionPipeline:
+    """Ordered transform chain with fit_transform / inverse_transform and
+    JSON persistence (replaces joblib'd sklearn Pipeline,
+    ref: scripts/trinity_data_to_lmdb.py:37-47)."""
+
+    def __init__(self, steps: List[Tuple[str, Transform]]):
+        self.steps = steps
+
+    def fit_transform(self, data: List[BVHData]):
+        x = [Track.from_bvh(d) for d in data]
+        for _, t in self.steps:
+            x = t.fit(x).transform(x)
+        return x
+
+    def transform(self, data: List[BVHData]):
+        x = [Track.from_bvh(d) for d in data]
+        for _, t in self.steps:
+            x = t.transform(x)
+        return x
+
+    def inverse_transform(self, arrays) -> List[BVHData]:
+        x = arrays
+        for _, t in reversed(self.steps):
+            x = t.inverse_transform(x)
+        return [tr.to_bvh() for tr in x]
+
+    def save(self, path: str) -> None:
+        state = {name: t.state_dict() for name, t in self.steps}
+        meta = {"steps": [(name, type(t).__name__,
+                           _ctor_args(t)) for name, t in self.steps],
+                "state": state}
+        with open(path, "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, path: str) -> "MotionPipeline":
+        with open(path) as f:
+            meta = json.load(f)
+        registry = {c.__name__: c for c in
+                    (Downsample, RootCentric, Mirror, JointSelect,
+                     ConstantsRemover, Numpyfy)}
+        steps = []
+        for name, clsname, kwargs in meta["steps"]:
+            t = registry[clsname](**kwargs)
+            t.load_state_dict(meta["state"][name])
+            steps.append((name, t))
+        return cls(steps)
+
+
+def _ctor_args(t: Transform) -> Dict:
+    if isinstance(t, Downsample):
+        return {"tgt_fps": t.tgt_fps, "keep_all": t.keep_all}
+    if isinstance(t, Mirror):
+        return {"axis": t.axis, "append": t.append,
+                "lr_markers": list(t.lr_markers)}
+    if isinstance(t, JointSelect):
+        return {"joints": t.joints, "include_root": t.include_root}
+    if isinstance(t, ConstantsRemover):
+        return {"eps": t.eps}
+    return {}
