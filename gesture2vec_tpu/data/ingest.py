@@ -1,0 +1,80 @@
+"""Corpus ingest: BVH + transcripts + audio -> train/val ClipStores.
+
+Rebuild of the reference's LMDB dataset builders
+(ref: scripts/trinity_data_to_lmdb.py:61-153,
+scripts/twh_dataset_to_lmdb.py:151-279). Same split rule for Trinity
+(first file -> validation, ref: trinity_data_to_lmdb.py:101-104), same
+fp16 pose storage, same corpus mean/std computation over original
+(non-mirrored) tracks.
+"""
+from __future__ import annotations
+
+import glob
+import logging
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from gesture2vec_tpu.data.store import ClipStore, ClipStoreWriter
+from gesture2vec_tpu.io.audio import load_wav
+from gesture2vec_tpu.io.bvh import parse_bvh
+from gesture2vec_tpu.io.subtitles import read_subtitles
+from gesture2vec_tpu.mocap.features import FeatureExtractor
+
+
+def ingest_trinity(base_path: str, out_path: Optional[str] = None,
+                   tgt_fps: int = 20,
+                   with_audio: bool = True) -> Tuple[str, str]:
+    """Build <out>/train and <out>/val ClipStores from a Trinity-layout
+    directory (Motion/*.bvh, Transcripts/*.json, Audio/*.wav).
+
+    Returns (train_store_path, val_store_path). The fitted motion
+    pipeline is saved next to the stores as data_pipe.json (replacing
+    ../resource/data_pipe.sav, ref: trinity_data_to_lmdb.py:47).
+    """
+    out_path = out_path or os.path.join(base_path, "store")
+    train_dir = os.path.join(out_path, "train")
+    val_dir = os.path.join(out_path, "val")
+    writers = [ClipStoreWriter(train_dir), ClipStoreWriter(val_dir)]
+
+    bvh_files = sorted(glob.glob(os.path.join(base_path, "Motion",
+                                              "*.bvh")))
+    if not bvh_files:
+        raise FileNotFoundError(f"no BVH files under {base_path}/Motion")
+
+    fe = FeatureExtractor()
+    all_poses = []
+    for v_i, bvh_file in enumerate(bvh_files):
+        name = os.path.splitext(os.path.basename(bvh_file))[0]
+        logging.info("ingesting %s", name)
+        poses, poses_mirror = fe.process(parse_bvh(bvh_file))
+
+        words = []
+        tpath = os.path.join(base_path, "Transcripts", name + ".json")
+        if not os.path.exists(tpath):
+            tpath = os.path.join(base_path, "Transcripts", name + ".tsv")
+        if os.path.exists(tpath):
+            words = read_subtitles(tpath)
+
+        audio = None
+        apath = os.path.join(base_path, "Audio", name + ".wav")
+        if with_audio and os.path.exists(apath):
+            audio = load_wav(apath)
+
+        # first video is validation (ref: trinity_data_to_lmdb.py:101-104)
+        w = writers[1] if v_i == 0 else writers[0]
+        kw = {} if audio is None else {"audio": audio}
+        w.add_clip(name, poses, words=words, **kw)
+        w.add_clip(name + "_mirror", poses_mirror, words=words, **kw)
+        all_poses.append(poses)
+
+    stacked = np.vstack(all_poses)
+    mean, std = stacked.mean(axis=0), stacked.std(axis=0)
+    for w in writers:
+        w.set_stats(mean, std)
+        w.set_meta(fps=tgt_fps, feature_dim=int(stacked.shape[1]))
+        w.finish()
+    fe.save(os.path.join(out_path, "data_pipe.json"))
+    logging.info("data mean/std computed over %d frames", stacked.shape[0])
+    return train_dir, val_dir

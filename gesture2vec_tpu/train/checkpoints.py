@@ -1,0 +1,93 @@
+"""Checkpoint save/load with the reference's payload semantics.
+
+The reference saves {args, epoch, lang_model, pose_dim, gen_dict} via
+torch.save and reloads through a string-keyed registry
+load_checkpoint_and_model(path, device, what) that re-invokes each
+training script's init_model (ref: scripts/utils/train_utils.py:98-175).
+Here the payload is a msgpack-serialized pytree:
+
+    {"args": <config dict>, "epoch": int, "pose_dim": int,
+     "lang_model": <vocab state or None>,
+     "params": <flax params>, "extra": {batch_stats, vq_state, ...}}
+
+and the registry is a plain dict of builders - no circular imports.
+Optimizer state is intentionally not saved, matching the reference.
+Filename convention mirrors the reference:
+"{name}_checkpoint_{epoch:03d}.bin" (ref: scripts/train.py:64).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+from flax import serialization
+
+from gesture2vec_tpu.train.config import Config, load_config
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_model_kind(what: str):
+    """Decorator: register a builder(config, checkpoint_dict) ->
+    (model, variables) for a checkpoint kind. Kinds mirror the
+    reference's what= strings: DAE, autoencoder, autoencoder_vq,
+    text2embedding, c2g, baseline, text2embedding_gan
+    (ref: utils/train_utils.py:116-175)."""
+
+    def deco(fn):
+        _REGISTRY[what] = fn
+        return fn
+
+    return deco
+
+
+def _to_serializable(tree):
+    if isinstance(tree, dict):
+        return {k: _to_serializable(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return [_to_serializable(v) for v in tree]
+    if hasattr(tree, "dtype"):
+        return np.asarray(tree)
+    return tree
+
+
+def save_checkpoint(path: str, *, config: Config, epoch: int,
+                    params: Any, pose_dim: int = 0,
+                    lang_model: Optional[dict] = None,
+                    extra: Optional[Dict[str, Any]] = None) -> None:
+    payload = {
+        "args": config.to_dict(),
+        "epoch": int(epoch),
+        "pose_dim": int(pose_dim),
+        "lang_model": lang_model,
+        "params": _to_serializable(params),
+        "extra": _to_serializable(extra or {}),
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    extras = payload["args"].pop("extras", {}) or {}
+    payload["config"] = load_config({**payload["args"], **extras})
+    return payload
+
+
+def load_checkpoint_and_model(path: str, what: str
+                              ) -> Tuple[Any, Any, Dict[str, Any]]:
+    """Returns (model, variables, checkpoint_payload). `what` selects the
+    registered builder, mirroring the reference's registry keys."""
+    payload = load_checkpoint(path)
+    if what not in _REGISTRY:
+        raise KeyError(f"unknown checkpoint kind {what!r}; known: "
+                       f"{sorted(_REGISTRY)}")
+    model, variables = _REGISTRY[what](payload["config"], payload)
+    return model, variables, payload
+
+
+def checkpoint_filename(save_dir: str, name: str, epoch: int) -> str:
+    return os.path.join(save_dir, f"{name}_checkpoint_{epoch:03d}.bin")

@@ -1,0 +1,161 @@
+"""YAML configuration with the reference's flag surface.
+
+Drop-in compatible with the reference's configargparse setup
+(ref: config/parse_args.py:16-96): the same YAML files load unmodified.
+Differences by design:
+  - string booleans ("True"/"False") are normalized to real bools
+    (the reference compares `== 'True'` all over the codebase);
+  - unknown keys are kept (forward compatible) but access to undeclared
+    attributes raises, so typos fail fast;
+  - data_mean/data_std become numpy arrays.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+import yaml
+
+_BOOL_STRINGS = {"true": True, "yes": True, "t": True, "y": True, "1": True,
+                 "false": False, "no": False, "f": False, "n": False,
+                 "0": False}
+
+# flags that the reference declares as string booleans
+# (ref: config/parse_args.py:44-63,79-82)
+_BOOL_FLAGS = {
+    "sentence_level", "autoencoder_denoising", "autoencoder_att",
+    "autoencoder_fixed_weight", "autoencoder_conditioned", "use_derivative",
+    "autoencoder_vae", "autoencoder_freeze_encoder", "autoencoder_vq",
+    "text2_embedding_discrete", "use_similarity", "Modality_Audio",
+    "Modality_Text", "Modality_Gesture",
+}
+
+
+@dataclasses.dataclass
+class Config:
+    """Typed view over a reference-style YAML config."""
+
+    # identity / paths (ref: parse_args.py:18-25)
+    name: str = "main"
+    train_data_path: Optional[str] = None
+    val_data_path: Optional[str] = None
+    test_data_path: Optional[str] = None
+    model_save_path: str = "output"
+    random_seed: int = -1
+
+    # word embedding (ref: parse_args.py:28-31)
+    wordembed_path: Optional[str] = None
+    wordembed_dim: int = 300
+    sentence_level: bool = False
+    sentence_frame_length: int = 120
+
+    # model (ref: parse_args.py:34-40)
+    model: str = "DAE"
+    epochs: int = 10
+    batch_size: int = 50
+    dropout_prob: float = 0.3
+    n_layers: int = 2
+    hidden_size: int = 200
+
+    # autoencoder (ref: parse_args.py:43-55)
+    autoencoder_denoising: bool = True
+    autoencoder_att: bool = False
+    autoencoder_fixed_weight: bool = False
+    autoencoder_conditioned: bool = True
+    use_derivative: bool = False
+    autoencoder_checkpoint: Optional[str] = None
+    autoencoder_vae: bool = False
+    autoencoder_freeze_encoder: bool = False
+    autoencoder_vq: bool = False
+    autoencoder_vq_components: int = 512
+    autoencoder_vq_commitment_cost: float = 0.25
+
+    # text2embedding / similarity (ref: parse_args.py:58-65)
+    text2_embedding_discrete: bool = False
+    use_similarity: bool = False
+    similarity_labels: Optional[str] = None
+    data_for_sim: Optional[str] = None
+    loss_label_weight: float = 0.0
+
+    # dataset (ref: parse_args.py:67-77)
+    data_mean: Optional[np.ndarray] = None
+    data_std: Optional[np.ndarray] = None
+    motion_resampling_framerate: int = 24
+    n_poses: int = 50
+    n_pre_poses: int = 5
+    subdivision_stride: int = 5
+    subdivision_stride_sentence: int = 30
+    loader_workers: int = 4
+    input_motion_dim: int = 135
+
+    # modalities (ref: parse_args.py:80-82)
+    Modality_Audio: bool = False
+    Modality_Text: bool = False
+    Modality_Gesture: bool = True
+
+    # training (ref: parse_args.py:85-89)
+    learning_rate: float = 0.001
+    loss_l1_weight: float = 50.0
+    loss_cont_weight: float = 0.1
+    loss_var_weight: float = 0.01
+
+    # representation learning (ref: parse_args.py:92-94)
+    rep_learning_checkpoint: Optional[str] = None
+    rep_learning_dim: int = -1
+
+    # GAN (ref: parse_args.py:97)
+    noise_dim: int = 200
+
+    # TPU-native additions (not in the reference)
+    mesh_shape: Optional[Dict[str, int]] = None   # e.g. {"dp": 8}
+    compute_dtype: str = "float32"                # or "bfloat16"
+    eval_dropout_quirk: bool = True  # reproduce the reference's eval-time
+    # 0.95 decoder dropout (ref: Autoencoder_VQVAE_model.py:570)
+
+    extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        for k in ("data_mean", "data_std"):
+            if d[k] is not None:
+                d[k] = np.asarray(d[k]).tolist()
+        return d
+
+
+def _coerce(key: str, value: Any) -> Any:
+    if key in _BOOL_FLAGS and isinstance(value, str):
+        return _BOOL_STRINGS[value.strip().lower()]
+    if key in ("data_mean", "data_std") and value is not None:
+        return np.asarray(value, dtype=np.float32)
+    if key == "autoencoder_vq_components":
+        return int(value)
+    if key == "autoencoder_vq_commitment_cost":
+        return float(value)
+    return value
+
+
+def load_config(path_or_dict, **overrides) -> Config:
+    """Load a reference-style YAML file (or dict) into a Config."""
+    if isinstance(path_or_dict, dict):
+        raw = dict(path_or_dict)
+    else:
+        with open(path_or_dict) as f:
+            raw = yaml.safe_load(f) or {}
+    raw.update(overrides)
+
+    field_names = {f.name for f in dataclasses.fields(Config)}
+    kwargs: Dict[str, Any] = {}
+    extras: Dict[str, Any] = {}
+    for k, v in raw.items():
+        v = _coerce(k, v)
+        if k in field_names:
+            kwargs[k] = v
+        else:
+            extras[k] = v
+    cfg = Config(**kwargs)
+    cfg.extras.update(extras)
+    return cfg

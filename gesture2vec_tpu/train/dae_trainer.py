@@ -1,0 +1,216 @@
+"""Part a trainer: frame-level pose representation learning.
+
+Rebuild of scripts/train_DAE.py (ref: train_DAE.py:65-371): same model
+selection rules (DAE / VQ-frame / VAE by the autoencoder_vq and
+autoencoder_vae flags), same losses (MSE + vq / KLD terms,
+ref: train_eval/train_seq2seq.py:161-241), Adam(0.5, 0.999) with
+grad-clip 5. The whole epoch runs as jitted steps over static-shape
+batches; the denoising corruption is the model's input dropout driven
+by a per-step PRNG key instead of torch global RNG.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gesture2vec_tpu.models.dae import DAE, VAEFrame, VQFrame
+from gesture2vec_tpu.models.vq import VQEmaState
+from gesture2vec_tpu.train import checkpoints
+from gesture2vec_tpu.train.config import Config
+from gesture2vec_tpu.train.losses import kld_loss, mse_loss
+from gesture2vec_tpu.train.optim import make_optimizer
+from gesture2vec_tpu.utils.meters import AverageMeter
+
+
+class DAETrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    batch_stats: Any          # VQFrame only ({} otherwise)
+    vq_state: Optional[VQEmaState]
+    step: jnp.ndarray
+
+
+def make_frame_model(config: Config):
+    """Model selection mirroring the reference's init_model flags
+    (ref: train_DAE.py:65-117)."""
+    motion_dim = config.input_motion_dim
+    latent = config.hidden_size
+    if config.autoencoder_vq:
+        return VQFrame(motion_dim=motion_dim, latent_dim=latent,
+                       vq_components=config.autoencoder_vq_components,
+                       vae=config.autoencoder_vae,
+                       commitment_cost=config.autoencoder_vq_commitment_cost)
+    if config.autoencoder_vae:
+        return VAEFrame(motion_dim=motion_dim, latent_dim=latent)
+    return DAE(motion_dim=motion_dim, latent_dim=latent)
+
+
+def init_state(config: Config, model, rng: jax.Array,
+               optimizer: optax.GradientTransformation) -> DAETrainState:
+    dummy = jnp.zeros((2, config.input_motion_dim), jnp.float32)
+    init_rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1),
+                 "reparam": jax.random.fold_in(rng, 2)}
+    if isinstance(model, VQFrame):
+        vq_state = VQFrame.init_vq_state(jax.random.fold_in(rng, 3),
+                                         config.autoencoder_vq_components,
+                                         config.hidden_size)
+        variables = model.init(init_rngs, dummy, vq_state, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+    else:
+        vq_state = None
+        variables = model.init(init_rngs, dummy, train=False)
+        params = variables["params"]
+        batch_stats = {}
+    return DAETrainState(params=params,
+                         opt_state=optimizer.init(params),
+                         batch_stats=batch_stats, vq_state=vq_state,
+                         step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(config: Config, model,
+                    optimizer: optax.GradientTransformation):
+    """One jitted optimization step. Loss matches train_iter_DAE
+    (ref: train_eval/train_seq2seq.py:194-241)."""
+    is_vq = isinstance(model, VQFrame)
+    is_vae = isinstance(model, VAEFrame)
+
+    def step(state: DAETrainState, batch: jnp.ndarray, rng: jax.Array):
+        rngs = {"dropout": rng, "reparam": jax.random.fold_in(rng, 1)}
+
+        def loss_fn(params):
+            if is_vq:
+                out, new_model_state = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch, state.vq_state, train=True, rngs=rngs,
+                    mutable=["batch_stats"])
+                res, new_vq = out
+                rec = mse_loss(res["output"], batch)
+                loss = rec + res["vq"].loss
+                if config.autoencoder_vae:
+                    # ref: train_seq2seq.py:224-230 (-2.5 coef, x5 weight)
+                    loss = loss + 5 * (-2.5) * jnp.mean(jnp.mean(
+                        1 + res["logvar"] - jnp.exp(res["logvar"])
+                        - res["mean"] ** 2, axis=1))
+                aux = {"rec": rec, "perplexity": res["vq"].perplexity,
+                       "batch_stats": new_model_state["batch_stats"],
+                       "vq_state": new_vq}
+                return loss, aux
+            if is_vae:
+                out, logvar, mean = model.apply({"params": params}, batch,
+                                                train=True, rngs=rngs)
+                rec = mse_loss(out, batch)
+                loss = rec + 5 * (-2.5) * jnp.mean(jnp.mean(
+                    1 + logvar - jnp.exp(logvar) - mean ** 2, axis=1))
+                return loss, {"rec": rec}
+            out = model.apply({"params": params}, batch, train=True,
+                              rngs=rngs)
+            loss = mse_loss(out, batch)
+            return loss, {"rec": loss}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn,
+                                                has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state._replace(
+            params=new_params, opt_state=new_opt, step=state.step + 1,
+            batch_stats=aux.pop("batch_stats", state.batch_stats),
+            vq_state=aux.pop("vq_state", state.vq_state))
+        return new_state, {"loss": loss, **aux}
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def make_eval_step(config: Config, model):
+    is_vq = isinstance(model, VQFrame)
+    is_vae = isinstance(model, VAEFrame)
+
+    def step(state: DAETrainState, batch: jnp.ndarray) -> jnp.ndarray:
+        if is_vq:
+            res, _ = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch, state.vq_state, train=False)
+            return mse_loss(res["output"], batch)
+        if is_vae:
+            out, _, _ = model.apply({"params": state.params}, batch,
+                                    train=False)
+            return mse_loss(out, batch)
+        out = model.apply({"params": state.params}, batch, train=False)
+        return mse_loss(out, batch)
+
+    return jax.jit(step)
+
+
+def train_dae(config: Config, train_frames: np.ndarray,
+              val_frames: np.ndarray, save_dir: Optional[str] = None,
+              save_every: int = 10, log_every: int = 50
+              ) -> Tuple[DAETrainState, Dict[str, list]]:
+    """Full Part-a training loop (ref: train_DAE.py:119-371)."""
+    seed = max(config.random_seed, 0)
+    rng = jax.random.PRNGKey(seed)
+    model = make_frame_model(config)
+    optimizer = make_optimizer(config.learning_rate)
+    state = init_state(config, model, rng, optimizer)
+    train_step = make_train_step(config, model, optimizer)
+    eval_step = make_eval_step(config, model)
+
+    n = train_frames.shape[0]
+    bs = config.batch_size
+    history: Dict[str, list] = {"train_loss": [], "val_loss": []}
+    meter = AverageMeter("loss", ":.4f")
+
+    for epoch in range(config.epochs):
+        perm = np.random.default_rng(seed + epoch).permutation(n)
+        meter.reset()
+        t0 = time.time()
+        n_batches = n // bs
+        for b in range(n_batches):
+            batch = jnp.asarray(train_frames[perm[b * bs:(b + 1) * bs]])
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = train_step(state, batch, step_rng)
+            meter.update(float(metrics["loss"]), bs)
+            if (b + 1) % log_every == 0:
+                sps = meter.count / (time.time() - t0)
+                logging.info("EP %d (%d/%d) %s, %.0f samples/s",
+                             epoch, b + 1, n_batches, meter, sps)
+        history["train_loss"].append(meter.avg)
+
+        # evaluation (ref: train_DAE.py:314-371 evaluate_testset)
+        val_losses = []
+        for s in range(0, val_frames.shape[0] - bs + 1, bs):
+            val_losses.append(float(eval_step(
+                state, jnp.asarray(val_frames[s:s + bs]))))
+        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+        history["val_loss"].append(val_loss)
+        logging.info("EP %d done: train %.5f val %.5f", epoch, meter.avg,
+                     val_loss)
+
+        if save_dir and ((epoch + 1) % save_every == 0
+                         or epoch + 1 == config.epochs):
+            path = checkpoints.checkpoint_filename(
+                save_dir, f"{config.name}_H{config.hidden_size}", epoch + 1)
+            extra = {"batch_stats": state.batch_stats}
+            if state.vq_state is not None:
+                extra["vq_state"] = state.vq_state._asdict()
+            checkpoints.save_checkpoint(
+                path, config=config, epoch=epoch + 1, params=state.params,
+                pose_dim=config.input_motion_dim, extra=extra)
+            logging.info("saved checkpoint %s", path)
+
+    return state, history
+
+
+@checkpoints.register_model_kind("DAE")
+def _build_dae(config: Config, payload: dict):
+    model = make_frame_model(config)
+    variables = {"params": payload["params"]}
+    if payload["extra"].get("batch_stats"):
+        variables["batch_stats"] = payload["extra"]["batch_stats"]
+    return model, variables
