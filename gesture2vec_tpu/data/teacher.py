@@ -1,0 +1,77 @@
+"""Offline frozen-teacher encoding.
+
+The reference runs frozen Part-a/Part-b models inside DataLoader
+__getitem__ on CPU, re-encoding every sample every epoch
+(ref: scripts/data_loader/lmdb_data_loader.py:600-662, 1158-1281;
+scripts/data_loader/data_preprocessor.py:366-457 get_pose_latent).
+Here the teacher pass is one jitted, batched sweep over the corpus run
+once at dataset-build time - identical artifacts, a fraction of the
+compute, and the TPU does it instead of dataloader worker processes.
+"""
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def encode_frames_with_dae(dae_model, variables, frames: np.ndarray,
+                           batch: int = 4096) -> np.ndarray:
+    """(N, motion_dim) normalized frames -> (N, latent_dim) DAE latents
+    (the reference's per-item frozen encoder call,
+    ref: lmdb_data_loader.py:649-662)."""
+
+    @jax.jit
+    def enc(x):
+        return dae_model.apply(variables, x, method=dae_model.encode)
+
+    outs = []
+    n = frames.shape[0]
+    pad = (-n) % batch
+    padded = np.concatenate([frames, np.zeros((pad, frames.shape[1]),
+                                              frames.dtype)]) if pad else frames
+    for s in range(0, padded.shape[0], batch):
+        outs.append(np.asarray(enc(jnp.asarray(padded[s:s + batch]))))
+    return np.concatenate(outs, axis=0)[:n]
+
+
+def encode_windows_with_dae(dae_model, variables, windows: np.ndarray,
+                            batch: int = 256) -> np.ndarray:
+    """(N, T, motion_dim) -> (N, T, latent_dim)."""
+    N, T, D = windows.shape
+    flat = encode_frames_with_dae(dae_model, variables,
+                                  windows.reshape(N * T, D),
+                                  batch=batch * T)
+    return flat.reshape(N, T, -1)
+
+
+def tokenize_windows(seq_model, variables, latent_windows: np.ndarray,
+                     batch: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    """(N, T, rep_dim) DAE-latent windows -> (tokens (N,), seq latents
+    (N, L*H)): the Part-b tokenizer pass used to build Part-c/d datasets
+    (ref: data_preprocessor.py:366-457, lmdb_data_loader.py:1274-1281)."""
+
+    @jax.jit
+    def tok(x):
+        enc_outs, dec_hidden = seq_model.apply(
+            variables, x, method=seq_model.encode)
+        vq_out, _ = seq_model.apply(variables, dec_hidden,
+                                    method=seq_model.quantize)
+        L, B, H = dec_hidden.shape
+        flat = jnp.transpose(dec_hidden, (1, 0, 2)).reshape(B, L * H)
+        return jnp.argmax(vq_out.encodings, axis=-1), flat
+
+    toks, lats = [], []
+    n = latent_windows.shape[0]
+    pad = (-n) % batch
+    if pad:
+        z = np.zeros((pad,) + latent_windows.shape[1:],
+                     latent_windows.dtype)
+        latent_windows = np.concatenate([latent_windows, z])
+    for s in range(0, latent_windows.shape[0], batch):
+        t, l = tok(jnp.asarray(latent_windows[s:s + batch]))
+        toks.append(np.asarray(t))
+        lats.append(np.asarray(l))
+    return (np.concatenate(toks)[:n], np.concatenate(lats)[:n])

@@ -139,6 +139,93 @@ class BiGRU(nn.Module):
         return outs, jnp.stack(h_finals, axis=0)
 
 
+def _reverse_padded(xs_tm: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
+    """Reverse each sequence within its own valid length.
+
+    xs_tm (T, B, D), lengths (B,). Positions >= length become zeros -
+    the semantics of torch's pack_padded_sequence + reversed direction.
+    """
+    T = xs_tm.shape[0]
+    t_idx = jnp.arange(T)[:, None]                       # (T, 1)
+    src = lengths[None, :] - 1 - t_idx                   # (T, B)
+    valid = src >= 0
+    src = jnp.clip(src, 0, T - 1)
+    gathered = jnp.take_along_axis(
+        xs_tm, src[:, :, None].astype(jnp.int32), axis=0)
+    return jnp.where(valid[:, :, None], gathered, 0.0)
+
+
+def masked_gru_layer(xs_tm: jnp.ndarray, lengths: jnp.ndarray,
+                     h0: jnp.ndarray, w_ih: jnp.ndarray, w_hh: jnp.ndarray,
+                     b_ih: jnp.ndarray, b_hh: jnp.ndarray,
+                     reverse: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GRU layer with per-sequence lengths: the final hidden freezes at
+    each sequence's last valid step and padded outputs are zero, matching
+    torch pack_padded_sequence semantics
+    (ref: scripts/model/text2embedding_model.py:127-131)."""
+    if reverse:
+        xs_tm = _reverse_padded(xs_tm, lengths)
+    h_size = h0.shape[-1]
+    x_proj = xs_tm @ w_ih.T + b_ih
+
+    def step(carry, inp):
+        h, t = carry
+        xp = inp
+        gh = h @ w_hh.T + b_hh
+        r = jax.nn.sigmoid(xp[..., :h_size] + gh[..., :h_size])
+        z = jax.nn.sigmoid(xp[..., h_size:2 * h_size] +
+                           gh[..., h_size:2 * h_size])
+        n = jnp.tanh(xp[..., 2 * h_size:] + r * gh[..., 2 * h_size:])
+        h_new = (1.0 - z) * n + z * h
+        alive = (t < lengths)[:, None]
+        h_keep = jnp.where(alive, h_new, h)
+        y = jnp.where(alive, h_new, 0.0)
+        return (h_keep, t + 1), y
+
+    (h_last, _), ys = jax.lax.scan(step, (h0, jnp.zeros((), jnp.int32)),
+                                   x_proj)
+    if reverse:
+        ys = _reverse_padded(ys, lengths)
+    return ys, h_last
+
+
+class MaskedBiGRU(nn.Module):
+    """Bidirectional GRU over padded sequences with lengths - torch
+    packed-sequence equivalent. Same parameter naming as BiGRU."""
+
+    hidden_size: int
+    n_layers: int = 1
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray, lengths: jnp.ndarray,
+                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        H = self.hidden_size
+        init = _uniform_init(H)
+        outs = xs
+        h_finals = []
+        for layer in range(self.n_layers):
+            in_dim = outs.shape[-1]
+            ys = []
+            for d, (suffix, reverse) in enumerate((("", False),
+                                                   ("_reverse", True))):
+                w_ih = self.param(f"l{layer}_w_ih{suffix}", init,
+                                  (3 * H, in_dim))
+                w_hh = self.param(f"l{layer}_w_hh{suffix}", init, (3 * H, H))
+                b_ih = self.param(f"l{layer}_b_ih{suffix}", init, (3 * H,))
+                b_hh = self.param(f"l{layer}_b_hh{suffix}", init, (3 * H,))
+                h0 = jnp.zeros((xs.shape[1], H), xs.dtype)
+                y, h_last = masked_gru_layer(outs, lengths, h0, w_ih, w_hh,
+                                             b_ih, b_hh, reverse=reverse)
+                ys.append(y)
+                h_finals.append(h_last)
+            outs = jnp.concatenate(ys, axis=-1)
+            if train and self.dropout > 0 and layer < self.n_layers - 1:
+                outs = nn.Dropout(self.dropout, deterministic=False)(outs)
+        return outs, jnp.stack(h_finals, axis=0)
+
+
 def gru_cell(x: jnp.ndarray, h: jnp.ndarray, w_ih: jnp.ndarray,
              w_hh: jnp.ndarray, b_ih: jnp.ndarray,
              b_hh: jnp.ndarray) -> jnp.ndarray:

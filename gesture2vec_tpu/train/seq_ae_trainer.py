@@ -1,0 +1,203 @@
+"""Part b trainer: the gesture tokenizer (sequence VQ autoencoder).
+
+Rebuild of scripts/train_autoencoder_VQVAE.py (ref: :81-445) with the
+training math of train_iter_Autoencoder_VQ_seq2seq
+(ref: scripts/train_eval/train_seq2seq.py:664-758):
+  loss = custom_loss(outputs, target) + loss_vq / 400 (+ annealed KLD).
+This is the flagship TPU training step: batch sharded over the "dp" mesh
+axis, parameters replicated, gradients psum'd by jit's partitioner.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gesture2vec_tpu.models.seq_ae import SeqVQAutoencoder
+from gesture2vec_tpu.train import checkpoints
+from gesture2vec_tpu.train.config import Config
+from gesture2vec_tpu.train.losses import custom_loss, kld_loss_standard
+from gesture2vec_tpu.train.optim import make_optimizer
+from gesture2vec_tpu.utils.meters import AverageMeter
+
+
+class SeqAETrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+    step: jnp.ndarray
+
+
+def make_seq_ae(config: Config, parity: bool = False) -> SeqVQAutoencoder:
+    """Model construction mirroring the reference init
+    (ref: train_autoencoder_VQVAE.py:81-106 + model __init__)."""
+    rep_dim = config.rep_learning_dim
+    if config.use_derivative:
+        rep_dim *= 2  # ref: train_autoencoder_VQVAE.py:740-741
+    return SeqVQAutoencoder(
+        rep_dim=rep_dim,
+        hidden_size=config.hidden_size,
+        n_layers=config.n_layers,
+        n_frames=config.n_poses,
+        n_pre_poses=config.n_pre_poses,
+        dropout=config.dropout_prob,
+        use_vq=config.autoencoder_vq,
+        vq_components=config.autoencoder_vq_components,
+        commitment_cost=config.autoencoder_vq_commitment_cost,
+        use_vae=config.autoencoder_vae,
+        use_attention=config.autoencoder_att,
+        conditioned=config.autoencoder_conditioned,
+        vq_flatten="torch_view" if parity else "per_sample",
+        eval_step_dropout=config.eval_dropout_quirk and parity,
+    )
+
+
+def init_state(config: Config, model: SeqVQAutoencoder, rng: jax.Array,
+               optimizer: optax.GradientTransformation) -> SeqAETrainState:
+    dummy = jnp.zeros((2, model.n_frames, model.rep_dim), jnp.float32)
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.fold_in(rng, 1),
+         "reparam": jax.random.fold_in(rng, 2)},
+        dummy, dummy, train=False)
+    return SeqAETrainState(params=variables["params"],
+                           opt_state=optimizer.init(variables["params"]),
+                           batch_stats=variables.get("batch_stats", {}),
+                           step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(config: Config, model: SeqVQAutoencoder,
+                    optimizer: optax.GradientTransformation,
+                    total_epochs: int):
+    def step(state: SeqAETrainState, batch: jnp.ndarray, rng: jax.Array,
+             epoch: jnp.ndarray):
+        rngs = {"dropout": rng, "reparam": jax.random.fold_in(rng, 7)}
+
+        def loss_fn(params):
+            res, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, batch, train=True, rngs=rngs,
+                mutable=["batch_stats"])
+            rec = custom_loss(res["outputs"], batch,
+                              l1_weight=config.loss_l1_weight,
+                              cont_weight=config.loss_cont_weight,
+                              var_weight=config.loss_var_weight)
+            loss = rec
+            if model.use_vae:
+                # annealed standard KLD (ref: train_seq2seq.py:712-729)
+                kld = kld_loss_standard(res["mean"], res["logvar"])
+                loss = loss + kld * 0.1 * epoch / total_epochs
+            if model.use_vq:
+                # vq term scaled by 1/400 (ref: train_seq2seq.py:738)
+                loss = loss + res["vq"].loss / 400.0
+            perp = (res["vq"].perplexity if model.use_vq
+                    else jnp.zeros(()))
+            return loss, {"perplexity": perp,
+                          "batch_stats": mut["batch_stats"]}
+
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = SeqAETrainState(params=new_params, opt_state=new_opt,
+                                    batch_stats=aux["batch_stats"],
+                                    step=state.step + 1)
+        return new_state, {"loss": loss, "perplexity": aux["perplexity"]}
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def make_eval_step(config: Config, model: SeqVQAutoencoder):
+    def step(state: SeqAETrainState, batch: jnp.ndarray, rng: jax.Array):
+        res = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, batch, train=False, rngs={"dropout": rng})
+        return custom_loss(res["outputs"], batch,
+                           l1_weight=config.loss_l1_weight,
+                           cont_weight=config.loss_cont_weight,
+                           var_weight=config.loss_var_weight)
+
+    return jax.jit(step)
+
+
+def train_seq_ae(config: Config, train_windows: np.ndarray,
+                 val_windows: np.ndarray, save_dir: Optional[str] = None,
+                 save_every: int = 20, log_every: int = 50,
+                 parity: bool = False
+                 ) -> Tuple[SeqAETrainState, Dict[str, list]]:
+    """Full Part-b loop (ref: train_autoencoder_VQVAE.py:108-445).
+    train_windows: (N, n_poses, rep_dim) frozen-DAE latents."""
+    seed = max(config.random_seed, 0)
+    rng = jax.random.PRNGKey(seed)
+    model = make_seq_ae(config, parity=parity)
+    optimizer = make_optimizer(config.learning_rate)
+    state = init_state(config, model, rng, optimizer)
+    train_step = make_train_step(config, model, optimizer, config.epochs)
+    eval_step = make_eval_step(config, model)
+
+    n, bs = train_windows.shape[0], config.batch_size
+    history: Dict[str, list] = {"train_loss": [], "val_loss": [],
+                                "perplexity": []}
+    meter = AverageMeter("loss", ":.4f")
+    perp_m = AverageMeter("perplexity", ":.1f")
+
+    for epoch in range(config.epochs):
+        perm = np.random.default_rng(seed + epoch).permutation(n)
+        meter.reset()
+        perp_m.reset()
+        t0 = time.time()
+        for b in range(n // bs):
+            batch = jnp.asarray(train_windows[perm[b * bs:(b + 1) * bs]])
+            rng, srng = jax.random.split(rng)
+            state, metrics = train_step(state, batch, srng,
+                                        jnp.asarray(epoch, jnp.float32))
+            meter.update(float(metrics["loss"]), bs)
+            perp_m.update(float(metrics["perplexity"]), bs)
+            if (b + 1) % log_every == 0:
+                sps = meter.count / (time.time() - t0)
+                logging.info("EP %d (%d/%d) %s %s, %.0f samples/s", epoch,
+                             b + 1, n // bs, meter, perp_m, sps)
+        history["train_loss"].append(meter.avg)
+        history["perplexity"].append(perp_m.avg)
+
+        val_losses = []
+        rng, vrng = jax.random.split(rng)
+        for s in range(0, val_windows.shape[0] - bs + 1, bs):
+            val_losses.append(float(eval_step(
+                state, jnp.asarray(val_windows[s:s + bs]), vrng)))
+        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+        history["val_loss"].append(val_loss)
+        logging.info("EP %d done: train %.5f val %.5f perp %.1f", epoch,
+                     meter.avg, val_loss, perp_m.avg)
+
+        if save_dir and ((epoch + 1) % save_every == 0
+                         or epoch + 1 == config.epochs):
+            path = checkpoints.checkpoint_filename(
+                save_dir, config.name, epoch + 1)
+            checkpoints.save_checkpoint(
+                path, config=config, epoch=epoch + 1, params=state.params,
+                pose_dim=model.rep_dim,
+                extra={"batch_stats": state.batch_stats,
+                       "parity": parity})
+            logging.info("saved checkpoint %s", path)
+
+    return state, history
+
+
+@checkpoints.register_model_kind("autoencoder_vq")
+def _build_seq_ae(config: Config, payload: dict):
+    model = make_seq_ae(config, parity=bool(payload["extra"].get("parity",
+                                                                 False)))
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["extra"].get("batch_stats", {})}
+    return model, variables
+
+
+@checkpoints.register_model_kind("autoencoder")
+def _build_seq_ae_plain(config: Config, payload: dict):
+    return _build_seq_ae(config, payload)

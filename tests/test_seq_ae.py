@@ -1,0 +1,120 @@
+"""Part-b sequence VQ autoencoder: shapes, training, tokenization."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gesture2vec_tpu.train.config import load_config
+from gesture2vec_tpu.train.seq_ae_trainer import (make_seq_ae, train_seq_ae)
+from gesture2vec_tpu.train import checkpoints
+
+
+def _config(**kw):
+    base = dict(name="test_vqvae", model="seq2seq", hidden_size=32,
+                n_layers=2, dropout_prob=0.2, epochs=2, batch_size=16,
+                learning_rate=0.001, rep_learning_dim=24, n_poses=10,
+                n_pre_poses=1, autoencoder_vq=True,
+                autoencoder_vq_components=16,
+                autoencoder_vq_commitment_cost=0.25,
+                autoencoder_vae=False, autoencoder_att=False,
+                autoencoder_conditioned=True, random_seed=0)
+    base.update(kw)
+    return load_config(base)
+
+
+def _windows(rng, n=64, t=10, d=24):
+    # smooth sequences so the autoencoder has structure to learn
+    base = rng.normal(size=(n, 1, d)).astype(np.float32)
+    phase = rng.uniform(0, 6, size=(n, 1, d)).astype(np.float32)
+    ts = np.linspace(0, 1, t)[None, :, None].astype(np.float32)
+    return (base + np.sin(2 * np.pi * ts + phase)).astype(np.float32)
+
+
+def test_forward_shapes(rng):
+    cfg = _config()
+    model = make_seq_ae(cfg)
+    x = jnp.asarray(_windows(rng, n=4))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x, x,
+                           train=False)
+    res = model.apply(variables, x, x, train=False)
+    assert res["outputs"].shape == (4, 10, 24)
+    assert res["first_hidden"].shape == (2, 4, 32)
+    assert res["vq"].encodings.shape == (4, 16)
+    # outputs[0] is the seed frame, copied from the target
+    np.testing.assert_allclose(np.asarray(res["outputs"][:, 0]),
+                               np.asarray(x[:, 0]), atol=1e-6)
+
+
+def test_trains_and_improves(rng, tmp_path):
+    cfg = _config(epochs=3)
+    w = _windows(rng, n=96)
+    state, hist = train_seq_ae(cfg, w, w[:16], save_dir=str(tmp_path),
+                               save_every=100)
+    assert np.isfinite(hist["train_loss"]).all()
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    assert hist["perplexity"][-1] > 1.0
+
+    # registry round-trip
+    ckpt = checkpoints.checkpoint_filename(str(tmp_path), "test_vqvae", 3)
+    model, variables, payload = checkpoints.load_checkpoint_and_model(
+        ckpt, "autoencoder_vq")
+    res = model.apply(variables, jnp.asarray(w[:4]), jnp.asarray(w[:4]),
+                      train=False)
+    assert res["outputs"].shape == (4, 10, 24)
+
+
+def test_tokens_deterministic(rng):
+    cfg = _config()
+    model = make_seq_ae(cfg)
+    x = jnp.asarray(_windows(rng, n=8))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x, x,
+                           train=False)
+
+    def tokens(v, xs):
+        _, hid = model.apply(v, xs, method=model.encode)
+        return model.apply(v, hid, method=model.tokens_from_hidden)
+
+    t1 = np.asarray(tokens(variables, x))
+    t2 = np.asarray(tokens(variables, x))
+    np.testing.assert_array_equal(t1, t2)
+    assert t1.shape == (8,)
+    assert t1.dtype.kind == "i"
+
+
+def test_vq_flatten_modes_differ(rng):
+    """per_sample and torch_view are different bottleneck semantics; both
+    must run, and they should generally produce different tokens."""
+    cfg = _config()
+    x = jnp.asarray(_windows(rng, n=8))
+    m1 = make_seq_ae(cfg, parity=False)
+    m2 = make_seq_ae(cfg, parity=True)
+    v = m1.init({"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)}, x, x, train=False)
+    r1 = m1.apply(v, x, x, train=False)
+    # parity model keeps the reference's eval-time 0.95 step dropout, so
+    # eval needs a dropout rng
+    r2 = m2.apply(v, x, x, train=False,
+                  rngs={"dropout": jax.random.PRNGKey(2)})
+    assert r1["outputs"].shape == r2["outputs"].shape
+
+
+def test_unconditioned_decoder(rng):
+    cfg = _config(autoencoder_conditioned=False)
+    model = make_seq_ae(cfg)
+    x = jnp.asarray(_windows(rng, n=4))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x, x, train=False)
+    res = model.apply(v, x, x, train=False)
+    assert np.isfinite(np.asarray(res["outputs"])).all()
+
+
+def test_attention_variant(rng):
+    cfg = _config(autoencoder_att=True)
+    model = make_seq_ae(cfg)
+    x = jnp.asarray(_windows(rng, n=4))
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x, x, train=False)
+    res = model.apply(v, x, x, train=False)
+    assert np.isfinite(np.asarray(res["outputs"])).all()
