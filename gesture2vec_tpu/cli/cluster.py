@@ -1,0 +1,107 @@
+"""CLI: build the corpus latent dataset, K-Means clusters, and metrics.
+
+Replaces `python Clustering.py <DAE.ckpt> <VQVAE.ckpt>`
+(ref: scripts/Clustering.py:1822-1866): builds the latent dataset,
+optionally fits K-Means over sequence latents, and writes Metrics.txt
+(Hellinger / Frechet / perplexity / Wasserstein between train and val
+token/latent distributions, ref :1353-1628).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("rep_checkpoint", help="Part-a checkpoint")
+    parser.add_argument("autoencoder_checkpoint", help="Part-b checkpoint")
+    parser.add_argument("--store", required=True,
+                        help="train clip-store directory")
+    parser.add_argument("--val-store", default=None)
+    parser.add_argument("--out", default=None,
+                        help="output dir (default: <ckpt dir>/clusters)")
+    parser.add_argument("--kmeans", type=int, default=0,
+                        help="fit K-Means with this many clusters "
+                             "(ref uses 300)")
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from gesture2vec_tpu.cluster.kmeans import kmeans_fit, save_kmeans
+    from gesture2vec_tpu.cluster.latent_dataset import (
+        build_latent_dataset, save_latent_dataset)
+    from gesture2vec_tpu.cluster.metrics import (frechet_distance,
+                                                 hellinger,
+                                                 token_histogram,
+                                                 token_perplexity,
+                                                 wasserstein_distance)
+    from gesture2vec_tpu.data.store import ClipStore
+    from gesture2vec_tpu.train import checkpoints
+
+    logging.basicConfig(level=logging.INFO)
+    out = args.out or os.path.join(
+        os.path.dirname(args.autoencoder_checkpoint), "clusters")
+    os.makedirs(out, exist_ok=True)
+
+    dae_model, dae_vars, dae_payload = \
+        checkpoints.load_checkpoint_and_model(args.rep_checkpoint, "DAE")
+    seq_model, seq_vars, seq_payload = \
+        checkpoints.load_checkpoint_and_model(args.autoencoder_checkpoint,
+                                              "autoencoder_vq")
+    cfg = seq_payload["config"]
+    store = ClipStore(args.store)
+
+    data = build_latent_dataset(store, dae_model=dae_model,
+                                dae_variables=dae_vars,
+                                seq_model=seq_model,
+                                seq_variables=seq_vars,
+                                n_poses=cfg.n_poses,
+                                stride=cfg.subdivision_stride)
+    path = os.path.join(out, "org_latent_clustering_data.npz")
+    save_latent_dataset(path, data)
+    k = cfg.autoencoder_vq_components
+    logging.info("latent dataset: %d windows -> %s", len(data["tokens"]),
+                 path)
+    logging.info("token perplexity: %.2f (of %d codes)",
+                 token_perplexity(data["tokens"], k), k)
+
+    if args.kmeans > 0:
+        import jax
+        res = kmeans_fit(data["seq_latents"], args.kmeans,
+                         key=jax.random.PRNGKey(0))
+        save_kmeans(os.path.join(out, "kmeans_model.npz"), res)
+        logging.info("kmeans(%d) inertia %.2f", args.kmeans,
+                     float(res.inertia))
+
+    if args.val_store:
+        val = build_latent_dataset(ClipStore(args.val_store),
+                                   dae_model=dae_model,
+                                   dae_variables=dae_vars,
+                                   seq_model=seq_model,
+                                   seq_variables=seq_vars,
+                                   n_poses=cfg.n_poses,
+                                   stride=cfg.subdivision_stride,
+                                   mean=store.pose_mean,
+                                   std=store.pose_std)
+        lines = [
+            f"Hellinger: {hellinger(token_histogram(data['tokens'], k), token_histogram(val['tokens'], k)):.4f}",
+            f"Frechet: {frechet_distance(data['seq_latents'], val['seq_latents']):.4f}",
+            f"Perplexity(train): {token_perplexity(data['tokens'], k):.2f}",
+            f"Perplexity(val): {token_perplexity(val['tokens'], k):.2f}",
+            f"Wasserstein: {wasserstein_distance(data['tokens'], val['tokens']):.4f}",
+        ]
+        with open(os.path.join(out, "Metrics.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        for ln in lines:
+            logging.info(ln)
+
+
+if __name__ == "__main__":
+    main()

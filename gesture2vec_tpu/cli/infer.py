@@ -1,0 +1,96 @@
+"""CLI: end-to-end text -> gesture BVH.
+
+Replaces `python inference_text2embedding.py <t2e.ckpt> <transcript>
+<DAE.ckpt> <VQVAE.ckpt>` (ref: scripts/inference_text2embedding.py:837+).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("t2t_checkpoint")
+    parser.add_argument("transcript", help="Google-STT JSON or GENEA TSV")
+    parser.add_argument("rep_checkpoint")
+    parser.add_argument("autoencoder_checkpoint")
+    parser.add_argument("--latent-bank", default=None,
+                        help="org_latent_clustering_data.npz "
+                             "(required for exemplar mode)")
+    parser.add_argument("--store", required=True,
+                        help="train clip store (for mean/std + vocab)")
+    parser.add_argument("--pipeline", required=True,
+                        help="fitted data_pipe.json for BVH export")
+    parser.add_argument("--mode", choices=["exemplar", "decode"],
+                        default="exemplar")
+    parser.add_argument("--out", default="generated.bvh")
+    parser.add_argument("--duration", type=float, default=None,
+                        help="seconds (default: last word end time)")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from gesture2vec_tpu.cluster.latent_dataset import load_latent_dataset
+    from gesture2vec_tpu.data.store import ClipStore
+    from gesture2vec_tpu.infer.exporter import frames_to_bvh
+    from gesture2vec_tpu.infer.text2gesture import GestureGenerator
+    from gesture2vec_tpu.io.subtitles import read_subtitles
+    from gesture2vec_tpu.mocap.features import FeatureExtractor
+    from gesture2vec_tpu.text.vocab import build_vocab
+    from gesture2vec_tpu.train import checkpoints
+
+    logging.basicConfig(level=logging.INFO)
+    store = ClipStore(args.store)
+
+    t2t_model, t2t_vars, t2t_payload = \
+        checkpoints.load_checkpoint_and_model(args.t2t_checkpoint,
+                                              "text2embedding")
+    dae_model, dae_vars, _ = checkpoints.load_checkpoint_and_model(
+        args.rep_checkpoint, "DAE")
+    seq_model, seq_vars, _ = checkpoints.load_checkpoint_and_model(
+        args.autoencoder_checkpoint, "autoencoder_vq")
+    cfg = t2t_payload["config"]
+
+    if t2t_payload.get("lang_model"):
+        from gesture2vec_tpu.text.vocab import Vocab
+        vocab = Vocab.from_state_dict(t2t_payload["lang_model"])
+    else:
+        vocab = build_vocab("corpus",
+                            [[w[0] for w in c["words"]] for c in store],
+                            cfg.wordembed_path, cfg.wordembed_dim)
+
+    bank = (load_latent_dataset(args.latent_bank)
+            if args.latent_bank else None)
+    gen = GestureGenerator(
+        t2t_model=t2t_model, t2t_variables=t2t_vars,
+        seq_model=seq_model, seq_variables=seq_vars,
+        dae_model=dae_model, dae_variables=dae_vars, vocab=vocab,
+        pose_mean=store.pose_mean, pose_std=store.pose_std,
+        n_frames=cfg.n_poses,
+        sentence_frame_length=cfg.sentence_frame_length,
+        fps=cfg.motion_resampling_framerate, mode=args.mode,
+        latent_bank=bank, seed=args.seed)
+
+    words = read_subtitles(args.transcript)
+    duration = args.duration or (words[-1][2] if words else 6.0)
+    t0 = time.time()
+    frames, tokens = gen.generate(words, duration)
+    dt = time.time() - t0
+    logging.info("generated %d frames (%d tokens) in %.2fs "
+                 "(%.0f frames/s)", frames.shape[0], len(tokens), dt,
+                 frames.shape[0] / dt)
+
+    fe = FeatureExtractor.load(args.pipeline)
+    frames_to_bvh(frames, fe, path=args.out)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""CLI: train any pipeline part from a YAML config.
+
+Replaces the reference's per-part scripts
+(ref: scripts/train_DAE.py, scripts/train_autoencoder_VQVAE.py,
+scripts/train_text2embedding.py) with one entry point:
+
+    g2v-train --config configs/DAE.yml --part a
+    g2v-train --config configs/VQ-VAE.yml --part b \
+        --rep-checkpoint out/dae_H40_checkpoint_020.bin
+    g2v-train --config configs/seq2seqtxt.yml --part d \
+        --rep-checkpoint ... --autoencoder-checkpoint ...
+
+Part-to-part artifact flow matches the reference: part b consumes the
+frozen Part-a checkpoint, part d consumes both frozen checkpoints.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", "-c", required=True)
+    parser.add_argument("--part", choices=["a", "b", "d"], required=True)
+    parser.add_argument("--rep-checkpoint", default=None,
+                        help="frozen Part-a checkpoint (parts b, d)")
+    parser.add_argument("--autoencoder-checkpoint", default=None,
+                        help="frozen Part-b checkpoint (part d)")
+    parser.add_argument("--save-dir", default=None)
+    parser.add_argument("--platform", default=None,
+                        help="force jax platform (cpu/tpu)")
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    from gesture2vec_tpu.data.datasets import all_frames, pose_windows
+    from gesture2vec_tpu.data.store import ClipStore
+    from gesture2vec_tpu.data.teacher import encode_windows_with_dae
+    from gesture2vec_tpu.train import checkpoints
+    from gesture2vec_tpu.train.config import load_config
+    from gesture2vec_tpu.utils.meters import set_logger
+
+    cfg = load_config(args.config)
+    if args.rep_checkpoint:
+        cfg = cfg.replace(rep_learning_checkpoint=args.rep_checkpoint)
+    if args.autoencoder_checkpoint:
+        cfg = cfg.replace(autoencoder_checkpoint=args.autoencoder_checkpoint)
+    save_dir = args.save_dir or cfg.model_save_path
+    set_logger(save_dir)
+    logging.info("part %s, config %s -> %s", args.part, args.config,
+                 save_dir)
+
+    train_store = ClipStore(cfg.train_data_path)
+    val_store = ClipStore(cfg.val_data_path)
+    mean, std = train_store.pose_mean, train_store.pose_std
+
+    if args.part == "a":
+        from gesture2vec_tpu.train.dae_trainer import train_dae
+        train_dae(cfg, all_frames(train_store),
+                  all_frames(val_store, mean, std), save_dir=save_dir)
+        return
+
+    # parts b and d need the frozen Part-a model
+    assert cfg.rep_learning_checkpoint, "--rep-checkpoint required"
+    dae_model, dae_vars, dae_payload = checkpoints.load_checkpoint_and_model(
+        cfg.rep_learning_checkpoint, "DAE")
+    if cfg.rep_learning_dim <= 0:
+        cfg = cfg.replace(
+            rep_learning_dim=dae_payload["config"].hidden_size)
+
+    if args.part == "b":
+        from gesture2vec_tpu.train.seq_ae_trainer import train_seq_ae
+        tw = encode_windows_with_dae(
+            dae_model, dae_vars,
+            pose_windows(train_store, cfg.n_poses,
+                         cfg.subdivision_stride, mean, std))
+        vw = encode_windows_with_dae(
+            dae_model, dae_vars,
+            pose_windows(val_store, cfg.n_poses,
+                         cfg.subdivision_stride, mean, std))
+        train_seq_ae(cfg, tw, vw, save_dir=save_dir)
+        return
+
+    # part d
+    assert cfg.autoencoder_checkpoint, "--autoencoder-checkpoint required"
+    from gesture2vec_tpu.data.sentence import build_sentence_dataset
+    from gesture2vec_tpu.text.vocab import build_vocab
+    from gesture2vec_tpu.train.text2token_trainer import train_text2token
+
+    seq_model, seq_vars, _ = checkpoints.load_checkpoint_and_model(
+        cfg.autoencoder_checkpoint, "autoencoder_vq")
+    vocab = build_vocab("corpus",
+                        [[w[0] for w in c["words"]] for c in train_store],
+                        cfg.wordembed_path, cfg.wordembed_dim)
+    kw = dict(dae_model=dae_model, dae_variables=dae_vars,
+              seq_model=seq_model, seq_variables=seq_vars,
+              sentence_frame_length=cfg.sentence_frame_length,
+              stride=cfg.subdivision_stride_sentence,
+              n_frames=cfg.n_poses,
+              fps=cfg.motion_resampling_framerate, mean=mean, std=std)
+    sent = build_sentence_dataset(train_store, vocab, **kw)
+    sent_val = build_sentence_dataset(val_store, vocab, **kw)
+    train_text2token(cfg, sent, sent_val, vocab.n_words,
+                     embedding_weights=vocab.word_embedding_weights,
+                     lang_model_state=None, save_dir=save_dir)
+
+
+if __name__ == "__main__":
+    main()

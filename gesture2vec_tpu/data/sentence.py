@@ -1,0 +1,71 @@
+"""Sentence-level dataset build for Part d.
+
+Rebuild of the reference's sentence-level cache + dataset
+(ref: scripts/data_loader/data_preprocessor.py:123-333 with
+sentence_level=True; scripts/data_loader/lmdb_data_loader.py:1045-1292
+TrinityDataset_sentencelevel): windows of sentence_frame_length frames
+with >= 4 words, word-id sequences, and per-chunk gesture tokens
+produced by the frozen Part-a + Part-b teachers. All teacher passes run
+as one offline batched sweep (see data/teacher.py) instead of inside
+__getitem__.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from gesture2vec_tpu.data.datasets import normalize, sentence_windows
+from gesture2vec_tpu.data.store import ClipStore
+from gesture2vec_tpu.data.teacher import (encode_windows_with_dae,
+                                          tokenize_windows)
+from gesture2vec_tpu.text.vocab import Vocab
+
+
+def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
+                           dae_model, dae_variables,
+                           seq_model, seq_variables,
+                           sentence_frame_length: int = 120,
+                           stride: int = 20, n_frames: int = 20,
+                           fps: int = 20, max_words: int = 48,
+                           mean: Optional[np.ndarray] = None,
+                           std: Optional[np.ndarray] = None
+                           ) -> Dict[str, np.ndarray]:
+    """Returns arrays:
+      word_ids (N, max_words) int32 padded with PAD=0, SOS/EOS included
+      lengths  (N,) int32
+      tokens   (N, n_steps) int32 gesture tokens (n_steps = flen//n_frames)
+      poses    (N, sentence_frame_length, D) float32 normalized
+    """
+    mean = store.pose_mean if mean is None else mean
+    std = store.pose_std if std is None else std
+    wins = sentence_windows(store, sentence_frame_length, stride, fps)
+    if not wins:
+        raise ValueError("no sentence windows (too few words or frames)")
+
+    clips = {i: store[i] for i in sorted({w["clip"] for w in wins})}
+    poses = np.stack([
+        normalize(clips[w["clip"]]["poses"][w["frame0"]:
+                                            w["frame0"] + sentence_frame_length],
+                  mean, std)
+        for w in wins]).astype(np.float32)
+
+    # word ids (SOS ... EOS), sorted nothing - static padding
+    N = len(wins)
+    word_ids = np.zeros((N, max_words), np.int32)
+    lengths = np.zeros((N,), np.int32)
+    for i, w in enumerate(wins):
+        ids = vocab.words_to_ids([t[0] for t in w["words"]])[:max_words]
+        word_ids[i, :len(ids)] = ids
+        lengths[i] = len(ids)
+
+    # frozen-teacher tokenization: DAE latents -> per-chunk tokens
+    n_steps = sentence_frame_length // n_frames
+    latents = encode_windows_with_dae(dae_model, dae_variables,
+                                      poses)            # (N, F, rep)
+    chunks = latents.reshape(N * n_steps, n_frames, -1)
+    tokens, _ = tokenize_windows(seq_model, seq_variables, chunks)
+    tokens = tokens.reshape(N, n_steps).astype(np.int32)
+
+    return {"word_ids": word_ids, "lengths": lengths, "tokens": tokens,
+            "poses": poses}

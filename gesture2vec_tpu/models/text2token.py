@@ -1,0 +1,187 @@
+"""Part d - text to gesture-token translation.
+
+Rebuild of the reference text2embedding_model
+(ref: scripts/model/text2embedding_model.py:488-746): a text encoder
+produces (outputs, hidden); an autoregressive GRU decoder with a token
+embedding input and optional Bahdanau attention emits one gesture-token
+logit vector per n_frames-chunk of the sentence window
+(sentence_frame_length // n_frames steps = 6 for 120/20). Teacher
+forcing feeds ground-truth tokens for the first n_pre_poses steps, then
+the argmax feeds back (ref :734-744), in-graph under lax.scan.
+
+Text encoder selection (ref :548-599):
+  - "gru": packed-sequence biGRU over FastText embeddings, directions
+    summed (ref :46-135) - the reference's only RUNNABLE path.
+  - "tcn": the TemporalConvNet encoder. The committed reference TCN path
+    crashes (returns (y, 0), then slices the int - see models/tcn.py);
+    ours is the repaired version and is the default, matching the
+    reference's declared intent (use_TCN=True, ref :42).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from gesture2vec_tpu.models.gru import GRUCellStack, MaskedBiGRU
+from gesture2vec_tpu.models.seq_ae import Attn
+from gesture2vec_tpu.models.tcn import TextEncoderTCN
+
+
+class TextEncoderRNN(nn.Module):
+    """Embedding -> packed biGRU, directions summed
+    (ref: text2embedding_model.py:46-135)."""
+
+    n_words: int
+    embed_size: int
+    hidden_size: int
+    n_layers: int
+    dropout: float
+    embedding_weights: Optional[np.ndarray] = None
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
+                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """tokens (B, S), lengths (B,) -> (outputs (S, B, H),
+        hidden (2L, B, H))."""
+        if self.embedding_weights is not None:
+            emb_init = lambda *_: jnp.asarray(self.embedding_weights)
+        else:
+            emb_init = nn.initializers.normal(1.0)
+        table = self.param("embedding_table", emb_init,
+                           (self.n_words, self.embed_size))
+        emb = jnp.take(table, tokens, axis=0)              # (B, S, E)
+        emb = jnp.transpose(emb, (1, 0, 2))                # (S, B, E)
+        outs, hidden = MaskedBiGRU(hidden_size=self.hidden_size,
+                                   n_layers=self.n_layers,
+                                   dropout=self.dropout,
+                                   name="gru")(emb, lengths, train=train)
+        outs = outs[..., :self.hidden_size] + outs[..., self.hidden_size:]
+        return outs, hidden
+
+
+class TokenDecoderStep(nn.Module):
+    """One decoder step over discrete gesture tokens
+    (ref: text2embedding_model.py:201-395 with
+    discrete_representation=True): Embedding(token) -> Dropout(0.5) ->
+    [attention ->] pre_linear(BN+ReLU) -> GRU stack -> logits."""
+
+    hidden_size: int
+    n_tokens: int
+    n_layers: int
+    dropout_p: float
+    use_attention: bool = True
+
+    @nn.compact
+    def __call__(self, token: jnp.ndarray, hidden: jnp.ndarray,
+                 encoder_outputs: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+        emb = nn.Embed(self.n_tokens, self.hidden_size,
+                       name="token_embedding")(token)       # (B, H)
+        x = nn.Dropout(0.5, deterministic=not train)(emb)  # ref :260
+
+        attn_weights = None
+        if self.use_attention:
+            attn_weights = Attn(self.hidden_size, name="attn")(
+                hidden[-1], encoder_outputs)
+            context = jnp.einsum("bt,tbh->bh", attn_weights,
+                                 encoder_outputs)
+            x = jnp.concatenate([x, context], axis=-1)
+
+        h = nn.Dense(self.hidden_size, name="pre_linear")(x)
+        h = nn.BatchNorm(use_running_average=not train, name="pre_bn")(h)
+        h = nn.relu(h)
+        out, new_hidden = GRUCellStack(hidden_size=self.hidden_size,
+                                       n_layers=self.n_layers,
+                                       dropout=self.dropout_p,
+                                       name="gru")(h, hidden, train=train)
+        logits = nn.Dense(self.n_tokens, name="out_layer")(out)
+        return logits, new_hidden, attn_weights
+
+
+class Text2Token(nn.Module):
+    """Sentence -> sequence of gesture-token logits
+    (ref: text2embedding_model.py:488-746)."""
+
+    n_words: int
+    n_tokens: int              # vq components (= pose_dim when discrete)
+    hidden_size: int
+    n_layers: int
+    n_steps: int               # sentence_frame_length // n_frames
+    n_pre_poses: int = 2
+    dropout: float = 0.2
+    word_embed_size: int = 300
+    encoder_type: str = "tcn"  # "tcn" (repaired default) | "gru"
+    use_attention: bool = True
+    embedding_weights: Optional[np.ndarray] = None
+
+    def setup(self):
+        if self.encoder_type == "tcn":
+            self.encoder = TextEncoderTCN(
+                n_words=self.n_words, embed_size=self.word_embed_size,
+                hidden_size=self.hidden_size, n_layers=self.n_layers,
+                kernel_size=2, dropout=0.3, emb_dropout=0.1,
+                embedding_weights=self.embedding_weights)
+        elif self.encoder_type == "gru":
+            self.encoder = TextEncoderRNN(
+                n_words=self.n_words, embed_size=self.word_embed_size,
+                hidden_size=self.hidden_size, n_layers=self.n_layers,
+                dropout=self.dropout,
+                embedding_weights=self.embedding_weights)
+        else:
+            raise ValueError(f"unknown encoder_type {self.encoder_type!r}")
+        self.decoder_step = TokenDecoderStep(
+            hidden_size=self.hidden_size, n_tokens=self.n_tokens,
+            n_layers=self.n_layers, dropout_p=self.dropout,
+            use_attention=self.use_attention)
+
+    def __call__(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
+                 target_tokens: jnp.ndarray, train: bool = False
+                 ) -> Dict[str, Any]:
+        """tokens (B, S) word ids; lengths (B,); target_tokens (B, n_steps)
+        gesture-token ids (teacher signal). Returns logits
+        (B, n_steps, n_tokens) where step 0 is the one-hot of the seed
+        token (ref :643-649,677), and the per-step attention matrix."""
+        enc_outs, enc_hidden = self.encoder(tokens, lengths, train=train)
+        dec_hidden = enc_hidden[: self.n_layers]   # ref :667-669
+
+        seed = target_tokens[:, 0]
+        onehot0 = jax.nn.one_hot(seed, self.n_tokens)
+
+        step_mod = self.decoder_step
+
+        def body(mdl, carry, t):
+            prev_token, hidden = carry
+            # input at step t was chosen at the end of step t-1: ground
+            # truth while t-1 < n_pre_poses, else the previous argmax
+            # (ref :734-744)
+            teacher = jax.lax.dynamic_index_in_dim(target_tokens, t - 1,
+                                                   axis=1, keepdims=False)
+            token_in = jnp.where(t - 1 < self.n_pre_poses, teacher,
+                                 prev_token)
+            logits, new_hidden, attn = mdl(token_in, hidden, enc_outs,
+                                           train=train)
+            best = jnp.argmax(logits, axis=-1)
+            return (best, new_hidden), (logits, attn)
+
+        if train:
+            scan = nn.scan(body, variable_broadcast="params",
+                           variable_carry="batch_stats",
+                           split_rngs={"params": False, "dropout": True},
+                           in_axes=0, out_axes=0)
+        else:
+            scan = nn.scan(body,
+                           variable_broadcast=("params", "batch_stats"),
+                           split_rngs={"params": False, "dropout": True},
+                           in_axes=0, out_axes=0)
+        ts = jnp.arange(1, self.n_steps)
+        (_, _), (logits_seq, attns) = scan(step_mod, (seed, dec_hidden), ts)
+        logits = jnp.concatenate([onehot0[None], logits_seq], axis=0)
+        return {"logits": jnp.transpose(logits, (1, 0, 2)),
+                "attentions": attns}
+
+    def greedy_tokens(self, logits: jnp.ndarray) -> jnp.ndarray:
+        return jnp.argmax(logits, axis=-1)

@@ -77,10 +77,22 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return payload
 
 
+def _ensure_registry() -> None:
+    """Builders live in the trainer modules; import them on demand so the
+    registry is populated regardless of which module loaded first."""
+    import importlib
+    for mod in ("dae_trainer", "seq_ae_trainer", "text2token_trainer"):
+        try:
+            importlib.import_module(f"gesture2vec_tpu.train.{mod}")
+        except ImportError:
+            pass
+
+
 def load_checkpoint_and_model(path: str, what: str
                               ) -> Tuple[Any, Any, Dict[str, Any]]:
     """Returns (model, variables, checkpoint_payload). `what` selects the
     registered builder, mirroring the reference's registry keys."""
+    _ensure_registry()
     payload = load_checkpoint(path)
     if what not in _REGISTRY:
         raise KeyError(f"unknown checkpoint kind {what!r}; known: "

@@ -1,0 +1,196 @@
+"""Part d trainer: text -> gesture-token translation.
+
+Rebuild of scripts/train_text2embedding.py (ref: :71-421) with the
+training math of train_iter_text2embedding
+(ref: scripts/train_eval/train_seq2seq.py:462-538): cross-entropy over
+token positions 1.. (position 0 is the seed one-hot). Evaluation also
+reports the token-histogram perplexity the reference logs
+(ref: train_text2embedding.py:371-410).
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gesture2vec_tpu.models.text2token import Text2Token
+from gesture2vec_tpu.train import checkpoints
+from gesture2vec_tpu.train.config import Config
+from gesture2vec_tpu.train.losses import token_cross_entropy
+from gesture2vec_tpu.train.optim import make_optimizer
+from gesture2vec_tpu.utils.meters import AverageMeter
+
+
+class T2TTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+    step: jnp.ndarray
+
+
+def make_text2token(config: Config, n_words: int,
+                    embedding_weights: Optional[np.ndarray] = None
+                    ) -> Text2Token:
+    """pose_dim := vq components when discrete
+    (ref: text2embedding_model.py:543-544)."""
+    n_steps = config.sentence_frame_length // config.n_poses
+    return Text2Token(
+        n_words=n_words,
+        n_tokens=config.autoencoder_vq_components,
+        hidden_size=config.hidden_size,
+        n_layers=config.n_layers,
+        n_steps=n_steps,
+        n_pre_poses=config.n_pre_poses,
+        dropout=config.dropout_prob,
+        word_embed_size=config.wordembed_dim,
+        encoder_type=config.extras.get("text_encoder", "tcn"),
+        use_attention=config.autoencoder_att,
+        embedding_weights=embedding_weights)
+
+
+def init_state(model: Text2Token, rng: jax.Array,
+               optimizer: optax.GradientTransformation,
+               max_words: int = 48) -> T2TTrainState:
+    toks = jnp.zeros((2, max_words), jnp.int32)
+    lens = jnp.full((2,), max_words, jnp.int32)
+    tgt = jnp.zeros((2, model.n_steps), jnp.int32)
+    variables = model.init({"params": rng,
+                            "dropout": jax.random.fold_in(rng, 1)},
+                           toks, lens, tgt, train=False)
+    return T2TTrainState(params=variables["params"],
+                         opt_state=optimizer.init(variables["params"]),
+                         batch_stats=variables.get("batch_stats", {}),
+                         step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model: Text2Token,
+                    optimizer: optax.GradientTransformation):
+    def step(state: T2TTrainState, word_ids, lengths, targets,
+             rng: jax.Array):
+        def loss_fn(params):
+            res, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                word_ids, lengths, targets, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            loss = token_cross_entropy(res["logits"], targets)
+            return loss, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (T2TTrainState(new_params, new_opt, new_bs,
+                              state.step + 1),
+                {"loss": loss})
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def make_eval_step(model: Text2Token):
+    def step(state: T2TTrainState, word_ids, lengths, targets):
+        res = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            word_ids, lengths, targets, train=False)
+        loss = token_cross_entropy(res["logits"], targets)
+        pred = jnp.argmax(res["logits"], axis=-1)
+        acc = jnp.mean((pred[:, 1:] == targets[:, 1:]).astype(jnp.float32))
+        return loss, acc, pred
+
+    return jax.jit(step)
+
+
+def token_histogram_perplexity(tokens: np.ndarray, n_classes: int) -> float:
+    """exp(entropy) of the empirical token histogram - the reference's
+    'perplexity' eval metric (ref: train_text2embedding.py:371-410,
+    hardcoded 514 classes there; parameterized here)."""
+    hist = np.bincount(tokens.reshape(-1), minlength=n_classes).astype(
+        np.float64)
+    p = hist / max(hist.sum(), 1)
+    ent = -(p[p > 0] * np.log(p[p > 0])).sum()
+    return float(np.exp(ent))
+
+
+def train_text2token(config: Config, data: Dict[str, np.ndarray],
+                     val_data: Dict[str, np.ndarray], n_words: int,
+                     embedding_weights: Optional[np.ndarray] = None,
+                     lang_model_state: Optional[dict] = None,
+                     save_dir: Optional[str] = None, save_every: int = 20,
+                     log_every: int = 50
+                     ) -> Tuple[T2TTrainState, Dict[str, list]]:
+    seed = max(config.random_seed, 0)
+    rng = jax.random.PRNGKey(seed)
+    model = make_text2token(config, n_words, embedding_weights)
+    optimizer = make_optimizer(config.learning_rate)
+    state = init_state(model, rng, optimizer,
+                       max_words=data["word_ids"].shape[1])
+    train_step = make_train_step(model, optimizer)
+    eval_step = make_eval_step(model)
+
+    n, bs = data["word_ids"].shape[0], config.batch_size
+    history: Dict[str, list] = {"train_loss": [], "val_loss": [],
+                                "val_acc": []}
+    meter = AverageMeter("loss", ":.4f")
+
+    for epoch in range(config.epochs):
+        perm = np.random.default_rng(seed + epoch).permutation(n)
+        meter.reset()
+        t0 = time.time()
+        for b in range(max(n // bs, 1)):
+            take = perm[b * bs:(b + 1) * bs]
+            if take.size < bs:
+                break
+            rng, srng = jax.random.split(rng)
+            state, metrics = train_step(
+                state, jnp.asarray(data["word_ids"][take]),
+                jnp.asarray(data["lengths"][take]),
+                jnp.asarray(data["tokens"][take]), srng)
+            meter.update(float(metrics["loss"]), bs)
+            if (b + 1) % log_every == 0:
+                sps = meter.count / (time.time() - t0)
+                logging.info("EP %d (%d) %s, %.0f samples/s", epoch,
+                             b + 1, meter, sps)
+        history["train_loss"].append(meter.avg)
+
+        vl, va = [], []
+        m = val_data["word_ids"].shape[0]
+        for s in range(0, m - bs + 1, bs):
+            loss, acc, _ = eval_step(
+                state, jnp.asarray(val_data["word_ids"][s:s + bs]),
+                jnp.asarray(val_data["lengths"][s:s + bs]),
+                jnp.asarray(val_data["tokens"][s:s + bs]))
+            vl.append(float(loss))
+            va.append(float(acc))
+        history["val_loss"].append(float(np.mean(vl)) if vl else float("nan"))
+        history["val_acc"].append(float(np.mean(va)) if va else float("nan"))
+        logging.info("EP %d done: train %.4f val %.4f acc %.3f", epoch,
+                     meter.avg, history["val_loss"][-1],
+                     history["val_acc"][-1])
+
+        if save_dir and ((epoch + 1) % save_every == 0
+                         or epoch + 1 == config.epochs):
+            path = checkpoints.checkpoint_filename(save_dir, config.name,
+                                                   epoch + 1)
+            checkpoints.save_checkpoint(
+                path, config=config, epoch=epoch + 1, params=state.params,
+                pose_dim=config.autoencoder_vq_components,
+                lang_model=lang_model_state,
+                extra={"batch_stats": state.batch_stats,
+                       "n_words": n_words})
+            logging.info("saved checkpoint %s", path)
+
+    return state, history
+
+
+@checkpoints.register_model_kind("text2embedding")
+def _build_t2t(config: Config, payload: dict):
+    n_words = int(payload["extra"]["n_words"])
+    model = make_text2token(config, n_words)
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["extra"].get("batch_stats", {})}
+    return model, variables

@@ -1,0 +1,168 @@
+"""Full pipeline end-to-end: corpus -> parts a,b,d -> text -> BVH.
+
+Mirrors the reference's chained workflow (SURVEY.md section 3): every
+stage consumes the previous stage's artifacts, ending in both inference
+modes (exemplar retrieval - the reference default - and generative
+decode) and a written BVH file.
+"""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from gesture2vec_tpu.cluster.latent_dataset import (build_latent_dataset,
+                                                    token_index)
+from gesture2vec_tpu.data.datasets import all_frames, pose_windows
+from gesture2vec_tpu.data.ingest import ingest_trinity
+from gesture2vec_tpu.data.sentence import build_sentence_dataset
+from gesture2vec_tpu.data.store import ClipStore
+from gesture2vec_tpu.data.teacher import encode_windows_with_dae
+from gesture2vec_tpu.infer.exporter import frames_to_bvh
+from gesture2vec_tpu.infer.text2gesture import GestureGenerator
+from gesture2vec_tpu.io.bvh import parse_bvh, write_bvh
+from gesture2vec_tpu.mocap.features import FeatureExtractor
+from gesture2vec_tpu.text.vocab import build_vocab
+from gesture2vec_tpu.train.config import load_config
+from gesture2vec_tpu.train.dae_trainer import make_frame_model, train_dae
+from gesture2vec_tpu.train.seq_ae_trainer import make_seq_ae, train_seq_ae
+from gesture2vec_tpu.train.text2token_trainer import (make_text2token,
+                                                      train_text2token)
+from tests.corpus import make_corpus
+
+N_POSES, SENT_LEN, FPS = 10, 40, 20
+REP, HID, CODES = 16, 32, 24
+
+
+@pytest.fixture(scope="module")
+def pipeline_artifacts(tmp_path_factory):
+    """Train the full chain once for all tests in this module."""
+    root = str(tmp_path_factory.mktemp("e2e"))
+    make_corpus(os.path.join(root, "corpus"), n_files=3, n_frames=360,
+                with_audio=False)
+    train_dir, val_dir = ingest_trinity(os.path.join(root, "corpus"))
+    store = ClipStore(train_dir)
+
+    # ---- Part a
+    dae_cfg = load_config(dict(name="dae", model="DAE", hidden_size=REP,
+                               epochs=4, batch_size=64,
+                               learning_rate=0.005, input_motion_dim=135,
+                               random_seed=0))
+    dae_state, _ = train_dae(dae_cfg, all_frames(store),
+                             all_frames(store)[:64])
+    dae_model = make_frame_model(dae_cfg)
+    dae_vars = {"params": dae_state.params}
+
+    # ---- Part b on frozen-DAE window latents
+    windows = pose_windows(store, N_POSES, stride=5)
+    latents = encode_windows_with_dae(dae_model, dae_vars, windows)
+    sq_cfg = load_config(dict(name="vqvae", model="seq2seq",
+                              hidden_size=HID, n_layers=2,
+                              dropout_prob=0.1, epochs=3, batch_size=32,
+                              learning_rate=0.002, rep_learning_dim=REP,
+                              n_poses=N_POSES, n_pre_poses=1,
+                              autoencoder_vq=True,
+                              autoencoder_vq_components=CODES,
+                              autoencoder_vq_commitment_cost=0.25,
+                              autoencoder_att=False,
+                              autoencoder_conditioned=True, random_seed=0))
+    sq_state, _ = train_seq_ae(sq_cfg, latents, latents[:32])
+    seq_model = make_seq_ae(sq_cfg)
+    seq_vars = {"params": sq_state.params,
+                "batch_stats": sq_state.batch_stats}
+
+    # ---- Part c latent bank
+    bank = build_latent_dataset(store, dae_model=dae_model,
+                                dae_variables=dae_vars,
+                                seq_model=seq_model,
+                                seq_variables=seq_vars,
+                                n_poses=N_POSES, stride=5)
+
+    # ---- vocab + Part d
+    vocab = build_vocab("test", [[w[0] for w in c["words"]]
+                                 for c in store], embedding_dim=32)
+    sent = build_sentence_dataset(store, vocab, dae_model=dae_model,
+                                  dae_variables=dae_vars,
+                                  seq_model=seq_model,
+                                  seq_variables=seq_vars,
+                                  sentence_frame_length=SENT_LEN,
+                                  stride=20, n_frames=N_POSES, fps=FPS,
+                                  max_words=16)
+    t2t_cfg = load_config(dict(name="t2t", model="seq2seq",
+                               hidden_size=HID, n_layers=2,
+                               dropout_prob=0.1, epochs=4, batch_size=8,
+                               learning_rate=0.003,
+                               sentence_frame_length=SENT_LEN,
+                               n_poses=N_POSES, n_pre_poses=1,
+                               autoencoder_vq=True,
+                               autoencoder_vq_components=CODES,
+                               autoencoder_att=True, wordembed_dim=32,
+                               random_seed=0))
+    t2t_state, _ = train_text2token(
+        t2t_cfg, sent, sent, vocab.n_words,
+        embedding_weights=vocab.word_embedding_weights)
+    t2t_model = make_text2token(t2t_cfg, vocab.n_words)
+    t2t_vars = {"params": t2t_state.params,
+                "batch_stats": t2t_state.batch_stats}
+
+    return dict(root=root, store=store, vocab=vocab, bank=bank,
+                dae=(dae_model, dae_vars), seq=(seq_model, seq_vars),
+                t2t=(t2t_model, t2t_vars), sent=sent)
+
+
+def _generator(art, mode):
+    store = art["store"]
+    return GestureGenerator(
+        t2t_model=art["t2t"][0], t2t_variables=art["t2t"][1],
+        seq_model=art["seq"][0], seq_variables=art["seq"][1],
+        dae_model=art["dae"][0], dae_variables=art["dae"][1],
+        vocab=art["vocab"], pose_mean=store.pose_mean,
+        pose_std=store.pose_std, n_frames=N_POSES,
+        sentence_frame_length=SENT_LEN, fps=FPS, max_words=16,
+        mode=mode, latent_bank=art["bank"], seed=0)
+
+
+WORDS = [["hello", 0.2, 0.5], ["world", 0.7, 1.0], ["this", 1.2, 1.4],
+         ["is", 1.6, 1.8], ["a", 2.1, 2.3], ["test", 2.6, 2.9],
+         ["of", 3.1, 3.3], ["gestures", 3.6, 4.0]]
+
+
+@pytest.mark.parametrize("mode", ["exemplar", "decode"])
+def test_text_to_motion(pipeline_artifacts, mode):
+    gen = _generator(pipeline_artifacts, mode)
+    frames, tokens = gen.generate(WORDS, duration_s=4.0)
+    n_windows = 2  # 4s / (40/20)s
+    assert tokens.shape == (n_windows * (SENT_LEN // N_POSES),)
+    assert frames.shape == (n_windows * SENT_LEN, 135)
+    assert np.isfinite(frames).all()
+    # frames should look like rotation-matrix features (entries in ~[-1,1])
+    assert np.abs(frames).max() < 3.0
+
+
+def test_export_bvh(pipeline_artifacts, tmp_path):
+    art = pipeline_artifacts
+    gen = _generator(art, "exemplar")
+    frames, _ = gen.generate(WORDS, duration_s=4.0)
+    fe = FeatureExtractor.load(os.path.join(art["root"], "corpus",
+                                            "store", "data_pipe.json"))
+    out = str(tmp_path / "generated.bvh")
+    frames_to_bvh(frames, fe, path=out)
+    d = parse_bvh(out)
+    assert d.n_frames == frames.shape[0]
+    assert d.root_name == "Hips"
+
+
+def test_deterministic_generation(pipeline_artifacts):
+    g1 = _generator(pipeline_artifacts, "exemplar")
+    g2 = _generator(pipeline_artifacts, "exemplar")
+    f1, t1 = g1.generate(WORDS, duration_s=2.0)
+    f2, t2 = g2.generate(WORDS, duration_s=2.0)
+    np.testing.assert_array_equal(t1, t2)
+    np.testing.assert_allclose(f1, f2, atol=1e-6)
+
+
+def test_token_index(pipeline_artifacts):
+    bank = pipeline_artifacts["bank"]
+    idx = token_index(bank["tokens"], CODES)
+    total = sum(len(v) for v in idx.values())
+    assert total == bank["tokens"].shape[0]

@@ -1,0 +1,80 @@
+"""Part-d text->gesture-token model: shapes, learning, checkpointing."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gesture2vec_tpu.train.config import load_config
+from gesture2vec_tpu.train.text2token_trainer import (
+    make_text2token, token_histogram_perplexity, train_text2token)
+from gesture2vec_tpu.train import checkpoints
+
+N_WORDS, N_TOKENS, N_STEPS, MAXW = 40, 12, 6, 10
+
+
+def _config(**kw):
+    base = dict(name="test_t2t", model="seq2seq", hidden_size=32,
+                n_layers=2, dropout_prob=0.1, epochs=10, batch_size=16,
+                learning_rate=0.003, sentence_frame_length=120, n_poses=20,
+                n_pre_poses=2, autoencoder_vq=True,
+                autoencoder_vq_components=N_TOKENS, autoencoder_att=True,
+                wordembed_dim=32, random_seed=0)
+    base.update(kw)
+    return load_config(base)
+
+
+def _dataset(rng, n=128):
+    """Synthetic learnable mapping: tokens derive from the word ids."""
+    lengths = rng.integers(3, MAXW, size=n).astype(np.int32)
+    word_ids = np.zeros((n, MAXW), np.int32)
+    for i, L in enumerate(lengths):
+        word_ids[i, :L] = rng.integers(4, N_WORDS, size=L)
+    key = word_ids.sum(axis=1) % N_TOKENS
+    tokens = ((key[:, None] + np.arange(N_STEPS)[None, :]) %
+              N_TOKENS).astype(np.int32)
+    return {"word_ids": word_ids, "lengths": lengths, "tokens": tokens}
+
+
+@pytest.mark.parametrize("enc", ["tcn", "gru"])
+def test_forward_shapes(rng, enc):
+    cfg = _config(extras={})
+    cfg.extras["text_encoder"] = enc
+    model = make_text2token(cfg, N_WORDS)
+    d = _dataset(rng, n=4)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           jnp.asarray(d["word_ids"]),
+                           jnp.asarray(d["lengths"]),
+                           jnp.asarray(d["tokens"]), train=False)
+    res = model.apply(variables, jnp.asarray(d["word_ids"]),
+                      jnp.asarray(d["lengths"]),
+                      jnp.asarray(d["tokens"]), train=False)
+    assert res["logits"].shape == (4, N_STEPS, N_TOKENS)
+    # position 0 is the one-hot of the seed token
+    np.testing.assert_allclose(
+        np.asarray(res["logits"][:, 0]).argmax(-1), d["tokens"][:, 0])
+
+
+def test_learns_synthetic_mapping(rng, tmp_path):
+    cfg = _config()
+    data = _dataset(rng, n=256)
+    state, hist = train_text2token(cfg, data, data, N_WORDS,
+                                   save_dir=str(tmp_path), save_every=100)
+    assert hist["train_loss"][-1] < hist["train_loss"][0] * 0.8
+    assert hist["val_acc"][-1] > 0.3  # well above 1/12 chance
+
+    ckpt = checkpoints.checkpoint_filename(str(tmp_path), "test_t2t",
+                                           cfg.epochs)
+    model, variables, payload = checkpoints.load_checkpoint_and_model(
+        ckpt, "text2embedding")
+    res = model.apply(variables, jnp.asarray(data["word_ids"][:8]),
+                      jnp.asarray(data["lengths"][:8]),
+                      jnp.asarray(data["tokens"][:8]), train=False)
+    assert res["logits"].shape == (8, N_STEPS, N_TOKENS)
+
+
+def test_token_histogram_perplexity():
+    uniform = np.arange(12).repeat(10)
+    assert abs(token_histogram_perplexity(uniform, 12) - 12.0) < 1e-6
+    constant = np.zeros(100, np.int32)
+    assert abs(token_histogram_perplexity(constant, 12) - 1.0) < 1e-6
