@@ -20,7 +20,8 @@ from gesture2vec_tpu.data.store import ClipStore, ClipStoreWriter
 from gesture2vec_tpu.io.audio import load_wav
 from gesture2vec_tpu.io.bvh import parse_bvh
 from gesture2vec_tpu.io.subtitles import read_subtitles
-from gesture2vec_tpu.mocap.features import FeatureExtractor
+from gesture2vec_tpu.mocap.features import (FeatureExtractor,
+                                            TWHFeatureExtractor)
 
 
 def ingest_trinity(base_path: str, out_path: Optional[str] = None,
@@ -77,4 +78,59 @@ def ingest_trinity(base_path: str, out_path: Optional[str] = None,
         w.finish()
     fe.save(os.path.join(out_path, "data_pipe.json"))
     logging.info("data mean/std computed over %d frames", stacked.shape[0])
+    return train_dir, val_dir
+
+
+def ingest_twh(base_path: str, out_path: Optional[str] = None,
+               variant: str = "test1", max_files: int = 50,
+               with_audio: bool = True) -> Tuple[str, str]:
+    """TWH/GENEA-layout ingest (ref: scripts/twh_dataset_to_lmdb.py:151-279).
+
+    Layout: <base>/bvh/*.bvh, <base>/tsv/*.tsv, <base>/wav/*.wav.
+    Reference split rules kept: every 100th file -> validation
+    (ref :209), file count capped (ref :176 caps at 50).
+    """
+    out_path = out_path or os.path.join(base_path, "store")
+    train_dir = os.path.join(out_path, "train")
+    val_dir = os.path.join(out_path, "val")
+    writers = [ClipStoreWriter(train_dir), ClipStoreWriter(val_dir)]
+
+    bvh_files = sorted(glob.glob(os.path.join(base_path, "bvh", "*.bvh")))
+    if not bvh_files:
+        raise FileNotFoundError(f"no BVH files under {base_path}/bvh")
+    bvh_files = bvh_files[:max_files]
+
+    fe = TWHFeatureExtractor(variant)
+    all_poses = []
+    for v_i, bvh_file in enumerate(bvh_files):
+        name = os.path.splitext(os.path.basename(bvh_file))[0]
+        logging.info("ingesting %s", name)
+        poses = fe.process(parse_bvh(bvh_file))
+
+        words = []
+        tpath = os.path.join(base_path, "tsv", name + ".tsv")
+        if os.path.exists(tpath):
+            words = read_subtitles(tpath)
+
+        audio = None
+        apath = os.path.join(base_path, "wav", name + ".wav")
+        if with_audio and os.path.exists(apath):
+            audio = load_wav(apath)
+
+        w = writers[1] if v_i % 100 == 99 or (v_i == 0 and
+                                              len(bvh_files) < 100) \
+            else writers[0]
+        kw = {} if audio is None else {"audio": audio}
+        w.add_clip(name, poses, words=words, **kw)
+        all_poses.append(poses)
+
+    stacked = np.vstack(all_poses)
+    mean, std = stacked.mean(axis=0), stacked.std(axis=0)
+    fps = 30 if variant in ("posrot", "rot") else 10
+    for w in writers:
+        w.set_stats(mean, std)
+        w.set_meta(fps=fps, feature_dim=int(stacked.shape[1]),
+                   variant=variant)
+        w.finish()
+    fe.save(os.path.join(out_path, "data_pipe.json"))
     return train_dir, val_dir

@@ -22,7 +22,8 @@ from gesture2vec_tpu.mocap import rotations as rot
 from gesture2vec_tpu.mocap.pipeline import (ConstantsRemover, Downsample,
                                             JointSelect, Mirror,
                                             MotionPipeline, Numpyfy,
-                                            RootCentric)
+                                            RootCentric, RootNormalizer,
+                                            ToExpmap)
 
 # ref: scripts/trinity_data_to_lmdb.py:23-25
 TRINITY_TARGET_JOINTS = [
@@ -88,6 +89,97 @@ def features_to_euler(features: np.ndarray,
         eulers.append(np.asarray(rot.matrix_to_euler(m[..., j, :, :], order)))
     e = np.stack(eulers, axis=-2)  # (..., J, 3)
     return e.reshape(*lead, n_j * 3)
+
+
+def twh_pipeline(variant: str = "test1") -> MotionPipeline:
+    """TWH/GENEA ingest pipelines (ref: scripts/twh_dataset_to_lmdb.py).
+
+    Variants (matching the reference's four process_bvh* functions):
+      "posrot"  (ref :26-56):  30 fps, RootNormalizer, 18 joints,
+                 per-joint [3 pos + euler->rotmat 9] = 12 dims
+      "rot"     (ref :57-87):  30 fps + ConstantsRemover, euler->rotmat
+      "taras"   (ref :88-119): 10 fps, raw expmap features
+      "test1"   (ref :120-149, the inference variant): 10 fps +
+                 ConstantsRemover + expmap, then the expmap triples are
+                 re-read as ZXY euler DEGREES and converted to rotation
+                 matrices - a reference quirk kept for corpus parity.
+    """
+    steps = [("dwnsampl", Downsample(tgt_fps=30 if variant in
+                                     ("posrot", "rot") else 10,
+                                     keep_all=False)),
+             ("root", RootNormalizer()),
+             ("jtsel", JointSelect(TWH_TARGET_JOINTS, include_root=False))]
+    if variant in ("rot", "test1"):
+        steps.append(("cnst", ConstantsRemover()))
+    if variant in ("taras", "test1"):
+        steps.append(("exp", ToExpmap()))
+    steps.append(("np", Numpyfy()))
+    return MotionPipeline(steps)
+
+
+class TWHFeatureExtractor:
+    """TWH/GENEA skeleton features with exact inverses per variant."""
+
+    def __init__(self, variant: str = "test1",
+                 pipeline: Optional[MotionPipeline] = None):
+        self.variant = variant
+        self.pipeline = pipeline or twh_pipeline(variant)
+        self.fitted = False
+        self._columns: List[str] = []
+
+    def process(self, bvh: "BVHData | str") -> np.ndarray:
+        if isinstance(bvh, str):
+            bvh = parse_bvh(bvh)
+        arr = self.pipeline.fit_transform([bvh])[0]   # (T, C)
+        numpyfy = self.pipeline.steps[-1][1]
+        self._columns = numpyfy.template.columns
+        self.fitted = True
+        if self.variant == "taras":
+            return arr
+        if self.variant == "posrot":
+            # per-joint [x y z, Zrot Xrot Yrot] -> [x y z, rotmat(9)]
+            T = arr.shape[0]
+            grouped = arr.reshape(T, -1, 6)
+            mats = np.asarray(rot.euler_to_matrix(grouped[..., 3:], "ZXY"))
+            return np.concatenate(
+                [grouped[..., :3], mats.reshape(T, -1, 9)],
+                axis=-1).reshape(T, -1)
+        # "rot" (euler) and "test1" (expmap-as-euler quirk): triples are
+        # fed to from_euler('ZXY', degrees=True) regardless
+        # (ref: twh_dataset_to_lmdb.py:78-86, :140-148)
+        T = arr.shape[0]
+        grouped = arr.reshape(T, -1, 3)
+        mats = np.asarray(rot.euler_to_matrix(grouped, "ZXY"))
+        return mats.reshape(T, -1)
+
+    def to_bvh(self, features: np.ndarray) -> BVHData:
+        assert self.fitted, "TWHFeatureExtractor must process a file first"
+        T = features.shape[0]
+        if self.variant == "taras":
+            arr = features
+        elif self.variant == "posrot":
+            grouped = features.reshape(T, -1, 12)
+            euler = np.asarray(rot.matrix_to_euler(
+                grouped[..., 3:].reshape(T, -1, 3, 3), "ZXY"))
+            arr = np.concatenate([grouped[..., :3], euler],
+                                 axis=-1).reshape(T, -1)
+        else:
+            mats = features.reshape(T, -1, 3, 3)
+            arr = np.asarray(rot.matrix_to_euler(mats,
+                                                 "ZXY")).reshape(T, -1)
+        return self.pipeline.inverse_transform([arr])[0]
+
+    def save(self, path: str) -> None:
+        self.pipeline.save(path)
+
+    @classmethod
+    def load(cls, path: str, variant: str = "test1"
+             ) -> "TWHFeatureExtractor":
+        fe = cls(variant, MotionPipeline.load(path))
+        numpyfy = fe.pipeline.steps[-1][1]
+        fe._columns = numpyfy.template.columns
+        fe.fitted = True
+        return fe
 
 
 class FeatureExtractor:

@@ -281,6 +281,112 @@ class ConstantsRemover(Transform):
         self.const_values = dict(state["const_values"])
 
 
+class RootNormalizer(Transform):
+    """TWH/GENEA-2022 root normalization
+    (ref: pymo/preprocessing.py:617-672 RootNormalizer): center root
+    positions on their mean, zero X/Z root rotations, and set Yrotation
+    to -90 or +90 by the sign of the first frame's X position so all
+    subjects face the same way. Inverse is identity, like the reference.
+    """
+
+    def transform(self, tracks: List[Track]) -> List[Track]:
+        out = []
+        for tr in tracks:
+            root = tr.source.root_name
+            vals = tr.values.copy()
+            cidx = {c: i for i, c in enumerate(tr.columns)}
+            xp = cidx.get(f"{root}_Xposition")
+            for suffix in ("Xposition", "Yposition", "Zposition"):
+                i = cidx.get(f"{root}_{suffix}")
+                if i is not None:
+                    vals[:, i] = tr.values[:, i] - tr.values[:, i].mean()
+            for suffix in ("Xrotation", "Zrotation"):
+                i = cidx.get(f"{root}_{suffix}")
+                if i is not None:
+                    vals[:, i] = 0.0
+            yi = cidx.get(f"{root}_Yrotation")
+            if yi is not None and xp is not None:
+                face = -90.0 if tr.values[0, xp] < 0 else 90.0
+                vals[:, yi] = face
+            out.append(tr.replace(values=vals))
+        return out
+
+
+class ToExpmap(Transform):
+    """Euler rotation channels -> exponential-map channels
+    (ref: pymo/preprocessing.py:170-244 MocapParameterizer('expmap')).
+
+    Reference column-order quirks preserved: per joint the euler triple
+    becomes <joint>_alpha/beta/gamma, inserted at the FRONT of the column
+    list, so the final order is reversed joint order followed by any
+    non-rotation columns (ref :200-202 insert(loc=0)). Rotvec conversion
+    uses the EXTRINSIC (lowercase) euler convention like the reference
+    (ref :197 rot_order.lower()) and applies the discontinuity unroll.
+    """
+
+    def transform(self, tracks: List[Track]) -> List[Track]:
+        from gesture2vec_tpu.mocap import rotations as rot
+
+        out = []
+        for tr in tracks:
+            cidx = {c: i for i, c in enumerate(tr.columns)}
+            joints = []
+            for c in tr.columns:
+                if "rotation" in c and "Nub" not in c:
+                    j = c.rsplit("_", 1)[0]
+                    if j not in joints:
+                        joints.append(j)
+            exp_cols: List[str] = []
+            exp_vals: List[np.ndarray] = []
+            for joint in joints:
+                order = tr.source.skeleton[joint].order
+                euler = np.stack(
+                    [tr.values[:, cidx[f"{joint}_{ax}rotation"]]
+                     for ax in order], axis=1)
+                # extrinsic convention == intrinsic with reversed sequence
+                mats = rot.euler_to_matrix(euler[:, ::-1],
+                                           order[::-1].upper())
+                rv = rot.unroll_rotvec(np.asarray(rot.matrix_to_rotvec(mats)))
+                # front-insertion -> reversed joint order overall
+                exp_cols = [f"{joint}_alpha", f"{joint}_beta",
+                            f"{joint}_gamma"] + exp_cols
+                exp_vals = [rv[:, 0], rv[:, 1], rv[:, 2]] + exp_vals
+            keep = [c for c in tr.columns
+                    if "rotation" not in c or "Nub" in c]
+            cols = exp_cols + keep
+            vals = np.stack(exp_vals +
+                            [tr.values[:, cidx[c]] for c in keep], axis=1)
+            out.append(tr.replace(columns=cols, values=vals))
+        return out
+
+    def inverse_transform(self, tracks: List[Track]) -> List[Track]:
+        from gesture2vec_tpu.mocap import rotations as rot
+
+        out = []
+        for tr in tracks:
+            cidx = {c: i for i, c in enumerate(tr.columns)}
+            joints = []
+            for c in tr.columns:
+                if c.endswith("_alpha"):
+                    joints.append(c[: -len("_alpha")])
+            cols = [c for c in tr.columns
+                    if not c.endswith(("_alpha", "_beta", "_gamma"))]
+            vals_list = [tr.values[:, cidx[c]] for c in cols]
+            for joint in joints:
+                order = tr.source.skeleton[joint].order
+                rv = np.stack([tr.values[:, cidx[f"{joint}_{g}"]]
+                               for g in ("alpha", "beta", "gamma")], axis=1)
+                mats = rot.rotvec_to_matrix(rv)
+                euler = np.asarray(rot.matrix_to_euler(
+                    mats, order[::-1].upper()))[:, ::-1]
+                for k, ax in enumerate(order):
+                    cols.append(f"{joint}_{ax}rotation")
+                    vals_list.append(euler[:, k])
+            out.append(tr.replace(columns=cols,
+                                  values=np.stack(vals_list, axis=1)))
+        return out
+
+
 class Numpyfy(Transform):
     """Track list -> stacked float array; remembers the column template so
     inverse_transform can rebuild Tracks (ref: pymo/preprocessing.py:384-423).
@@ -361,7 +467,7 @@ class MotionPipeline:
             meta = json.load(f)
         registry = {c.__name__: c for c in
                     (Downsample, RootCentric, Mirror, JointSelect,
-                     ConstantsRemover, Numpyfy)}
+                     ConstantsRemover, Numpyfy, RootNormalizer, ToExpmap)}
         steps = []
         for name, clsname, kwargs in meta["steps"]:
             t = registry[clsname](**kwargs)

@@ -45,11 +45,14 @@ def gru_layer(xs_tm: jnp.ndarray, h0: jnp.ndarray, w_ih: jnp.ndarray,
     (outputs (T, B, H), final hidden (B, H)).
     """
     h_size = h0.shape[-1]
-    # hoist input projections out of the recurrence: one big MXU matmul
-    x_proj = xs_tm @ w_ih.T + b_ih  # (T, B, 3H)
+    # hoist input projections out of the recurrence: one big MXU matmul.
+    # fp32 precision throughout: gesture-token identity flows through
+    # these activations into the VQ argmin, and the TPU default (bf16
+    # passes) perturbs it by ~1e-2.
+    x_proj = jnp.matmul(xs_tm, w_ih.T, precision="highest") + b_ih
 
     def step(h, xp):
-        gh = h @ w_hh.T + b_hh
+        gh = jnp.matmul(h, w_hh.T, precision="highest") + b_hh
         r = jax.nn.sigmoid(xp[..., :h_size] + gh[..., :h_size])
         z = jax.nn.sigmoid(xp[..., h_size:2 * h_size] +
                            gh[..., h_size:2 * h_size])
@@ -167,12 +170,12 @@ def masked_gru_layer(xs_tm: jnp.ndarray, lengths: jnp.ndarray,
     if reverse:
         xs_tm = _reverse_padded(xs_tm, lengths)
     h_size = h0.shape[-1]
-    x_proj = xs_tm @ w_ih.T + b_ih
+    x_proj = jnp.matmul(xs_tm, w_ih.T, precision="highest") + b_ih
 
     def step(carry, inp):
         h, t = carry
         xp = inp
-        gh = h @ w_hh.T + b_hh
+        gh = jnp.matmul(h, w_hh.T, precision="highest") + b_hh
         r = jax.nn.sigmoid(xp[..., :h_size] + gh[..., :h_size])
         z = jax.nn.sigmoid(xp[..., h_size:2 * h_size] +
                            gh[..., h_size:2 * h_size])
@@ -232,8 +235,8 @@ def gru_cell(x: jnp.ndarray, h: jnp.ndarray, w_ih: jnp.ndarray,
     """Single GRU step (B, in) x (B, H) -> (B, H), used by autoregressive
     decoders whose per-step input depends on the previous output."""
     H = h.shape[-1]
-    gi = x @ w_ih.T + b_ih
-    gh = h @ w_hh.T + b_hh
+    gi = jnp.matmul(x, w_ih.T, precision="highest") + b_ih
+    gh = jnp.matmul(h, w_hh.T, precision="highest") + b_hh
     r = jax.nn.sigmoid(gi[..., :H] + gh[..., :H])
     z = jax.nn.sigmoid(gi[..., H:2 * H] + gh[..., H:2 * H])
     n = jnp.tanh(gi[..., 2 * H:] + r * gh[..., 2 * H:])

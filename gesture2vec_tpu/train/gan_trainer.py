@@ -1,0 +1,150 @@
+"""Unrolled-GAN trainer for the text->gesture GAN variant.
+
+Rebuild of train_iter_text2embedding_GAN
+(ref: scripts/train_eval/train_seq2seq.py:541-661): per iteration the
+discriminator takes one real update, then `unroll_steps` (10, ref :607)
+further updates on the same batch, the generator steps against the
+unrolled discriminator, and the discriminator is restored to its
+post-first-update state. Functional params make the reference's
+state_dict backup/restore dance (ref :610, :645) a plain variable swap,
+and the whole unroll compiles into one program via lax.fori_loop.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gesture2vec_tpu.models.gan import T2GDiscriminator, T2GGenerator
+from gesture2vec_tpu.train.optim import make_optimizer
+
+
+class GANTrainState(NamedTuple):
+    g_params: Any
+    g_opt: Any
+    g_batch_stats: Any
+    d_params: Any
+    d_opt: Any
+    step: jnp.ndarray
+
+
+def _bce_with_logits(logits: jnp.ndarray, target: float) -> jnp.ndarray:
+    labels = jnp.full_like(logits, target)
+    return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+
+
+def init_gan(g: T2GGenerator, d: T2GDiscriminator, rng: jax.Array,
+             g_optimizer, d_optimizer, max_words: int = 48
+             ) -> GANTrainState:
+    toks = jnp.zeros((2, max_words), jnp.int32)
+    lens = jnp.full((2,), max_words, jnp.int32)
+    noise = jnp.zeros((2, g.noise_dim))
+    seed = jnp.zeros((2, g.pose_dim))
+    poses = jnp.zeros((2, g.n_frames, g.pose_dim))
+    g_vars = g.init({"params": rng, "dropout": jax.random.fold_in(rng, 1)},
+                    toks, lens, noise, seed, train=False)
+    d_vars = d.init({"params": jax.random.fold_in(rng, 2),
+                     "dropout": jax.random.fold_in(rng, 3)},
+                    toks, lens, poses, train=False)
+    return GANTrainState(
+        g_params=g_vars["params"], g_opt=g_optimizer.init(g_vars["params"]),
+        g_batch_stats=g_vars.get("batch_stats", {}),
+        d_params=d_vars["params"], d_opt=d_optimizer.init(d_vars["params"]),
+        step=jnp.zeros((), jnp.int32))
+
+
+def make_gan_step(g: T2GGenerator, d: T2GDiscriminator, g_optimizer,
+                  d_optimizer, unroll_steps: int = 10):
+    def d_loss_fn(d_params, tokens, lengths, real, fake, rng):
+        real_logit = d.apply({"params": d_params}, tokens, lengths, real,
+                             train=True, rngs={"dropout": rng})
+        fake_logit = d.apply({"params": d_params}, tokens, lengths, fake,
+                             train=True,
+                             rngs={"dropout": jax.random.fold_in(rng, 1)})
+        real_err = _bce_with_logits(real_logit, 1.0)
+        fake_err = _bce_with_logits(fake_logit, 0.0)
+        return real_err + fake_err, (real_err, fake_err)
+
+    def d_update(d_params, d_opt, tokens, lengths, real, fake, rng):
+        (loss, aux), grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            d_params, tokens, lengths, real, fake, rng)
+        updates, d_opt = d_optimizer.update(grads, d_opt, d_params)
+        return optax.apply_updates(d_params, updates), d_opt, aux
+
+    def step(state: GANTrainState, tokens, lengths, real_poses,
+             rng: jax.Array):
+        B = tokens.shape[0]
+        rng_n, rng_d, rng_g, rng_u = jax.random.split(rng, 4)
+        noise = jax.random.normal(rng_n, (B, g.noise_dim))
+        seed_pose = real_poses[:, 0]
+
+        # 1. fake batch from the current generator (no grad)
+        fake, _ = g.apply(
+            {"params": state.g_params,
+             "batch_stats": state.g_batch_stats}, tokens, lengths, noise,
+            seed_pose, train=True,
+            rngs={"dropout": jax.random.fold_in(rng_g, 9)},
+            mutable=["batch_stats"])
+        fake = jax.lax.stop_gradient(fake)
+
+        # 2. real D update
+        d_params, d_opt, (real_err, fake_err) = d_update(
+            state.d_params, state.d_opt, tokens, lengths, real_poses,
+            fake, rng_d)
+
+        # 3. unroll D further (ref :607-629), then discard
+        def unroll_body(i, carry):
+            dp, dop = carry
+            dp, dop, _ = d_update(dp, dop, tokens, lengths, real_poses,
+                                  fake, jax.random.fold_in(rng_u, i))
+            return dp, dop
+
+        d_unrolled, _ = jax.lax.fori_loop(0, unroll_steps, unroll_body,
+                                          (d_params, d_opt))
+
+        # 4. G step against the unrolled D
+        def g_loss_fn(g_params):
+            gen, mut = g.apply(
+                {"params": g_params, "batch_stats": state.g_batch_stats},
+                tokens, lengths, noise, seed_pose, train=True,
+                rngs={"dropout": rng_g}, mutable=["batch_stats"])
+            logit = d.apply({"params": d_unrolled}, tokens, lengths, gen,
+                            train=False)
+            return _bce_with_logits(logit, 1.0), mut["batch_stats"]
+
+        (g_err, g_bs), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(state.g_params)
+        g_updates, g_opt = g_optimizer.update(g_grads, state.g_opt,
+                                              state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        # 5. D restored to its post-first-update state (ref :644-645)
+        new_state = GANTrainState(g_params=g_params, g_opt=g_opt,
+                                  g_batch_stats=g_bs, d_params=d_params,
+                                  d_opt=d_opt, step=state.step + 1)
+        return new_state, {"d_real": real_err, "d_fake": fake_err,
+                           "g_loss": g_err}
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def build_gan(config, n_words: int, pose_dim: int,
+              embedding_weights=None
+              ) -> Tuple[T2GGenerator, T2GDiscriminator]:
+    g = T2GGenerator(n_words=n_words, pose_dim=pose_dim,
+                     n_frames=config.n_poses,
+                     hidden_size=config.hidden_size,
+                     n_layers=config.n_layers,
+                     noise_dim=config.noise_dim,
+                     dropout=config.dropout_prob,
+                     word_embed_size=config.wordembed_dim,
+                     embedding_weights=embedding_weights)
+    d = T2GDiscriminator(n_words=n_words, pose_dim=pose_dim,
+                         hidden_size=config.hidden_size,
+                         n_layers=config.n_layers,
+                         dropout=config.dropout_prob,
+                         word_embed_size=config.wordembed_dim,
+                         embedding_weights=embedding_weights)
+    return g, d

@@ -1,0 +1,100 @@
+"""Baseline Seq2SeqNet, cluster2gesture, and GAN variants."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gesture2vec_tpu.train.config import load_config
+from gesture2vec_tpu.train.gan_trainer import (build_gan, init_gan,
+                                               make_gan_step)
+from gesture2vec_tpu.train.misc_trainers import (train_baseline, train_c2g)
+from gesture2vec_tpu.train.optim import make_optimizer
+from gesture2vec_tpu.train import checkpoints
+
+N_WORDS, MAXW, T, D = 30, 8, 10, 16
+
+
+def _cfg(**kw):
+    base = dict(name="test_misc", model="seq2seq", hidden_size=24,
+                n_layers=2, dropout_prob=0.1, epochs=3, batch_size=16,
+                learning_rate=0.003, n_poses=T, n_pre_poses=2,
+                wordembed_dim=24, noise_dim=8,
+                autoencoder_vq_components=12, random_seed=0,
+                loss_l1_weight=5, loss_cont_weight=0.1,
+                loss_var_weight=0.5)
+    base.update(kw)
+    return load_config(base)
+
+
+def _text_pose_data(rng, n=64):
+    lengths = rng.integers(3, MAXW, size=n).astype(np.int32)
+    word_ids = np.zeros((n, MAXW), np.int32)
+    for i, L in enumerate(lengths):
+        word_ids[i, :L] = rng.integers(4, N_WORDS, size=L)
+    ts = np.linspace(0, 1, T)[None, :, None]
+    base = rng.normal(size=(n, 1, D))
+    poses = (base + 0.5 * np.sin(2 * np.pi * ts + base)).astype(np.float32)
+    return {"word_ids": word_ids, "lengths": lengths, "poses": poses}
+
+
+def test_baseline_trains(rng, tmp_path):
+    cfg = _cfg()
+    data = _text_pose_data(rng)
+    state, hist = train_baseline(cfg, data, data, N_WORDS,
+                                 save_dir=str(tmp_path))
+    assert np.isfinite(hist["train_loss"]).all()
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    model, variables, _ = checkpoints.load_checkpoint_and_model(
+        checkpoints.checkpoint_filename(str(tmp_path), "test_misc",
+                                        cfg.epochs), "baseline")
+    res = model.apply(variables, jnp.asarray(data["word_ids"][:4]),
+                      jnp.asarray(data["lengths"][:4]),
+                      jnp.asarray(data["poses"][:4]), train=False)
+    assert res["outputs"].shape == (4, T, D)
+
+
+def test_c2g_trains(rng, tmp_path):
+    cfg = _cfg(epochs=4)
+    n = 96
+    ids = rng.integers(0, 12, size=n).astype(np.int32)
+    # target latents correlated with cluster id -> learnable
+    ts = np.linspace(0, 1, T)[None, :, None]
+    latents = (ids[:, None, None] / 6.0 - 1.0 +
+               0.1 * np.sin(2 * np.pi * ts)).astype(np.float32)
+    latents = np.tile(latents, (1, 1, D))
+    state, hist = train_c2g(cfg, ids, latents, ids[:16], latents[:16],
+                            save_dir=str(tmp_path))
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    model, variables, _ = checkpoints.load_checkpoint_and_model(
+        checkpoints.checkpoint_filename(str(tmp_path), "test_misc",
+                                        cfg.epochs), "c2g")
+    out = model.apply(variables, jnp.asarray(ids[:4]), train=False)
+    assert out.shape == (4, T, D)
+    # frame 0 is zeros per the reference contract
+    np.testing.assert_allclose(np.asarray(out[:, 0]), 0.0, atol=1e-6)
+
+
+def test_gan_step_runs(rng):
+    cfg = _cfg(epochs=1)
+    data = _text_pose_data(rng, n=16)
+    g, d = build_gan(cfg, N_WORDS, D)
+    g_opt = make_optimizer(1e-3)
+    d_opt = make_optimizer(1e-3)
+    state = init_gan(g, d, jax.random.PRNGKey(0), g_opt, d_opt,
+                     max_words=MAXW)
+    step = make_gan_step(g, d, g_opt, d_opt, unroll_steps=2)
+    for i in range(2):
+        state, metrics = step(state,
+                              jnp.asarray(data["word_ids"]),
+                              jnp.asarray(data["lengths"]),
+                              jnp.asarray(data["poses"]),
+                              jax.random.PRNGKey(i + 1))
+    assert np.isfinite(float(metrics["g_loss"]))
+    assert np.isfinite(float(metrics["d_real"]))
+    # generator produces motion of the right shape
+    gen = g.apply({"params": state.g_params,
+                   "batch_stats": state.g_batch_stats},
+                  jnp.asarray(data["word_ids"][:4]),
+                  jnp.asarray(data["lengths"][:4]),
+                  jnp.zeros((4, cfg.noise_dim)),
+                  jnp.asarray(data["poses"][:4, 0]), train=False)
+    assert gen.shape == (4, T, D)

@@ -1,0 +1,53 @@
+"""Pallas kernels vs jnp references (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gesture2vec_tpu.models.gru import gru_layer
+from gesture2vec_tpu.models.vq import codebook_distances
+from gesture2vec_tpu.ops.gru_pallas import gru_sequence_fused
+from gesture2vec_tpu.ops.gru_pallas import supported as gru_supported
+from gesture2vec_tpu.ops.vq_pallas import supported as vq_supported
+from gesture2vec_tpu.ops.vq_pallas import vq_argmin
+
+
+def test_vq_argmin_matches_jnp(rng):
+    x = rng.normal(size=(300, 64)).astype(np.float32)  # non-tile-multiple
+    cb = rng.normal(size=(128, 64)).astype(np.float32)
+    idx, dmin = vq_argmin(jnp.asarray(x), jnp.asarray(cb), interpret=True)
+    d_ref = np.asarray(codebook_distances(jnp.asarray(x), jnp.asarray(cb)))
+    np.testing.assert_array_equal(np.asarray(idx), d_ref.argmin(1))
+    np.testing.assert_allclose(np.asarray(dmin), d_ref.min(1), atol=1e-3)
+
+
+def test_vq_supported_budget():
+    assert vq_supported((1024, 400), (512, 400))
+    assert not vq_supported((1024, 4096), (4096, 4096))
+    assert not vq_supported((10, 32), (16, 64))  # dim mismatch
+
+
+def test_gru_fused_matches_scan(rng):
+    T, B, H, D = 20, 32, 64, 48
+    xs = rng.normal(size=(T, B, D)).astype(np.float32)
+    w_ih = rng.normal(size=(3 * H, D)).astype(np.float32) * 0.1
+    w_hh = rng.normal(size=(3 * H, H)).astype(np.float32) * 0.1
+    b_ih = rng.normal(size=(3 * H,)).astype(np.float32) * 0.1
+    b_hh = rng.normal(size=(3 * H,)).astype(np.float32) * 0.1
+    h0 = rng.normal(size=(B, H)).astype(np.float32)
+
+    ys_ref, h_ref = gru_layer(jnp.asarray(xs), jnp.asarray(h0),
+                              jnp.asarray(w_ih), jnp.asarray(w_hh),
+                              jnp.asarray(b_ih), jnp.asarray(b_hh))
+    x_proj = jnp.asarray(xs) @ jnp.asarray(w_ih).T + jnp.asarray(b_ih)
+    ys, h_last = gru_sequence_fused(x_proj, jnp.asarray(h0),
+                                    jnp.asarray(w_hh), jnp.asarray(b_hh),
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_last), np.asarray(h_ref),
+                               atol=1e-5)
+
+
+def test_gru_supported_budget():
+    assert gru_supported(20, 128, 200)
+    assert not gru_supported(2000, 1024, 1024)
