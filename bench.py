@@ -1,11 +1,11 @@
-"""Benchmark: flagship gesture-tokenizer round-trip throughput.
+"""Benchmark: end-to-end text -> gesture motion throughput.
 
-Measures the Part-b SeqVQAutoencoder forward pass (encode -> GS-Soft VQ
--> 20-step autoregressive GRU decode) in motion frames/sec on the
-default JAX backend (TPU under the driver), and compares against an
-equivalent PyTorch implementation run on CPU (the reference is
-pure-PyTorch; its published environment is CPU-compatible and no GPU
-numbers are committed - see BASELINE.md).
+The BASELINE.json north star: motion frames/sec/chip for the full
+text -> tokens -> latents -> frames inference path, vs the PyTorch-CPU
+reference (the reference is pure PyTorch with no committed GPU numbers,
+see BASELINE.md). Both sides run the generative decode path at
+production shapes (hidden 200, 512 codes, 2 layers, 20-frame chunks,
+120-frame sentence windows) over a 60-second transcript.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
@@ -17,105 +17,189 @@ import time
 
 import numpy as np
 
-# production shapes (config/VQ-VAE.yml: hidden 200, n_layers 2, 512 codes,
-# 20-frame chunks, DAE latent 40)
-B, T, D, H, L, K = 128, 20, 40, 200, 2, 512
-WARMUP, ITERS = 3, 10
+B = 1                 # inference is single-stream like the reference CLI
+N_FRAMES = 20
+SENT_LEN = 120
+FPS = 20
+HID, L, K, REP, DIM = 200, 2, 512, 40, 135
+N_WORDS, MAXW = 5000, 48
+DURATION_S = 60.0
+WARMUP, ITERS = 2, 5
+
+
+def _words():
+    rng = np.random.default_rng(0)
+    n = 150
+    starts = np.linspace(0.1, DURATION_S - 0.5, n)
+    return [[f"word{rng.integers(200)}", float(s), float(s + 0.3)]
+            for s in starts]
 
 
 def bench_jax() -> float:
     import jax
-    import jax.numpy as jnp
-    from gesture2vec_tpu.models.seq_ae import SeqVQAutoencoder
 
-    model = SeqVQAutoencoder(rep_dim=D, hidden_size=H, n_layers=L,
-                             n_frames=T, n_pre_poses=1, use_vq=True,
-                             vq_components=K)
-    rng = jax.random.PRNGKey(0)
-    x = jnp.asarray(np.random.default_rng(0).normal(
-        size=(B, T, D)).astype(np.float32))
-    variables = model.init({"params": rng,
-                            "dropout": jax.random.fold_in(rng, 1)},
-                           x, x, train=False)
+    from gesture2vec_tpu.infer.text2gesture import GestureGenerator
+    from gesture2vec_tpu.text.vocab import Vocab
+    from gesture2vec_tpu.train.config import load_config
+    from gesture2vec_tpu.train.dae_trainer import (init_state as dae_init,
+                                                   make_frame_model)
+    from gesture2vec_tpu.train.optim import make_optimizer
+    from gesture2vec_tpu.train.seq_ae_trainer import (init_state as sq_init,
+                                                      make_seq_ae)
+    from gesture2vec_tpu.train.text2token_trainer import (
+        init_state as t2t_init, make_text2token)
 
-    @jax.jit
-    def fwd(v, xs):
-        res = model.apply(v, xs, xs, train=False)
-        return res["outputs"], res["vq"].encodings
+    opt = make_optimizer(1e-3)
+    dae_cfg = load_config(dict(name="d", model="DAE", hidden_size=REP,
+                               epochs=1, batch_size=8,
+                               input_motion_dim=DIM, random_seed=0))
+    dae = make_frame_model(dae_cfg)
+    dae_vars = {"params": dae_init(dae_cfg, dae, jax.random.PRNGKey(0),
+                                   opt).params}
 
+    sq_cfg = load_config(dict(name="s", model="seq2seq", hidden_size=HID,
+                              n_layers=L, dropout_prob=0.2, epochs=1,
+                              batch_size=8, rep_learning_dim=REP,
+                              n_poses=N_FRAMES, n_pre_poses=1,
+                              autoencoder_vq=True,
+                              autoencoder_vq_components=K, random_seed=0))
+    seq = make_seq_ae(sq_cfg)
+    sst = sq_init(sq_cfg, seq, jax.random.PRNGKey(1), opt)
+    seq_vars = {"params": sst.params, "batch_stats": sst.batch_stats}
+
+    t2t_cfg = load_config(dict(name="t", model="seq2seq", hidden_size=HID,
+                               n_layers=L, dropout_prob=0.2, epochs=1,
+                               batch_size=8, sentence_frame_length=SENT_LEN,
+                               n_poses=N_FRAMES, n_pre_poses=2,
+                               autoencoder_vq=True,
+                               autoencoder_vq_components=K,
+                               autoencoder_att=True, wordembed_dim=300,
+                               random_seed=0))
+    t2t = make_text2token(t2t_cfg, N_WORDS)
+    tst = t2t_init(t2t, jax.random.PRNGKey(2), opt, max_words=MAXW)
+    t2t_vars = {"params": tst.params, "batch_stats": tst.batch_stats}
+
+    vocab = Vocab("bench")
+    for i in range(300):
+        vocab.index_word(f"word{i}")
+
+    gen = GestureGenerator(
+        t2t_model=t2t, t2t_variables=t2t_vars, seq_model=seq,
+        seq_variables=seq_vars, dae_model=dae, dae_variables=dae_vars,
+        vocab=vocab, pose_mean=np.zeros(DIM, np.float32),
+        pose_std=np.ones(DIM, np.float32), n_frames=N_FRAMES,
+        sentence_frame_length=SENT_LEN, fps=FPS, max_words=MAXW,
+        mode="decode", seed=0)
+
+    words = _words()
     for _ in range(WARMUP):
-        out = fwd(variables, x)
-        jax.block_until_ready(out)
+        gen.generate(words, DURATION_S)
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        out = fwd(variables, x)
-        jax.block_until_ready(out)
+        frames, _ = gen.generate(words, DURATION_S)
         times.append(time.perf_counter() - t0)
-    return B * T / float(np.median(times))
+    return frames.shape[0] / float(np.median(times))
 
 
 def bench_torch_cpu() -> float:
-    """Equivalent computation with torch modules on CPU."""
+    """Equivalent e2e computation with torch on CPU: per 6s window a
+    GRU-attention token decoder over the text encoding, then per token a
+    20-step GRU chunk rollout, then the DAE decode."""
     import torch
     import torch.nn as nn
 
-    class TorchTokenizer(nn.Module):
+    n_steps = SENT_LEN // N_FRAMES
+
+    class T2T(nn.Module):
         def __init__(self):
             super().__init__()
-            self.in_layer = nn.Linear(D, H)
-            self.enc = nn.GRU(H, H, L, bidirectional=True)
-            self.codebook = nn.Parameter(torch.randn(K, L * H))
-            self.mean_layer = nn.Linear(L * H, L * H)
-            self.logvar_layer = nn.Linear(L * H, K)
-            self.pre_linear = nn.Linear(D, H)
-            self.pre_bn = nn.BatchNorm1d(H)
-            self.dec = nn.GRU(H, H, L)
-            self.out_layer = nn.Linear(H, D)
+            self.emb = nn.Embedding(N_WORDS, 300)
+            self.enc = nn.GRU(300, HID, L, bidirectional=True)
+            self.tok_emb = nn.Embedding(K, HID)
+            self.attn = nn.Linear(2 * HID, HID)
+            self.v = nn.Parameter(torch.randn(HID))
+            self.pre = nn.Linear(2 * HID, HID)
+            self.bn = nn.BatchNorm1d(HID)
+            self.dec = nn.GRU(HID, HID, L)
+            self.out = nn.Linear(HID, K)
 
-        def forward(self, x):  # x (B, T, D)
-            xs = x.transpose(0, 1)
-            enc_out, hidden = self.enc(self.in_layer(xs))
-            dec_h = hidden[:L].contiguous()
-            flat = dec_h.transpose(0, 1).reshape(x.shape[0], L * H)
-            proj = self.mean_layer(flat)
-            zlv = self.logvar_layer(proj)
-            d = (proj.pow(2).sum(1, keepdim=True)
-                 + self.codebook.pow(2).sum(1)
-                 - 2 * proj @ self.codebook.t())
-            smooth = torch.exp(zlv) ** -2
-            prob = torch.exp(-(d / 400) * 0.5 * smooth) / torch.sqrt(smooth)
-            probs = prob / prob.sum(1, keepdim=True)
-            q = probs @ self.codebook
-            dec_h = q.reshape(x.shape[0], L, H).transpose(0, 1).contiguous()
-            outs = [xs[0]]
-            inp = xs[0]
-            for _ in range(1, T):
-                h = torch.relu(self.pre_bn(self.pre_linear(inp)))
-                o, dec_h = self.dec(h.unsqueeze(0), dec_h)
-                inp = self.out_layer(o[0])
-                outs.append(inp)
-            return torch.stack(outs, 1), probs
+        def forward(self, ids):
+            e = self.emb(ids).transpose(0, 1)
+            outs, hidden = self.enc(e)
+            outs = outs[:, :, :HID] + outs[:, :, HID:]
+            h = hidden[:L].contiguous()
+            tok = torch.zeros(1, dtype=torch.long)
+            toks = []
+            for _ in range(n_steps):
+                q = h[-1].unsqueeze(0).expand(outs.shape[0], -1, -1)
+                energy = torch.tanh(self.attn(
+                    torch.cat([q, outs], dim=2)))
+                scores = torch.einsum("tbh,h->bt", energy, self.v)
+                w = torch.softmax(scores, dim=1)
+                ctx = torch.einsum("bt,tbh->bh", w, outs)
+                x = torch.cat([self.tok_emb(tok), ctx], dim=1)
+                x = torch.relu(self.bn(self.pre(x)))
+                o, h = self.dec(x.unsqueeze(0), h)
+                logits = self.out(o[0])
+                tok = logits.argmax(1)
+                toks.append(int(tok))
+            return toks
 
-    torch.set_num_threads(max(torch.get_num_threads(), 1))
-    model = TorchTokenizer().eval()
-    x = torch.randn(B, T, D)
-    with torch.no_grad():
-        for _ in range(WARMUP):
-            model(x)
-        times = []
-        for _ in range(ITERS):
-            t0 = time.perf_counter()
-            model(x)
-            times.append(time.perf_counter() - t0)
-    return B * T / float(np.median(times))
+    class ChunkDecoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.codebook = nn.Parameter(torch.randn(K, L * HID))
+            self.pre = nn.Linear(REP, HID)
+            self.bn = nn.BatchNorm1d(HID)
+            self.gru = nn.GRU(HID, HID, L)
+            self.out = nn.Linear(HID, REP)
+            self.dae_dec = nn.Linear(REP, DIM)
+
+        def forward(self, tok, seed):
+            h = self.codebook[tok].reshape(1, L, HID).transpose(0, 1) \
+                .contiguous()
+            x = seed
+            lat = [x]
+            for _ in range(N_FRAMES - 1):
+                y = torch.relu(self.bn(self.pre(x)))
+                o, h = self.gru(y.unsqueeze(0), h)
+                x = self.out(o[0])
+                lat.append(x)
+            return self.dae_dec(torch.stack(lat, dim=0)[:, 0])
+
+    t2t = T2T().eval()
+    dec = ChunkDecoder().eval()
+    rng = np.random.default_rng(0)
+    ids = torch.from_numpy(rng.integers(0, N_WORDS, size=(1, MAXW)))
+    n_windows = int(np.ceil(DURATION_S / (SENT_LEN / FPS)))
+
+    def run():
+        total = 0
+        with torch.no_grad():
+            for _ in range(n_windows):
+                toks = t2t(ids)
+                seed = torch.zeros(1, REP)
+                for t in toks:
+                    frames = dec(t, seed)
+                    total += frames.shape[0]
+        return total
+
+    for _ in range(WARMUP):
+        run()
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        total = run()
+        times.append(time.perf_counter() - t0)
+    return total / float(np.median(times))
 
 
 def main():
     jax_fps = bench_jax()
     torch_fps = bench_torch_cpu()
     print(json.dumps({
-        "metric": "gesture tokenizer fwd (encode+VQ+decode) throughput",
+        "metric": "end-to-end text->gesture inference throughput",
         "value": round(jax_fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(jax_fps / torch_fps, 2),

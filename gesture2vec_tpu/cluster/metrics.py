@@ -61,6 +61,45 @@ def token_perplexity(tokens: np.ndarray, n_classes: int) -> float:
     return float(np.exp(-(nz * np.log(nz)).sum()))
 
 
+def representation_neighbor_distance(latents: np.ndarray) -> dict:
+    """Representation-space smoothness metric
+    (ref: scripts/Clustering.py:410-505 calculate_distances): mean L2
+    distance of each window's latent to its +-1 and +-2 stride
+    neighbors, raw and normalized by the corpus-wide mean pairwise
+    distance. The reference's per-element Python loop becomes three
+    vectorized differences.
+    """
+    x = np.asarray(latents, np.float64)
+    n = x.shape[0]
+    if n < 5:
+        raise ValueError("need at least 5 windows")
+    # corpus-wide mean pairwise distance without materializing O(n^2)
+    # when large: subsample pairs
+    if n <= 2000:
+        from scipy.spatial.distance import pdist
+        avg_total = float(np.mean(pdist(x)))
+    else:
+        rng = np.random.default_rng(0)
+        i = rng.integers(0, n, 200_000)
+        j = rng.integers(0, n, 200_000)
+        keep = i != j
+        avg_total = float(np.mean(np.linalg.norm(x[i[keep]] - x[j[keep]],
+                                                 axis=1)))
+
+    mid = slice(2, n - 2)
+    d1 = (np.linalg.norm(x[1:-3] - x[mid], axis=1) +
+          np.linalg.norm(x[3:-1] - x[mid], axis=1)) / 2
+    d2 = (np.linalg.norm(x[:-4] - x[mid], axis=1) +
+          np.linalg.norm(x[4:] - x[mid], axis=1)) / 2
+    return {
+        "avg_near": float(d1.mean()), "std_near": float(d1.std()),
+        "avg_far": float(d2.mean()), "std_far": float(d2.std()),
+        "avg_dist_total": avg_total,
+        "normal_avg_near": float(d1.mean() / avg_total),
+        "normal_avg_far": float(d2.mean() / avg_total),
+    }
+
+
 def _ngrams(seq: Sequence[int], n: int) -> Counter:
     return Counter(tuple(seq[i:i + n]) for i in range(len(seq) - n + 1))
 

@@ -14,12 +14,15 @@ Rebuild of the reference's generate_gestures pipeline
       discards it at :520 (`reconstructed_rnn = encoded.unsqueeze(1)`);
     "decode": the token's codebook vector re-inflates the decoder hidden
       and the Part-b GRU decoder rolls the chunk out - the generative
-      path exercised by inference_Autoencoder.py;
-  finally the frame latents go through the DAE decoder and are
-  unnormalized (ref :544-547, 786-789).
+      path exercised by inference_Autoencoder.py.
 
-The whole tokens->motion synthesis is jitted; the per-window Python loop
-only orchestrates word slicing.
+TPU-native structure: the reference dispatches one model call per token
+and per window from Python (ref :255-547). Here the whole generation is
+THREE device calls regardless of duration - one lax.scan over windows
+for token prediction (the cross-window seed carry lives in the scan
+carry), one lax.scan over chunks for the generative decode (previous
+chunk's last frame in the carry), and one batched DAE decode. Only
+exemplar retrieval (pure indexing) happens on host.
 """
 from __future__ import annotations
 
@@ -52,6 +55,11 @@ class GestureGenerator:
     mode: str = "exemplar"            # "exemplar" | "decode"
     latent_bank: Optional[Dict[str, np.ndarray]] = None
     seed: int = 0
+    # decode mode: True threads each chunk's last frame into the next
+    # chunk's seed (sequential scan); False decodes all chunks as one
+    # batch seeded with zeros, like the reference's per-chunk decoding
+    # (ref: inference_Autoencoder.py:124-231) - 60x more parallel.
+    chunk_continuity: bool = False
 
     def __post_init__(self):
         self.n_steps = self.sentence_frame_length // self.n_frames
@@ -62,47 +70,91 @@ class GestureGenerator:
             toks = self.latent_bank["tokens"]
             k = int(self.t2t_model.n_tokens)
             self._token_index = [np.where(toks == t)[0] for t in range(k)]
-            # tokens never produced on the corpus fall back to the
-            # nearest populated token's exemplars at lookup time
             self._populated = np.array(
                 [t for t in range(k) if len(self._token_index[t])])
 
         t2t, seq, dae = self.t2t_model, self.seq_model, self.dae_model
+        n_pre = t2t.n_pre_poses
+        n_steps = self.n_steps
 
         @jax.jit
-        def predict_tokens(word_ids, lengths, seed_tokens):
-            res = t2t.apply(self.t2t_variables, word_ids, lengths,
-                            seed_tokens, train=False)
-            return jnp.argmax(res["logits"], axis=-1)
+        def predict_tokens_all(word_ids, lengths, seed0):
+            """One scan over ALL windows; seed carry inside the scan.
+            word_ids (W, S), lengths (W,), seed0 (n_steps,)."""
+
+            def body(seed_tokens, inp):
+                ids, length = inp
+                res = t2t.apply(self.t2t_variables, ids[None],
+                                length[None], seed_tokens[None],
+                                train=False)
+                toks = jnp.argmax(res["logits"][0], axis=-1)
+                next_seed = jnp.zeros((n_steps,), jnp.int32) \
+                    .at[:n_pre].set(toks[-n_pre:])
+                return next_seed, toks
+
+            _, all_toks = jax.lax.scan(body, seed0, (word_ids, lengths))
+            return all_toks.reshape(-1)               # (W * n_steps,)
+
+        chunk_continuity = self.chunk_continuity
 
         @jax.jit
-        def decode_token_chunk(codevec, seed_frame):
-            """codevec (L*H,) -> chunk latents (n_frames, rep_dim)."""
+        def decode_tokens_all(tokens):
+            """tokens (N,) -> latents (N*n_frames, rep_dim).
+
+            Default: all chunks decode as ONE batch (19 sequential GRU
+            steps total instead of 19*N). chunk_continuity instead scans
+            chunks with the previous chunk's last frame as the seed."""
+            cb = self.seq_variables["params"]["vq_layer"]["codebook"]
             L, H = seq.n_layers, seq.hidden_size
-            hidden = codevec.reshape(1, L, H).transpose(1, 0, 2)
-            seed = jnp.tile(seed_frame[None, None, :],
-                            (1, seq.n_frames, 1))
-            out = seq.apply(self.seq_variables, hidden, seed, None,
-                            method=seq.decode)
-            return out[0]
+
+            if not chunk_continuity:
+                N = tokens.shape[0]
+                hidden = jnp.transpose(cb[tokens].reshape(N, L, H),
+                                       (1, 0, 2))
+                seed = jnp.zeros((N, seq.n_frames, seq.rep_dim))
+                out = seq.apply(self.seq_variables, hidden, seed, None,
+                                method=seq.decode)
+                return out.reshape(-1, seq.rep_dim)
+
+            def body(prev_last, tok):
+                codevec = cb[tok]
+                hidden = jnp.transpose(codevec.reshape(1, L, H), (1, 0, 2))
+                seed = jnp.tile(prev_last[None, None, :],
+                                (1, seq.n_frames, 1))
+                out = seq.apply(self.seq_variables, hidden, seed, None,
+                                method=seq.decode)[0]
+                return out[-1], out
+
+            _, chunks = jax.lax.scan(
+                body, jnp.zeros((seq.rep_dim,), jnp.float32), tokens)
+            return chunks.reshape(-1, seq.rep_dim)
 
         @jax.jit
         def dae_decode(latents):
             return dae.apply(self.dae_variables, latents,
                              method=dae.decode)
 
-        self._predict_tokens = predict_tokens
-        self._decode_token_chunk = decode_token_chunk
+        @jax.jit
+        def generate_decode_mode(word_ids, lengths, seed0):
+            """The whole decode-mode generation as ONE device program:
+            window token scan -> batched chunk decode -> DAE decode."""
+            tokens = predict_tokens_all(word_ids, lengths, seed0)
+            latents = decode_tokens_all(tokens)
+            return dae_decode(latents), tokens
+
+        self._predict_tokens_all = predict_tokens_all
+        self._decode_tokens_all = decode_tokens_all
         self._dae_decode = dae_decode
+        self._generate_decode_mode = generate_decode_mode
 
     # ------------------------------------------------------------------
     def _window_word_ids(self, words: List[List], t0: float, t1: float
-                         ) -> Tuple[np.ndarray, np.ndarray]:
+                         ) -> Tuple[np.ndarray, int]:
         inside = [w[0] for w in words if t0 <= (w[1] + w[2]) / 2 < t1]
         ids = self.vocab.words_to_ids(inside)[: self.max_words]
-        arr = np.zeros((1, self.max_words), np.int32)
-        arr[0, : len(ids)] = ids
-        return arr, np.array([max(len(ids), 1)], np.int32)
+        arr = np.zeros((self.max_words,), np.int32)
+        arr[: len(ids)] = ids
+        return arr, max(len(ids), 1)
 
     def _codebook(self) -> np.ndarray:
         return np.asarray(self.seq_variables["params"]["vq_layer"]
@@ -130,38 +182,24 @@ class GestureGenerator:
         unit = self.sentence_frame_length / self.fps   # ref :255-265
         n_windows = max(int(np.ceil(duration_s / unit)), 1)
 
-        all_tokens: List[np.ndarray] = []
-        seed_tokens = np.zeros((1, self.n_steps), np.int32)
+        word_ids = np.zeros((n_windows, self.max_words), np.int32)
+        lengths = np.zeros((n_windows,), np.int32)
         for w in range(n_windows):
-            t0, t1 = w * unit, (w + 1) * unit
-            ids, lengths = self._window_word_ids(words, t0, t1)
-            toks = np.asarray(self._predict_tokens(
-                jnp.asarray(ids), jnp.asarray(lengths),
-                jnp.asarray(seed_tokens)))[0]
-            all_tokens.append(toks)
-            # carry trailing predictions as the next teacher prefix
-            # (ref :369-374)
-            seed_tokens = np.zeros((1, self.n_steps), np.int32)
-            n_pre = self.t2t_model.n_pre_poses
-            seed_tokens[0, :n_pre] = toks[-n_pre:]
+            word_ids[w], lengths[w] = self._window_word_ids(
+                words, w * unit, (w + 1) * unit)
 
-        tokens = np.concatenate(all_tokens)
+        seed0 = jnp.zeros((self.n_steps,), jnp.int32)
+        if self.mode == "decode":
+            frames_j, tokens_j = self._generate_decode_mode(
+                jnp.asarray(word_ids), jnp.asarray(lengths), seed0)
+            frames = np.asarray(frames_j)
+            frames = unnormalize(frames, self.pose_mean, self.pose_std)
+            return frames, np.asarray(tokens_j)
 
-        # tokens -> chunk latents
-        chunks: List[np.ndarray] = []
-        if self.mode == "exemplar":
-            for t in tokens:
-                chunks.append(self._exemplar_latents(int(t)))
-        else:
-            cb = self._codebook()
-            prev_last = np.zeros((self.seq_model.rep_dim,), np.float32)
-            for t in tokens:
-                chunk = np.asarray(self._decode_token_chunk(
-                    jnp.asarray(cb[int(t)]), jnp.asarray(prev_last)))
-                prev_last = chunk[-1]
-                chunks.append(chunk)
-        latents = np.concatenate(chunks, axis=0)       # (T, rep_dim)
-
+        tokens = np.asarray(self._predict_tokens_all(
+            jnp.asarray(word_ids), jnp.asarray(lengths), seed0))
+        latents = np.concatenate(
+            [self._exemplar_latents(int(t)) for t in tokens], axis=0)
         frames = np.asarray(self._dae_decode(jnp.asarray(latents)))
         frames = unnormalize(frames, self.pose_mean, self.pose_std)
         return frames, tokens

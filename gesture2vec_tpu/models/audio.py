@@ -1,0 +1,89 @@
+"""Audio encoders for the audio-context Part-d variant.
+
+Rebuild of the reference audio stack (ref: scripts/model/Helper_models.py):
+  WavEncoderRaw       <- WavEncoder (:16-49), strided conv stack over raw
+                         16 kHz waveforms
+  WavEncoderSpectral  <- WavEncoder2 (:116-172), per-second mel-chunk
+                         conv encoder (spec_conv1d :52-85 + fc :88-113)
+  AudioContextEncoder <- EncoderRNN_With_Audio (:179-317) in its shipped
+                         Audio_Features=True branch (:235-244, 281-317):
+                         the GRU consumes ONLY the per-chunk audio
+                         features (the text path is dead in that branch).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gesture2vec_tpu.models.gru import BiGRU
+
+
+class WavEncoderRaw(nn.Module):
+    """Strided conv stack over raw waveforms (ref :16-49).
+    Input (B, S) samples -> (B, T', 200)."""
+
+    @nn.compact
+    def __call__(self, wav: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = wav[..., None]                       # (B, S, 1)
+        specs = [(16, 15, 5, 1600), (32, 15, 6, 0), (64, 15, 6, 0),
+                 (128, 20, 6, 0), (200, 15, 8, 0)]
+        for i, (ch, k, s, pad) in enumerate(specs):
+            x = nn.Conv(ch, kernel_size=(k,), strides=(s,),
+                        padding=[(pad, pad)], name=f"conv{i}")(x)
+            if i < 3:  # BN + LeakyReLU after the first three convs
+                x = nn.BatchNorm(use_running_average=not train,
+                                 name=f"bn{i}")(x)
+                x = nn.leaky_relu(x, negative_slope=0.3)
+        return x                                  # (B, T', 200)
+
+
+class WavEncoderSpectral(nn.Module):
+    """Mel-chunk encoder (ref :116-172): conv1d over frequency channels
+    [32,16,8], filters [1,3,3], strides [1,2,2], each ReLU+BN, then a
+    flatten + Linear(200) + BN + tanh head.
+    Input (B, n_mels=128, frames=32) -> (B, 200)."""
+
+    out_dim: int = 200
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = jnp.transpose(mel, (0, 2, 1))        # (B, time, freq-ch)
+        for i, (ch, k, s) in enumerate(((32, 1, 1), (16, 3, 2),
+                                        (8, 3, 2))):
+            x = nn.Conv(ch, kernel_size=(k,), strides=(s,),
+                        padding="VALID", name=f"conv{i}")(x)
+            x = nn.relu(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             name=f"bn{i}")(x)
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dense(self.out_dim, name="fc")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="fc_bn")(x)
+        return jnp.tanh(x)
+
+
+class AudioContextEncoder(nn.Module):
+    """Per-second mel chunks -> biGRU context (ref :235-244, 281-317).
+
+    Input (B, S, n_mels, frames) -> (outputs (S, B, H), hidden (2L, B, H))
+    with summed directions, mirroring the text encoder contract so the
+    Part-d decoder can consume either."""
+
+    hidden_size: int
+    n_layers: int = 2
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, mel_chunks: jnp.ndarray, train: bool = False
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, S = mel_chunks.shape[:2]
+        flat = mel_chunks.reshape((B * S,) + mel_chunks.shape[2:])
+        feats = WavEncoderSpectral(out_dim=self.hidden_size,
+                                   name="wav_encoder")(flat, train=train)
+        seq = feats.reshape(B, S, -1).transpose(1, 0, 2)   # (S, B, H)
+        outs, hidden = BiGRU(hidden_size=self.hidden_size,
+                             n_layers=self.n_layers, dropout=self.dropout,
+                             name="gru")(seq, train=train)
+        outs = outs[..., :self.hidden_size] + outs[..., self.hidden_size:]
+        return outs, hidden

@@ -150,14 +150,32 @@ def make_eval_step(config: Config, model):
 
 def train_dae(config: Config, train_frames: np.ndarray,
               val_frames: np.ndarray, save_dir: Optional[str] = None,
-              save_every: int = 10, log_every: int = 50
+              save_every: int = 10, log_every: int = 50,
+              resume_from: Optional[str] = None
               ) -> Tuple[DAETrainState, Dict[str, list]]:
-    """Full Part-a training loop (ref: train_DAE.py:119-371)."""
+    """Full Part-a training loop (ref: train_DAE.py:119-371).
+
+    resume_from: checkpoint path; restores params/batch_stats/vq_state
+    and continues from the stored epoch (optimizer state restarts, like
+    the reference's load_pretrained resume,
+    ref: train_autoencoder_VQVAE.py:164-178)."""
     seed = max(config.random_seed, 0)
     rng = jax.random.PRNGKey(seed)
     model = make_frame_model(config)
     optimizer = make_optimizer(config.learning_rate)
     state = init_state(config, model, rng, optimizer)
+    start_epoch = 0
+    if resume_from:
+        payload = checkpoints.load_checkpoint(resume_from)
+        state = state._replace(
+            params=payload["params"],
+            batch_stats=payload["extra"].get("batch_stats", {}),
+            vq_state=(VQEmaState(**payload["extra"]["vq_state"])
+                      if payload["extra"].get("vq_state") else
+                      state.vq_state))
+        start_epoch = int(payload["epoch"])
+        logging.info("resumed from %s at epoch %d", resume_from,
+                     start_epoch)
     train_step = make_train_step(config, model, optimizer)
     eval_step = make_eval_step(config, model)
 
@@ -166,7 +184,7 @@ def train_dae(config: Config, train_frames: np.ndarray,
     history: Dict[str, list] = {"train_loss": [], "val_loss": []}
     meter = AverageMeter("loss", ":.4f")
 
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         perm = np.random.default_rng(seed + epoch).permutation(n)
         meter.reset()
         t0 = time.time()

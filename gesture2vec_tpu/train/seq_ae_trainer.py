@@ -112,6 +112,70 @@ def make_train_step(config: Config, model: SeqVQAutoencoder,
     return jax.jit(step, donate_argnums=0)
 
 
+def make_ssl_train_step(config: Config, model: SeqVQAutoencoder,
+                        optimizer: optax.GradientTransformation,
+                        total_epochs: int):
+    """Semi-supervised Part-b step with the pairwise similarity loss
+    (ref: train_eval/train_seq2seq.py:311-412
+    train_iter_Autoencoder_ssl_seq2seq): cosine similarity between the
+    sequence latents of labeled window pairs, sign-flipped for
+    similar-labeled pairs.
+
+    Repaired on purpose: the reference sums `loss_label_weight +
+    loss_unlabeled` - adding the scalar WEIGHT, so its labeled loss is a
+    no-op (ref :396). Here the labeled term actually contributes:
+    loss = unlabeled + loss_label_weight * mean(+-cos).
+    """
+
+    def latents_of(params, batch_stats, windows, rngs):
+        _, hidden = model.apply(
+            {"params": params, "batch_stats": batch_stats}, windows,
+            method=model.encode, rngs=rngs)
+        L, B, H = hidden.shape
+        return jnp.transpose(hidden, (1, 0, 2)).reshape(B, L * H)
+
+    def step(state: SeqAETrainState, batch: jnp.ndarray,
+             pair_a: jnp.ndarray, pair_b: jnp.ndarray,
+             pair_label: jnp.ndarray, rng: jax.Array, epoch: jnp.ndarray):
+        rngs = {"dropout": rng, "reparam": jax.random.fold_in(rng, 7)}
+
+        def loss_fn(params):
+            res, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, batch, train=True, rngs=rngs,
+                mutable=["batch_stats"])
+            rec = custom_loss(res["outputs"], batch,
+                              l1_weight=config.loss_l1_weight,
+                              cont_weight=config.loss_cont_weight,
+                              var_weight=config.loss_var_weight)
+            la = latents_of(params, state.batch_stats, pair_a, rngs)
+            lb = latents_of(params, state.batch_stats, pair_b, rngs)
+            cos = jnp.sum(la * lb, axis=-1) / (
+                jnp.linalg.norm(la, axis=-1) *
+                jnp.linalg.norm(lb, axis=-1) + 1e-8)
+            # similar pairs (label 1): maximize cos; dissimilar: minimize
+            signed = jnp.where(pair_label > 0.5, -cos, cos)
+            sim_loss = jnp.mean(signed)
+            loss = rec + config.loss_label_weight * sim_loss
+            if model.use_vq:
+                loss = loss + res["vq"].loss / 400.0
+            return loss, {"rec": rec, "sim": sim_loss,
+                          "batch_stats": mut["batch_stats"]}
+
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = SeqAETrainState(params=new_params, opt_state=new_opt,
+                                    batch_stats=aux["batch_stats"],
+                                    step=state.step + 1)
+        return new_state, {"loss": loss, "rec": aux["rec"],
+                           "sim": aux["sim"]}
+
+    return jax.jit(step, donate_argnums=0)
+
+
 def make_eval_step(config: Config, model: SeqVQAutoencoder):
     def step(state: SeqAETrainState, batch: jnp.ndarray, rng: jax.Array):
         res = model.apply(
@@ -128,15 +192,27 @@ def make_eval_step(config: Config, model: SeqVQAutoencoder):
 def train_seq_ae(config: Config, train_windows: np.ndarray,
                  val_windows: np.ndarray, save_dir: Optional[str] = None,
                  save_every: int = 20, log_every: int = 50,
-                 parity: bool = False
+                 parity: bool = False,
+                 resume_from: Optional[str] = None
                  ) -> Tuple[SeqAETrainState, Dict[str, list]]:
     """Full Part-b loop (ref: train_autoencoder_VQVAE.py:108-445).
-    train_windows: (N, n_poses, rep_dim) frozen-DAE latents."""
+    train_windows: (N, n_poses, rep_dim) frozen-DAE latents.
+    resume_from restores params/batch_stats and continues from the
+    stored epoch (ref: train_autoencoder_VQVAE.py:164-178)."""
     seed = max(config.random_seed, 0)
     rng = jax.random.PRNGKey(seed)
     model = make_seq_ae(config, parity=parity)
     optimizer = make_optimizer(config.learning_rate)
     state = init_state(config, model, rng, optimizer)
+    start_epoch = 0
+    if resume_from:
+        payload = checkpoints.load_checkpoint(resume_from)
+        state = state._replace(
+            params=payload["params"],
+            batch_stats=payload["extra"].get("batch_stats", {}))
+        start_epoch = int(payload["epoch"])
+        logging.info("resumed from %s at epoch %d", resume_from,
+                     start_epoch)
     train_step = make_train_step(config, model, optimizer, config.epochs)
     eval_step = make_eval_step(config, model)
 
@@ -146,7 +222,7 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
     meter = AverageMeter("loss", ":.4f")
     perp_m = AverageMeter("perplexity", ":.1f")
 
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         perm = np.random.default_rng(seed + epoch).permutation(n)
         meter.reset()
         perp_m.reset()

@@ -1,0 +1,129 @@
+"""Audio encoders, SSL similarity step, reconstruction paths, profiling."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gesture2vec_tpu.data.similarity import read_gesture_labels, sample_pairs
+from gesture2vec_tpu.infer.reconstruct import (chunked_reconstruct,
+                                               dae_roundtrip)
+from gesture2vec_tpu.io.audio import mel_spectrogram
+from gesture2vec_tpu.models.audio import (AudioContextEncoder,
+                                          WavEncoderRaw,
+                                          WavEncoderSpectral)
+from gesture2vec_tpu.train.config import load_config
+from gesture2vec_tpu.train.dae_trainer import make_frame_model, init_state
+from gesture2vec_tpu.train.optim import make_optimizer
+from gesture2vec_tpu.train.seq_ae_trainer import (init_state as sq_init,
+                                                  make_seq_ae,
+                                                  make_ssl_train_step)
+from gesture2vec_tpu.utils.profiling import StageTimer
+
+
+def test_mel_spectrogram_shape(rng):
+    wav = rng.normal(size=(16000 * 2,)).astype(np.float32)
+    mel = mel_spectrogram(wav)
+    assert mel.shape[0] == 80
+    assert mel.shape[1] >= 16000 * 2 // 655
+    assert np.isfinite(mel).all()
+
+
+def test_wav_encoders(rng):
+    raw = jnp.asarray(rng.normal(size=(2, 16000)).astype(np.float32))
+    m = WavEncoderRaw()
+    v = m.init(jax.random.PRNGKey(0), raw)
+    out = m.apply(v, raw)
+    assert out.shape[0] == 2 and out.shape[-1] == 200
+
+    mel = jnp.asarray(rng.normal(size=(3, 128, 32)).astype(np.float32))
+    m2 = WavEncoderSpectral()
+    v2 = m2.init(jax.random.PRNGKey(0), mel)
+    out2 = m2.apply(v2, mel)
+    assert out2.shape == (3, 200)
+    assert np.abs(np.asarray(out2)).max() <= 1.0  # tanh head
+
+
+def test_audio_context_encoder(rng):
+    chunks = jnp.asarray(rng.normal(size=(2, 6, 128, 32)).astype(np.float32))
+    m = AudioContextEncoder(hidden_size=32, n_layers=2)
+    v = m.init(jax.random.PRNGKey(0), chunks)
+    outs, hidden = m.apply(v, chunks)
+    assert outs.shape == (6, 2, 32)
+    assert hidden.shape == (4, 2, 32)
+
+
+def test_similarity_labels(tmp_path):
+    p = tmp_path / "labels.txt"
+    p.write_text("payam,10,20,30,right,1.0\n"
+                 "payam,11,21,31,left,1.0\n"
+                 "payam,12,22,32,neither,1.0\n")
+    pairs = read_gesture_labels(str(p))
+    assert (30, 20, 1) in pairs
+    assert (11, 21, 1) in pairs
+    assert (32, 22, 0) in pairs and (12, 22, 0) in pairs
+    a, b, l = sample_pairs(pairs, 3, np.random.default_rng(0), 100)
+    assert a.shape == (3,) and set(l) <= {0.0, 1.0}
+
+
+def test_ssl_train_step(rng):
+    cfg = load_config(dict(name="ssl", model="seq2seq", hidden_size=16,
+                           n_layers=2, dropout_prob=0.1, epochs=1,
+                           batch_size=8, learning_rate=1e-3,
+                           rep_learning_dim=12, n_poses=8, n_pre_poses=1,
+                           autoencoder_vq=True,
+                           autoencoder_vq_components=8,
+                           loss_label_weight=5.5, random_seed=0,
+                           loss_l1_weight=5, loss_cont_weight=0.1,
+                           loss_var_weight=0.5))
+    model = make_seq_ae(cfg)
+    opt = make_optimizer(cfg.learning_rate)
+    state = sq_init(cfg, model, jax.random.PRNGKey(0), opt)
+    step = make_ssl_train_step(cfg, model, opt, 1)
+    w = rng.normal(size=(8, 8, 12)).astype(np.float32)
+    pa = rng.normal(size=(4, 8, 12)).astype(np.float32)
+    pb = rng.normal(size=(4, 8, 12)).astype(np.float32)
+    lbl = np.array([1, 0, 1, 0], np.float32)
+    state, metrics = step(state, jnp.asarray(w), jnp.asarray(pa),
+                          jnp.asarray(pb), jnp.asarray(lbl),
+                          jax.random.PRNGKey(1), jnp.asarray(0.0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["sim"]))
+
+
+def test_reconstruction_paths(rng):
+    dae_cfg = load_config(dict(name="d", model="DAE", hidden_size=12,
+                               epochs=1, batch_size=8, learning_rate=1e-3,
+                               input_motion_dim=30, random_seed=0))
+    dae = make_frame_model(dae_cfg)
+    opt = make_optimizer(1e-3)
+    dst = init_state(dae_cfg, dae, jax.random.PRNGKey(0), opt)
+    dae_vars = {"params": dst.params}
+
+    frames = rng.normal(size=(45, 30)).astype(np.float32)
+    recon, lat = dae_roundtrip(dae, dae_vars, frames)
+    assert recon.shape == frames.shape and lat.shape == (45, 12)
+
+    sq_cfg = load_config(dict(name="s", model="seq2seq", hidden_size=16,
+                              n_layers=2, dropout_prob=0.1, epochs=1,
+                              batch_size=8, learning_rate=1e-3,
+                              rep_learning_dim=12, n_poses=10,
+                              n_pre_poses=1, autoencoder_vq=True,
+                              autoencoder_vq_components=8, random_seed=0))
+    seq = make_seq_ae(sq_cfg)
+    sst = sq_init(sq_cfg, seq, jax.random.PRNGKey(1),
+                  make_optimizer(1e-3))
+    seq_vars = {"params": sst.params, "batch_stats": sst.batch_stats}
+
+    out = chunked_reconstruct(seq, seq_vars, dae, dae_vars, frames,
+                              n_poses=10, overlap=5)
+    assert out.shape == frames.shape
+    assert np.isfinite(out).all()
+
+
+def test_stage_timer():
+    t = StageTimer(sync=False)
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a:" in t.report()

@@ -1,0 +1,76 @@
+"""Plots, codebook decode, and cluster sample export."""
+import os
+
+import numpy as np
+import pytest
+
+from gesture2vec_tpu.cluster.plots import (plot_attention,
+                                           plot_codebook_tsne,
+                                           plot_latent_space)
+
+
+def test_plots(tmp_path, rng):
+    cb = rng.normal(size=(40, 16)).astype(np.float32)
+    p1 = str(tmp_path / "cb.png")
+    plot_codebook_tsne(cb, p1, usage=rng.integers(0, 50, 40))
+    assert os.path.getsize(p1) > 1000
+
+    p2 = str(tmp_path / "lat.png")
+    plot_latent_space(rng.normal(size=(100, 8)), p2,
+                      labels=rng.integers(0, 5, 100))
+    assert os.path.getsize(p2) > 1000
+
+    p3 = str(tmp_path / "attn.png")
+    plot_attention(rng.uniform(size=(6, 12)), p3,
+                   words=[f"w{i}" for i in range(12)])
+    assert os.path.getsize(p3) > 1000
+
+
+def test_decode_codebook_and_export(tmp_path, rng):
+    import jax
+
+    from gesture2vec_tpu.cluster.latent_dataset import (decode_codebook,
+                                                        export_cluster_samples)
+    from gesture2vec_tpu.train.config import load_config
+    from gesture2vec_tpu.train.dae_trainer import (init_state as dae_init,
+                                                   make_frame_model)
+    from gesture2vec_tpu.train.optim import make_optimizer
+    from gesture2vec_tpu.train.seq_ae_trainer import (init_state as sq_init,
+                                                      make_seq_ae)
+    from gesture2vec_tpu.mocap.features import FeatureExtractor
+    from gesture2vec_tpu.io.bvh import parse_bvh
+    from tests.fixtures import make_synthetic_bvh
+
+    opt = make_optimizer(1e-3)
+    dae_cfg = load_config(dict(name="d", model="DAE", hidden_size=12,
+                               epochs=1, batch_size=8,
+                               input_motion_dim=135, random_seed=0))
+    dae = make_frame_model(dae_cfg)
+    dae_vars = {"params": dae_init(dae_cfg, dae, jax.random.PRNGKey(0),
+                                   opt).params}
+    sq_cfg = load_config(dict(name="s", model="seq2seq", hidden_size=16,
+                              n_layers=2, dropout_prob=0.1, epochs=1,
+                              batch_size=8, rep_learning_dim=12,
+                              n_poses=10, n_pre_poses=1,
+                              autoencoder_vq=True,
+                              autoencoder_vq_components=8, random_seed=0))
+    seq = make_seq_ae(sq_cfg)
+    sst = sq_init(sq_cfg, seq, jax.random.PRNGKey(1), opt)
+    seq_vars = {"params": sst.params, "batch_stats": sst.batch_stats}
+
+    motions = decode_codebook(seq, seq_vars, dae, dae_vars)
+    assert motions.shape == (8, 10, 135)
+    assert np.isfinite(motions).all()
+
+    # export: use a fitted trinity extractor + fake latent dataset
+    fe = FeatureExtractor()
+    fe.process(parse_bvh(make_synthetic_bvh(n_frames=120), from_text=True))
+    data = {"tokens": np.array([0, 0, 1, 2, 0]),
+            "dae_latents": rng.normal(size=(5, 10, 12)).astype(np.float32)}
+    n = export_cluster_samples(data, str(tmp_path / "clusters"), fe,
+                               np.zeros(135, np.float32),
+                               np.ones(135, np.float32), dae, dae_vars,
+                               max_per_token=2)
+    assert n == 4  # 2 of token 0, 1 of token 1, 1 of token 2
+    assert os.path.exists(str(tmp_path / "clusters" / "0" /
+                              "sample_1.bvh"))
