@@ -23,13 +23,13 @@ SENT_LEN = 120
 FPS = 20
 HID, L, K, REP, DIM = 200, 2, 512, 40, 135
 N_WORDS, MAXW = 5000, 48
-DURATION_S = 60.0
+DURATION_S = 300.0   # 5-minute transcript: 3000 output frames/run
 WARMUP, ITERS = 2, 5
 
 
 def _words():
     rng = np.random.default_rng(0)
-    n = 150
+    n = int(2.5 * DURATION_S)  # ~150 words/min speaking rate
     starts = np.linspace(0.1, DURATION_S - 0.5, n)
     return [[f"word{rng.integers(200)}", float(s), float(s + 0.3)]
             for s in starts]

@@ -25,6 +25,19 @@ def main() -> None:
     parser.add_argument("--kmeans", type=int, default=0,
                         help="fit K-Means with this many clusters "
                              "(ref uses 300)")
+    parser.add_argument("--algo", default="kmeans",
+                        choices=["kmeans", "mapdp", "dbscan",
+                                 "agglomerative"],
+                        help="clustering algorithm for --kmeans > 0 "
+                             "(the reference alternates these behind "
+                             "flags, ref: Clustering.py:729-755)")
+    parser.add_argument("--plots", action="store_true",
+                        help="write codebook/latent t-SNE plots")
+    parser.add_argument("--export-samples", type=int, default=0,
+                        help="write up to N BVH samples per token "
+                             "(ref: save_clustered_fast.py)")
+    parser.add_argument("--pipeline", default=None,
+                        help="fitted data_pipe.json (for BVH exports)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -73,12 +86,53 @@ def main() -> None:
                  token_perplexity(data["tokens"], k), k)
 
     if args.kmeans > 0:
-        import jax
-        res = kmeans_fit(data["seq_latents"], args.kmeans,
-                         key=jax.random.PRNGKey(0))
-        save_kmeans(os.path.join(out, "kmeans_model.npz"), res)
-        logging.info("kmeans(%d) inertia %.2f", args.kmeans,
-                     float(res.inertia))
+        if args.algo == "kmeans":
+            import jax
+            res = kmeans_fit(data["seq_latents"], args.kmeans,
+                             key=jax.random.PRNGKey(0))
+            save_kmeans(os.path.join(out, "kmeans_model.npz"), res)
+            logging.info("kmeans(%d) inertia %.2f", args.kmeans,
+                         float(res.inertia))
+        elif args.algo == "mapdp":
+            from gesture2vec_tpu.cluster.mapdp import mapdp_nw
+            res = mapdp_nw(data["seq_latents"])
+            np.save(os.path.join(out, "mapdp_labels.npy"), res.labels)
+            logging.info("mapdp found %d clusters", res.k)
+        else:
+            from sklearn.cluster import DBSCAN, AgglomerativeClustering
+            if args.algo == "dbscan":
+                labels = DBSCAN().fit_predict(data["seq_latents"])
+            else:
+                labels = AgglomerativeClustering(
+                    n_clusters=args.kmeans).fit_predict(
+                    data["seq_latents"])
+            np.save(os.path.join(out, f"{args.algo}_labels.npy"), labels)
+            logging.info("%s produced %d labels", args.algo,
+                         len(np.unique(labels)))
+
+    if args.plots:
+        from gesture2vec_tpu.cluster.plots import (plot_codebook_tsne,
+                                                   plot_latent_space)
+        cb = np.asarray(seq_vars["params"]["vq_layer"]["codebook"])
+        usage = np.bincount(data["tokens"], minlength=cb.shape[0])
+        plot_codebook_tsne(cb, os.path.join(out, "codebook_tsne.png"),
+                           usage=usage)
+        sub = data["seq_latents"][:2000]
+        plot_latent_space(sub, os.path.join(out, "latents_tsne.png"),
+                          labels=data["tokens"][:2000])
+        logging.info("plots written to %s", out)
+
+    if args.export_samples > 0:
+        assert args.pipeline, "--pipeline required for --export-samples"
+        from gesture2vec_tpu.cluster.latent_dataset import \
+            export_cluster_samples
+        from gesture2vec_tpu.mocap.features import FeatureExtractor
+        fe = FeatureExtractor.load(args.pipeline)
+        n = export_cluster_samples(
+            data, os.path.join(out, "samples"), fe, store.pose_mean,
+            store.pose_std, dae_model, dae_vars,
+            max_per_token=args.export_samples)
+        logging.info("wrote %d cluster sample BVHs", n)
 
     if args.val_store:
         val = build_latent_dataset(ClipStore(args.val_store),

@@ -1,0 +1,79 @@
+"""CLI: autoencoder round-trip reconstruction of a BVH file.
+
+Replaces `python inference_DAE.py <ckpt>` (Part-a round trip,
+ref: scripts/inference_DAE.py:416-681) and
+`python inference_Autoencoder.py <DAE.ckpt> <ckpt>` (Part a+b chunked
+round trip, ref: scripts/inference_Autoencoder.py:124-231).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("rep_checkpoint", help="Part-a checkpoint")
+    parser.add_argument("bvh", help="input BVH file")
+    parser.add_argument("--autoencoder-checkpoint", default=None,
+                        help="Part-b checkpoint (enables the chunked "
+                             "a+b round trip)")
+    parser.add_argument("--store", required=True,
+                        help="train store (mean/std)")
+    parser.add_argument("--pipeline", required=True,
+                        help="fitted data_pipe.json")
+    parser.add_argument("--out", default="reconstructed.bvh")
+    parser.add_argument("--overlap", type=int, default=0,
+                        help="chunk overlap frames (cross-fade blended)")
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    from gesture2vec_tpu.data.datasets import normalize, unnormalize
+    from gesture2vec_tpu.data.store import ClipStore
+    from gesture2vec_tpu.infer.exporter import frames_to_bvh
+    from gesture2vec_tpu.infer.reconstruct import (chunked_reconstruct,
+                                                   dae_roundtrip)
+    from gesture2vec_tpu.io.bvh import parse_bvh
+    from gesture2vec_tpu.mocap.features import FeatureExtractor
+    from gesture2vec_tpu.train import checkpoints
+
+    logging.basicConfig(level=logging.INFO)
+    store = ClipStore(args.store)
+    fe = FeatureExtractor.load(args.pipeline)
+    feats, _ = FeatureExtractor(fe.pipeline).process(parse_bvh(args.bvh))
+    frames = normalize(feats.astype(np.float32), store.pose_mean,
+                       store.pose_std)
+
+    dae_model, dae_vars, _ = checkpoints.load_checkpoint_and_model(
+        args.rep_checkpoint, "DAE")
+
+    if args.autoencoder_checkpoint:
+        seq_model, seq_vars, seq_payload = \
+            checkpoints.load_checkpoint_and_model(
+                args.autoencoder_checkpoint, "autoencoder_vq")
+        recon = chunked_reconstruct(seq_model, seq_vars, dae_model,
+                                    dae_vars, frames,
+                                    seq_payload["config"].n_poses,
+                                    overlap=args.overlap)
+        logging.info("part a+b chunked round trip (%d frames)",
+                     recon.shape[0])
+    else:
+        recon, _ = dae_roundtrip(dae_model, dae_vars, frames)
+        logging.info("part a round trip (%d frames)", recon.shape[0])
+
+    err = float(np.mean((recon - frames) ** 2))
+    logging.info("reconstruction MSE (normalized space): %.5f", err)
+    out_frames = unnormalize(recon, store.pose_mean, store.pose_std)
+    frames_to_bvh(out_frames, fe, path=args.out)
+    print(f"wrote {args.out} (MSE {err:.5f})")
+
+
+if __name__ == "__main__":
+    main()

@@ -79,20 +79,26 @@ class GestureGenerator:
 
         @jax.jit
         def predict_tokens_all(word_ids, lengths, seed0):
-            """One scan over ALL windows; seed carry inside the scan.
+            """Text encoding of ALL windows in one batched call, then a
+            scan over windows for the seed-carried token decode.
             word_ids (W, S), lengths (W,), seed0 (n_steps,)."""
+            enc_outs, dec_hidden = t2t.apply(
+                self.t2t_variables, word_ids, lengths,
+                method=t2t.encode_text)   # (S, W, H), (L, W, H)
 
-            def body(seed_tokens, inp):
-                ids, length = inp
-                res = t2t.apply(self.t2t_variables, ids[None],
-                                length[None], seed_tokens[None],
-                                train=False)
+            def body(seed_tokens, w):
+                eo = jax.lax.dynamic_slice_in_dim(enc_outs, w, 1, axis=1)
+                dh = jax.lax.dynamic_slice_in_dim(dec_hidden, w, 1, axis=1)
+                res = t2t.apply(self.t2t_variables, eo, dh,
+                                seed_tokens[None], train=False,
+                                method=t2t.decode_tokens)
                 toks = jnp.argmax(res["logits"][0], axis=-1)
                 next_seed = jnp.zeros((n_steps,), jnp.int32) \
                     .at[:n_pre].set(toks[-n_pre:])
                 return next_seed, toks
 
-            _, all_toks = jax.lax.scan(body, seed0, (word_ids, lengths))
+            _, all_toks = jax.lax.scan(body, seed0,
+                                       jnp.arange(word_ids.shape[0]))
             return all_toks.reshape(-1)               # (W * n_steps,)
 
         chunk_continuity = self.chunk_continuity

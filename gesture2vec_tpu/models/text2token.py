@@ -138,6 +138,21 @@ class Text2Token(nn.Module):
             n_layers=self.n_layers, dropout_p=self.dropout,
             use_attention=self.use_attention)
 
+    def encode_text(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
+                    train: bool = False
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, S) word ids -> (encoder outputs (S, B, H),
+        decoder-initial hidden (L, B, H)). Exposed separately so
+        inference can batch-encode many windows in one call."""
+        enc_outs, enc_hidden = self.encoder(tokens, lengths, train=train)
+        return enc_outs, enc_hidden[: self.n_layers]
+
+    def decode_tokens(self, enc_outs: jnp.ndarray, dec_hidden: jnp.ndarray,
+                      target_tokens: jnp.ndarray, train: bool = False
+                      ) -> Dict[str, Any]:
+        """The autoregressive token decode given a text encoding."""
+        return self._decode(enc_outs, dec_hidden, target_tokens, train)
+
     def __call__(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
                  target_tokens: jnp.ndarray, train: bool = False
                  ) -> Dict[str, Any]:
@@ -145,8 +160,12 @@ class Text2Token(nn.Module):
         gesture-token ids (teacher signal). Returns logits
         (B, n_steps, n_tokens) where step 0 is the one-hot of the seed
         token (ref :643-649,677), and the per-step attention matrix."""
-        enc_outs, enc_hidden = self.encoder(tokens, lengths, train=train)
-        dec_hidden = enc_hidden[: self.n_layers]   # ref :667-669
+        enc_outs, dec_hidden = self.encode_text(tokens, lengths,
+                                                train=train)
+        return self._decode(enc_outs, dec_hidden, target_tokens, train)
+
+    def _decode(self, enc_outs: jnp.ndarray, dec_hidden: jnp.ndarray,
+                target_tokens: jnp.ndarray, train: bool) -> Dict[str, Any]:
 
         seed = target_tokens[:, 0]
         onehot0 = jax.nn.one_hot(seed, self.n_tokens)
