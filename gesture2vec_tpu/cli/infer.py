@@ -26,6 +26,11 @@ def main() -> None:
                         help="fitted data_pipe.json for BVH export")
     parser.add_argument("--mode", choices=["exemplar", "decode"],
                         default="exemplar")
+    parser.add_argument("--dataset", choices=["trinity", "twh"],
+                        default="trinity",
+                        help="skeleton/export variant (ref: "
+                             "inference_text2embedding.py DATASET_Type)")
+    parser.add_argument("--twh-variant", default="test1")
     parser.add_argument("--out", default="generated.bvh")
     parser.add_argument("--duration", type=float, default=None,
                         help="seconds (default: last word end time)")
@@ -87,8 +92,14 @@ def main() -> None:
                  "(%.0f frames/s)", frames.shape[0], len(tokens), dt,
                  frames.shape[0] / dt)
 
-    fe = FeatureExtractor.load(args.pipeline)
-    frames_to_bvh(frames, fe, path=args.out)
+    if args.dataset == "twh":
+        from gesture2vec_tpu.infer.exporter import frames_to_bvh_twh
+        from gesture2vec_tpu.mocap.features import TWHFeatureExtractor
+        fe = TWHFeatureExtractor.load(args.pipeline, args.twh_variant)
+        frames_to_bvh_twh(frames, fe, path=args.out)
+    else:
+        fe = FeatureExtractor.load(args.pipeline)
+        frames_to_bvh(frames, fe, path=args.out)
     print(f"wrote {args.out}")
 
 

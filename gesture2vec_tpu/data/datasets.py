@@ -50,15 +50,16 @@ def pose_windows(store: ClipStore, n_poses: int, stride: int,
     """(N, n_poses, D) sliding windows over every clip - the Part-b
     sample layout (ref: data_preprocessor.py:159-247 windows clips at
     subdivision_stride)."""
+    from gesture2vec_tpu.utils.native import extract_windows
+
     mean = store.pose_mean if mean is None else mean
     std = store.pose_std if std is None else std
     wins: List[np.ndarray] = []
     for clip in store:
-        p = clip["poses"]
-        n = (p.shape[0] - n_poses) // stride + 1
-        for k in range(max(n, 0)):
-            wins.append(p[k * stride: k * stride + n_poses])
-    out = np.stack(wins, axis=0).astype(np.float32)
+        w = extract_windows(clip["poses"], n_poses, stride)
+        if w.shape[0]:
+            wins.append(w)
+    out = np.concatenate(wins, axis=0).astype(np.float32)
     if mean is not None and std is not None:
         out = normalize(out, mean, std)
     return out

@@ -30,3 +30,17 @@ def frames_to_bvh(frames: np.ndarray, extractor: FeatureExtractor,
         return bvh
     write_bvh(bvh, path)
     return None
+
+
+def frames_to_bvh_twh(frames: np.ndarray, extractor,
+                      path: Optional[str] = None, smooth: bool = True
+                      ) -> "BVHData | str | None":
+    """TWH/GENEA export (ref: scripts/inference_DAE.py:534-577
+    make_bvh_TWH): savgol on the features, then the TWH extractor's own
+    variant-aware inverse (see mocap/features.TWHFeatureExtractor)."""
+    feats = savgol(frames) if smooth else frames
+    bvh = extractor.to_bvh(feats)
+    if path is None:
+        return bvh
+    write_bvh(bvh, path)
+    return None

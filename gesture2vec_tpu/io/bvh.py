@@ -189,7 +189,14 @@ def parse_bvh(path_or_text: str, from_text: bool = False,
     if n_frames is None or frame_time is None:
         raise ValueError("BVH parse error: malformed MOTION header")
 
-    flat = np.array(" ".join(lines[data_start:]).split(), dtype=dtype)
+    motion_text = "\n".join(lines[data_start:])
+    if dtype == np.float64:
+        # native float decoder when available (utils/native.py),
+        # transparent numpy fallback otherwise
+        from gesture2vec_tpu.utils.native import parse_floats
+        flat = parse_floats(motion_text, n_frames * len(channel_names))
+    else:
+        flat = np.array(motion_text.split(), dtype=dtype)
     n_ch = len(channel_names)
     if flat.size < n_frames * n_ch:
         n_frames = flat.size // n_ch  # tolerate truncated files

@@ -71,6 +71,11 @@ def euler_to_features(euler_blocks: np.ndarray,
     lead = euler_blocks.shape[:-1]
     n_j = euler_blocks.shape[-1] // 3
     e = euler_blocks.reshape(*lead, n_j, 3)
+    if all(o == "ZXY" for o in orders):
+        # native fast path for the (ubiquitous) all-ZXY skeleton
+        from gesture2vec_tpu.utils.native import euler_zxy_to_rotmat
+        flat = euler_zxy_to_rotmat(e.reshape(-1, 3))
+        return flat.reshape(*lead, n_j * 9)
     mats = []
     for j, order in enumerate(orders):
         mats.append(np.asarray(rot.euler_to_matrix(e[..., j, :], order)))

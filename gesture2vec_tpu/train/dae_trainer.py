@@ -184,13 +184,17 @@ def train_dae(config: Config, train_frames: np.ndarray,
     history: Dict[str, list] = {"train_loss": [], "val_loss": []}
     meter = AverageMeter("loss", ":.4f")
 
+    from gesture2vec_tpu.utils.prefetch import prefetch
+
     for epoch in range(start_epoch, config.epochs):
         perm = np.random.default_rng(seed + epoch).permutation(n)
         meter.reset()
         t0 = time.time()
         n_batches = n // bs
-        for b in range(n_batches):
-            batch = jnp.asarray(train_frames[perm[b * bs:(b + 1) * bs]])
+        batches = prefetch(
+            (train_frames[perm[b * bs:(b + 1) * bs]]
+             for b in range(n_batches)))
+        for b, batch in enumerate(batches):
             rng, step_rng = jax.random.split(rng)
             state, metrics = train_step(state, batch, step_rng)
             meter.update(float(metrics["loss"]), bs)

@@ -227,8 +227,11 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
         meter.reset()
         perp_m.reset()
         t0 = time.time()
-        for b in range(n // bs):
-            batch = jnp.asarray(train_windows[perm[b * bs:(b + 1) * bs]])
+        from gesture2vec_tpu.utils.prefetch import prefetch
+        batches = prefetch(
+            (train_windows[perm[b * bs:(b + 1) * bs]]
+             for b in range(n // bs)))
+        for b, batch in enumerate(batches):
             rng, srng = jax.random.split(rng)
             state, metrics = train_step(state, batch, srng,
                                         jnp.asarray(epoch, jnp.float32))
