@@ -1,0 +1,152 @@
+"""Import reference PyTorch checkpoints into gesture2vec_tpu params.
+
+The reference saves torch state dicts inside
+{args, epoch, lang_model, pose_dim, gen_dict} payloads
+(ref: scripts/utils/train_utils.py:98-113). This module maps the
+reference modules' parameter names onto our flax trees so a user can
+bring trained reference checkpoints across and get bit-comparable
+behavior (BASELINE.md: >= 99% VQ token agreement).
+
+Name maps follow the reference model definitions:
+  DAE_Network            ref: scripts/model/DAE_model.py:22-114
+  Autoencoder_VQVAE      ref: scripts/model/Autoencoder_VQVAE_model.py:686
+    (encoder EncoderRNN :30, decoder Generator->BahdanauAttnDecoderRNN
+     :401, vq VQ_Payam_GSSoft :1304)
+  text2embedding_model   ref: scripts/model/text2embedding_model.py:488
+    (GRU text-encoder path :46; the TCN path cannot produce runnable
+     checkpoints - see models/tcn.py)
+
+Torch Linear stores (out, in) weights; flax Dense stores (in, out)
+kernels - transposed on the way in. GRU weights keep torch layout
+because models/gru.py consumes torch-shaped (3H, in) matrices directly.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _t(w) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _gru_params(sd: Dict[str, Any], prefix: str, n_layers: int,
+                bidirectional: bool) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    sufs = ["", "_reverse"] if bidirectional else [""]
+    for layer in range(n_layers):
+        for suf in sufs:
+            for ours, theirs in (("w_ih", "weight_ih"), ("w_hh", "weight_hh"),
+                                 ("b_ih", "bias_ih"), ("b_hh", "bias_hh")):
+                key = f"{prefix}.{theirs}_l{layer}{suf}"
+                out[f"l{layer}_{ours}{suf}"] = np.asarray(sd[key])
+    return out
+
+
+def _dense(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"kernel": _t(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _batchnorm(sd: Dict[str, Any], prefix: str
+               ) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+    params = {"scale": np.asarray(sd[f"{prefix}.weight"]),
+              "bias": np.asarray(sd[f"{prefix}.bias"])}
+    stats = {"mean": np.asarray(sd[f"{prefix}.running_mean"]),
+             "var": np.asarray(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def convert_dae_state(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """DAE_Network state dict -> flax params
+    (ref key names: encoder.0.*, decoder.0.*)."""
+    return {"encoder": _dense(sd, "encoder.0"),
+            "decoder": _dense(sd, "decoder.0")}
+
+
+def convert_seq_ae_state(sd: Dict[str, Any], n_layers: int = 2
+                         ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Autoencoder_VQVAE state dict -> (params, batch_stats).
+
+    Reference key names: encoder.in_layer.*, encoder.gru.*,
+    vq_layer.{mean_layer,logvar_layer,_embedding}.*,
+    decoder.decoder.{pre_linear.0,pre_linear.1,gru,out_layer}.*
+    (+ attn when autoencoder_att).
+    """
+    params: Dict[str, Any] = {
+        "encoder": {
+            "in_layer": _dense(sd, "encoder.in_layer"),
+            "gru": _gru_params(sd, "encoder.gru", n_layers,
+                               bidirectional=True),
+        },
+        "vq_layer": {
+            "codebook": np.asarray(sd["vq_layer._embedding.weight"]),
+            "mean_layer": _dense(sd, "vq_layer.mean_layer"),
+            "logvar_layer": _dense(sd, "vq_layer.logvar_layer"),
+        },
+    }
+    bn_params, bn_stats = _batchnorm(sd, "decoder.decoder.pre_linear.1")
+    step: Dict[str, Any] = {
+        "pre_linear": _dense(sd, "decoder.decoder.pre_linear.0"),
+        "pre_bn": bn_params,
+        "gru": _gru_params(sd, "decoder.decoder.gru", n_layers,
+                           bidirectional=False),
+        "out_layer": _dense(sd, "decoder.decoder.out_layer"),
+    }
+    if "decoder.decoder.attn.attn.weight" in sd:
+        step["attn"] = {
+            "attn": _dense(sd, "decoder.decoder.attn.attn"),
+            "v": np.asarray(sd["decoder.decoder.attn.v"]),
+        }
+    params["decoder_step"] = step
+    batch_stats = {"decoder_step": {"pre_bn": bn_stats}}
+    return params, batch_stats
+
+
+def convert_text2token_state(sd: Dict[str, Any], n_layers: int = 2
+                             ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """text2embedding_model (GRU text-encoder path) state dict ->
+    (params, batch_stats). Reference key names: encoder.embedding.weight,
+    encoder.gru.*, decoder.decoder.{embedding,attn,pre_linear,gru,out}.*.
+    """
+    params: Dict[str, Any] = {
+        "encoder": {
+            "embedding_table": np.asarray(sd["encoder.embedding.weight"]),
+            "gru": _gru_params(sd, "encoder.gru", n_layers,
+                               bidirectional=True),
+        },
+    }
+    bn_params, bn_stats = _batchnorm(sd, "decoder.decoder.pre_linear.1")
+    step: Dict[str, Any] = {
+        "token_embedding": {
+            "embedding": np.asarray(sd["decoder.decoder.embedding.weight"])},
+        "pre_linear": _dense(sd, "decoder.decoder.pre_linear.0"),
+        "pre_bn": bn_params,
+        "gru": _gru_params(sd, "decoder.decoder.gru", n_layers,
+                           bidirectional=False),
+        "out_layer": _dense(sd, "decoder.decoder.out"),
+    }
+    if "decoder.decoder.attn.attn.weight" in sd:
+        step["attn"] = {
+            "attn": _dense(sd, "decoder.decoder.attn.attn"),
+            "v": np.asarray(sd["decoder.decoder.attn.v"]),
+        }
+    params["decoder_step"] = step
+    return params, {"decoder_step": {"pre_bn": bn_stats}}
+
+
+def load_reference_checkpoint(path: str) -> Dict[str, Any]:
+    """Read a reference torch checkpoint file: returns
+    {args, epoch, pose_dim, state_dict} with tensors as numpy."""
+    import torch
+
+    payload = torch.load(path, map_location="cpu", weights_only=False)
+    sd = payload.get("gen_dict", payload)
+    return {
+        "args": payload.get("args"),
+        "epoch": payload.get("epoch", 0),
+        "pose_dim": payload.get("pose_dim", 0),
+        "state_dict": {k: v.numpy() if hasattr(v, "numpy") else v
+                       for k, v in sd.items()},
+    }

@@ -89,9 +89,10 @@ class GestureGenerator:
             def body(seed_tokens, w):
                 eo = jax.lax.dynamic_slice_in_dim(enc_outs, w, 1, axis=1)
                 dh = jax.lax.dynamic_slice_in_dim(dec_hidden, w, 1, axis=1)
+                mask = jnp.arange(word_ids.shape[1]) < lengths[w]
                 res = t2t.apply(self.t2t_variables, eo, dh,
                                 seed_tokens[None], train=False,
-                                method=t2t.decode_tokens)
+                                enc_mask=mask, method=t2t.decode_tokens)
                 toks = jnp.argmax(res["logits"][0], axis=-1)
                 next_seed = jnp.zeros((n_steps,), jnp.int32) \
                     .at[:n_pre].set(toks[-n_pre:])

@@ -45,9 +45,16 @@ class Attn(nn.Module):
     hidden_size: int
 
     @nn.compact
-    def __call__(self, hidden: jnp.ndarray,
-                 encoder_outputs: jnp.ndarray) -> jnp.ndarray:
-        """hidden (B, H), encoder_outputs (T, B, H) -> weights (B, T)."""
+    def __call__(self, hidden: jnp.ndarray, encoder_outputs: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """hidden (B, H), encoder_outputs (T, B, H) -> weights (B, T).
+
+        mask (T,) bool: positions beyond the batch-max sequence length.
+        torch's pad_packed_sequence trims encoder outputs to max(lengths)
+        (ref: text2embedding_model.py:129-131), so with static padded
+        shapes the extra positions must be masked out of the softmax to
+        reproduce the reference's attention distribution exactly.
+        """
         T = encoder_outputs.shape[0]
         h = jnp.repeat(hidden[None, :, :], T, axis=0)        # (T, B, H)
         cat = jnp.concatenate([h, encoder_outputs], axis=-1)  # (T, B, 2H)
@@ -55,6 +62,8 @@ class Attn(nn.Module):
         v = self.param("v", nn.initializers.normal(
             1.0 / jnp.sqrt(self.hidden_size)), (self.hidden_size,))
         scores = jnp.einsum("tbh,h->bt", energy, v)
+        if mask is not None:
+            scores = jnp.where(mask[None, :], scores, -jnp.inf)
         return jax.nn.softmax(scores, axis=-1)
 
 

@@ -77,7 +77,8 @@ class TokenDecoderStep(nn.Module):
 
     @nn.compact
     def __call__(self, token: jnp.ndarray, hidden: jnp.ndarray,
-                 encoder_outputs: jnp.ndarray, train: bool = False
+                 encoder_outputs: jnp.ndarray, train: bool = False,
+                 enc_mask: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
         emb = nn.Embed(self.n_tokens, self.hidden_size,
                        name="token_embedding")(token)       # (B, H)
@@ -86,7 +87,7 @@ class TokenDecoderStep(nn.Module):
         attn_weights = None
         if self.use_attention:
             attn_weights = Attn(self.hidden_size, name="attn")(
-                hidden[-1], encoder_outputs)
+                hidden[-1], encoder_outputs, mask=enc_mask)
             context = jnp.einsum("bt,tbh->bh", attn_weights,
                                  encoder_outputs)
             x = jnp.concatenate([x, context], axis=-1)
@@ -148,10 +149,12 @@ class Text2Token(nn.Module):
         return enc_outs, enc_hidden[: self.n_layers]
 
     def decode_tokens(self, enc_outs: jnp.ndarray, dec_hidden: jnp.ndarray,
-                      target_tokens: jnp.ndarray, train: bool = False
+                      target_tokens: jnp.ndarray, train: bool = False,
+                      enc_mask: Optional[jnp.ndarray] = None
                       ) -> Dict[str, Any]:
         """The autoregressive token decode given a text encoding."""
-        return self._decode(enc_outs, dec_hidden, target_tokens, train)
+        return self._decode(enc_outs, dec_hidden, target_tokens, train,
+                            enc_mask=enc_mask)
 
     def __call__(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
                  target_tokens: jnp.ndarray, train: bool = False
@@ -162,10 +165,15 @@ class Text2Token(nn.Module):
         token (ref :643-649,677), and the per-step attention matrix."""
         enc_outs, dec_hidden = self.encode_text(tokens, lengths,
                                                 train=train)
-        return self._decode(enc_outs, dec_hidden, target_tokens, train)
+        # replicate torch pad_packed trimming: attention only over
+        # positions < max(lengths)
+        enc_mask = jnp.arange(tokens.shape[1]) < jnp.max(lengths)
+        return self._decode(enc_outs, dec_hidden, target_tokens, train,
+                            enc_mask=enc_mask)
 
     def _decode(self, enc_outs: jnp.ndarray, dec_hidden: jnp.ndarray,
-                target_tokens: jnp.ndarray, train: bool) -> Dict[str, Any]:
+                target_tokens: jnp.ndarray, train: bool,
+                enc_mask: Optional[jnp.ndarray] = None) -> Dict[str, Any]:
 
         seed = target_tokens[:, 0]
         onehot0 = jax.nn.one_hot(seed, self.n_tokens)
@@ -182,7 +190,7 @@ class Text2Token(nn.Module):
             token_in = jnp.where(t - 1 < self.n_pre_poses, teacher,
                                  prev_token)
             logits, new_hidden, attn = mdl(token_in, hidden, enc_outs,
-                                           train=train)
+                                           train=train, enc_mask=enc_mask)
             best = jnp.argmax(logits, axis=-1)
             return (best, new_hidden), (logits, attn)
 
