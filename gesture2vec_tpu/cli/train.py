@@ -23,7 +23,9 @@ import os
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", "-c", required=True)
-    parser.add_argument("--part", choices=["a", "b", "d"], required=True)
+    parser.add_argument("--part",
+                        choices=["a", "b", "d", "baseline", "c2g"],
+                        required=True)
     parser.add_argument("--rep-checkpoint", default=None,
                         help="frozen Part-a checkpoint (parts b, d)")
     parser.add_argument("--autoencoder-checkpoint", default=None,
@@ -64,7 +66,46 @@ def main() -> None:
                   all_frames(val_store, mean, std), save_dir=save_dir)
         return
 
-    # parts b and d need the frozen Part-a model
+    if args.part == "baseline":
+        # text -> continuous pose windows (ref: scripts/train.py);
+        # no frozen teachers needed
+        from gesture2vec_tpu.data.datasets import (normalize,
+                                                   sentence_windows)
+        from gesture2vec_tpu.text.vocab import build_vocab
+        from gesture2vec_tpu.train.misc_trainers import train_baseline
+        import numpy as np
+
+        vocab = build_vocab(
+            "corpus", [[w[0] for w in c["words"]] for c in train_store],
+            cfg.wordembed_path, cfg.wordembed_dim)
+
+        def build(store):
+            wins = sentence_windows(store, cfg.n_poses,
+                                    cfg.subdivision_stride,
+                                    cfg.motion_resampling_framerate,
+                                    min_words=1)
+            clips = {i: store[i]
+                     for i in sorted({w["clip"] for w in wins})}
+            poses = np.stack([
+                normalize(clips[w["clip"]]["poses"][
+                    w["frame0"]:w["frame0"] + cfg.n_poses], mean, std)
+                for w in wins]).astype(np.float32)
+            word_ids = np.zeros((len(wins), 32), np.int32)
+            lengths = np.zeros((len(wins),), np.int32)
+            for i, w in enumerate(wins):
+                ids = vocab.words_to_ids([t[0] for t in w["words"]])[:32]
+                word_ids[i, :len(ids)] = ids
+                lengths[i] = max(len(ids), 1)
+            return {"word_ids": word_ids, "lengths": lengths,
+                    "poses": poses}
+
+        train_baseline(cfg, build(train_store), build(val_store),
+                       vocab.n_words,
+                       embedding_weights=vocab.word_embedding_weights,
+                       save_dir=save_dir)
+        return
+
+    # parts b, c2g, and d need the frozen Part-a model
     assert cfg.rep_learning_checkpoint, "--rep-checkpoint required"
     dae_model, dae_vars, dae_payload = checkpoints.load_checkpoint_and_model(
         cfg.rep_learning_checkpoint, "DAE")
@@ -85,17 +126,41 @@ def main() -> None:
         train_seq_ae(cfg, tw, vw, save_dir=save_dir)
         return
 
-    # part d
-    assert cfg.autoencoder_checkpoint, "--autoencoder-checkpoint required"
+    if args.part == "c2g":
+        # cluster ids + frozen-DAE latent windows
+        # (ref: scripts/train_cluster2gesture.py)
+        from gesture2vec_tpu.data.teacher import tokenize_windows
+        from gesture2vec_tpu.train.misc_trainers import train_c2g
+        assert cfg.autoencoder_checkpoint, \
+            "--autoencoder-checkpoint required"
+        seq_model, seq_vars, _ = checkpoints.load_checkpoint_and_model(
+            cfg.autoencoder_checkpoint, "autoencoder_vq")
+        tw = encode_windows_with_dae(
+            dae_model, dae_vars,
+            pose_windows(train_store, cfg.n_poses,
+                         cfg.subdivision_stride, mean, std))
+        vw = encode_windows_with_dae(
+            dae_model, dae_vars,
+            pose_windows(val_store, cfg.n_poses,
+                         cfg.subdivision_stride, mean, std))
+        t_tokens, _ = tokenize_windows(seq_model, seq_vars, tw)
+        v_tokens, _ = tokenize_windows(seq_model, seq_vars, vw)
+        train_c2g(cfg, t_tokens, tw, v_tokens, vw, save_dir=save_dir)
+        return
+
     from gesture2vec_tpu.data.sentence import build_sentence_dataset
     from gesture2vec_tpu.text.vocab import build_vocab
+
+    vocab = build_vocab("corpus",
+                        [[w[0] for w in c["words"]] for c in train_store],
+                        cfg.wordembed_path, cfg.wordembed_dim)
+
+    # part d
+    assert cfg.autoencoder_checkpoint, "--autoencoder-checkpoint required"
     from gesture2vec_tpu.train.text2token_trainer import train_text2token
 
     seq_model, seq_vars, _ = checkpoints.load_checkpoint_and_model(
         cfg.autoencoder_checkpoint, "autoencoder_vq")
-    vocab = build_vocab("corpus",
-                        [[w[0] for w in c["words"]] for c in train_store],
-                        cfg.wordembed_path, cfg.wordembed_dim)
     kw = dict(dae_model=dae_model, dae_variables=dae_vars,
               seq_model=seq_model, seq_variables=seq_vars,
               sentence_frame_length=cfg.sentence_frame_length,

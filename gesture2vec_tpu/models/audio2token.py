@@ -1,0 +1,75 @@
+"""Audio-context Part-d variant: mel chunks -> gesture tokens.
+
+Rebuild of the reference's audio_context=True configuration
+(ref: scripts/model/text2embedding_model.py:41,563-571 swaps the text
+encoder for EncoderRNN_With_Audio, whose shipped branch consumes ONLY
+audio features - see models/audio.AudioContextEncoder). The decoder is
+the same discrete token decoder as the text path.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gesture2vec_tpu.models.audio import AudioContextEncoder
+from gesture2vec_tpu.models.text2token import TokenDecoderStep
+
+
+class Audio2Token(nn.Module):
+    n_tokens: int
+    hidden_size: int
+    n_layers: int
+    n_steps: int
+    n_pre_poses: int = 2
+    dropout: float = 0.2
+    use_attention: bool = True
+
+    def setup(self):
+        self.encoder = AudioContextEncoder(hidden_size=self.hidden_size,
+                                           n_layers=self.n_layers,
+                                           dropout=self.dropout)
+        self.decoder_step = TokenDecoderStep(
+            hidden_size=self.hidden_size, n_tokens=self.n_tokens,
+            n_layers=self.n_layers, dropout_p=self.dropout,
+            use_attention=self.use_attention)
+
+    def __call__(self, mel_chunks: jnp.ndarray,
+                 target_tokens: jnp.ndarray, train: bool = False
+                 ) -> Dict[str, Any]:
+        """mel_chunks (B, S, n_mels, frames); target_tokens (B, n_steps)."""
+        enc_outs, enc_hidden = self.encoder(mel_chunks, train=train)
+        dec_hidden = enc_hidden[: self.n_layers]
+
+        seed = target_tokens[:, 0]
+        onehot0 = jax.nn.one_hot(seed, self.n_tokens)
+        step_mod = self.decoder_step
+
+        def body(mdl, carry, t):
+            prev_token, hidden = carry
+            teacher = jax.lax.dynamic_index_in_dim(target_tokens, t - 1,
+                                                   axis=1, keepdims=False)
+            token_in = jnp.where(t - 1 < self.n_pre_poses, teacher,
+                                 prev_token)
+            logits, new_hidden, attn = mdl(token_in, hidden, enc_outs,
+                                           train=train)
+            best = jnp.argmax(logits, axis=-1)
+            return (best, new_hidden), (logits, attn)
+
+        if train:
+            scan = nn.scan(body, variable_broadcast="params",
+                           variable_carry="batch_stats",
+                           split_rngs={"params": False, "dropout": True},
+                           in_axes=0, out_axes=0)
+        else:
+            scan = nn.scan(body,
+                           variable_broadcast=("params", "batch_stats"),
+                           split_rngs={"params": False, "dropout": True},
+                           in_axes=0, out_axes=0)
+        ts = jnp.arange(1, self.n_steps)
+        (_, _), (logits_seq, attns) = scan(step_mod, (seed, dec_hidden), ts)
+        logits = jnp.concatenate([onehot0[None], logits_seq], axis=0)
+        return {"logits": jnp.transpose(logits, (1, 0, 2)),
+                "attentions": attns}

@@ -127,3 +127,17 @@ def test_stage_timer():
         pass
     assert t.counts["a"] == 2
     assert "a:" in t.report()
+
+
+def test_audio2token(rng):
+    from gesture2vec_tpu.models.audio2token import Audio2Token
+
+    m = Audio2Token(n_tokens=12, hidden_size=24, n_layers=2, n_steps=4,
+                    n_pre_poses=1)
+    mel = jnp.asarray(rng.normal(size=(2, 4, 128, 32)).astype(np.float32))
+    tgt = jnp.asarray(rng.integers(0, 12, size=(2, 4)).astype(np.int32))
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, mel, tgt, train=False)
+    res = m.apply(v, mel, tgt, train=False)
+    assert res["logits"].shape == (2, 4, 12)
+    assert np.isfinite(np.asarray(res["logits"])).all()
