@@ -189,22 +189,29 @@ class GestureGenerator:
         unit = self.sentence_frame_length / self.fps   # ref :255-265
         n_windows = max(int(np.ceil(duration_s / unit)), 1)
 
-        word_ids = np.zeros((n_windows, self.max_words), np.int32)
-        lengths = np.zeros((n_windows,), np.int32)
+        # pad the window count to a power-of-two bucket so arbitrary
+        # durations reuse a handful of compiled programs; padded windows
+        # generate throwaway frames that are trimmed below
+        n_padded = 1 << (n_windows - 1).bit_length()
+        word_ids = np.zeros((n_padded, self.max_words), np.int32)
+        lengths = np.ones((n_padded,), np.int32)
         for w in range(n_windows):
             word_ids[w], lengths[w] = self._window_word_ids(
                 words, w * unit, (w + 1) * unit)
 
         seed0 = jnp.zeros((self.n_steps,), jnp.int32)
+        n_tokens_real = n_windows * self.n_steps
+        n_frames_real = n_tokens_real * self.n_frames
         if self.mode == "decode":
             frames_j, tokens_j = self._generate_decode_mode(
                 jnp.asarray(word_ids), jnp.asarray(lengths), seed0)
-            frames = np.asarray(frames_j)
+            frames = np.asarray(frames_j)[:n_frames_real]
             frames = unnormalize(frames, self.pose_mean, self.pose_std)
-            return frames, np.asarray(tokens_j)
+            return frames, np.asarray(tokens_j)[:n_tokens_real]
 
         tokens = np.asarray(self._predict_tokens_all(
-            jnp.asarray(word_ids), jnp.asarray(lengths), seed0))
+            jnp.asarray(word_ids), jnp.asarray(lengths),
+            seed0))[:n_tokens_real]
         latents = np.concatenate(
             [self._exemplar_latents(int(t)) for t in tokens], axis=0)
         frames = np.asarray(self._dae_decode(jnp.asarray(latents)))

@@ -74,3 +74,36 @@ def test_decode_codebook_and_export(tmp_path, rng):
     assert n == 4  # 2 of token 0, 1 of token 1, 1 of token 2
     assert os.path.exists(str(tmp_path / "clusters" / "0" /
                               "sample_1.bvh"))
+
+
+def test_silhouette_sweep(rng):
+    from gesture2vec_tpu.cluster.analysis import silhouette_sweep
+
+    blobs = np.concatenate([
+        np.array([0, 0]) + rng.normal(0, 0.3, (40, 2)),
+        np.array([8, 8]) + rng.normal(0, 0.3, (40, 2)),
+        np.array([-8, 8]) + rng.normal(0, 0.3, (40, 2))]).astype(np.float32)
+    scores = silhouette_sweep(blobs, k_range=range(2, 6))
+    assert max(scores, key=scores.get) == 3  # 3 blobs -> best k is 3
+
+
+def test_encoder_kernel_poses_and_unity(tmp_path, rng):
+    from gesture2vec_tpu.cluster.analysis import (encoder_kernel_poses,
+                                                  save_for_unity)
+    from gesture2vec_tpu.mocap.fk import forward_kinematics
+    from gesture2vec_tpu.io.bvh import parse_bvh
+    from tests.fixtures import make_synthetic_bvh
+
+    kernel = rng.normal(size=(135, 10))
+    mean = np.zeros(135)
+    std = np.ones(135)
+    poses = encoder_kernel_poses(kernel, mean, std)
+    assert poses.shape == (10, 135)
+
+    d = parse_bvh(make_synthetic_bvh(n_frames=10), from_text=True)
+    pos = forward_kinematics(d)
+    out = str(tmp_path / "unity.txt")
+    save_for_unity(pos, out)
+    lines = open(out).read().splitlines()
+    assert len(lines) == 10
+    assert "Hips:" in lines[0]
