@@ -47,7 +47,9 @@ def main() -> None:
     logging.basicConfig(level=logging.INFO)
     store = ClipStore(args.store)
     fe = FeatureExtractor.load(args.pipeline)
-    feats, _ = FeatureExtractor(fe.pipeline).process(parse_bvh(args.bvh))
+    # transform (no refit): the fitted pipeline's channel selection and
+    # constants must stay exactly what the store stats were computed on
+    feats = fe.transform(parse_bvh(args.bvh))
     frames = normalize(feats.astype(np.float32), store.pose_mean,
                        store.pose_std)
 

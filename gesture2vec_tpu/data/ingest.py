@@ -44,7 +44,8 @@ def ingest_trinity(base_path: str, out_path: Optional[str] = None,
     if not bvh_files:
         raise FileNotFoundError(f"no BVH files under {base_path}/Motion")
 
-    fe = FeatureExtractor()
+    from gesture2vec_tpu.mocap.features import trinity_pipeline
+    fe = FeatureExtractor(trinity_pipeline(tgt_fps=tgt_fps))
     all_poses = []
     for v_i, bvh_file in enumerate(bvh_files):
         name = os.path.splitext(os.path.basename(bvh_file))[0]

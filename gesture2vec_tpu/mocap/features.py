@@ -214,6 +214,16 @@ class FeatureExtractor:
             return feats[0], feats[0]
         return feats[0], feats[1]
 
+    def transform(self, bvh: "BVHData | str") -> np.ndarray:
+        """Extract features with the ALREADY-FITTED pipeline (no refit):
+        the path for new files once a corpus pipeline exists. Returns the
+        original (non-mirrored) track's (T, J*9) features."""
+        assert self.fitted, "FeatureExtractor must be fitted/loaded first"
+        if isinstance(bvh, str):
+            bvh = parse_bvh(bvh)
+        tracks = self.pipeline.transform([bvh])
+        return euler_to_features(tracks[0], self.orders)
+
     def to_bvh(self, features: np.ndarray) -> BVHData:
         """(T, J*9) features -> BVHData ready for write_bvh."""
         assert self.fitted, "FeatureExtractor must process a file first"

@@ -51,6 +51,9 @@ class Seq2SeqNet(nn.Module):
         enc_outs, enc_hidden = self.encoder(tokens, lengths, train=train)
         dec_hidden = enc_hidden[: self.n_layers]
         tgt = jnp.transpose(poses, (1, 0, 2))
+        # torch pad_packed trims encoder outputs to max(lengths); mask
+        # the attention identically (see models/seq_ae.Attn)
+        enc_mask = jnp.arange(tokens.shape[1]) < jnp.max(lengths)
 
         step_mod = self.decoder_step
 
@@ -61,7 +64,8 @@ class Seq2SeqNet(nn.Module):
                                                        keepdims=False),
                           prev_out)
             out, new_hidden, _ = mdl(x, hidden, enc_outs, train=train,
-                                     apply_step_dropout=False)
+                                     apply_step_dropout=False,
+                                     enc_mask=enc_mask)
             return (out, new_hidden), out
 
         if train:

@@ -60,13 +60,15 @@ class T2GGenerator(nn.Module):
         fused = self.fuse(jnp.concatenate([flat, noise], axis=-1))
         dec_hidden = jnp.transpose(
             fused.reshape(B, self.n_layers, self.hidden_size), (1, 0, 2))
+        enc_mask = jnp.arange(tokens.shape[1]) < jnp.max(lengths)
 
         step_mod = self.decoder_step
 
         def body(mdl, carry, _):
             prev, hidden = carry
             out, new_hidden, _ = mdl(prev, hidden, enc_outs, train=train,
-                                     apply_step_dropout=False)
+                                     apply_step_dropout=False,
+                                     enc_mask=enc_mask)
             return (out, new_hidden), out
 
         if train:

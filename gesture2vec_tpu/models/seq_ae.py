@@ -82,12 +82,13 @@ class DecoderStep(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, hidden: jnp.ndarray,
                  encoder_outputs: Optional[jnp.ndarray],
-                 train: bool = False, apply_step_dropout: bool = True
+                 train: bool = False, apply_step_dropout: bool = True,
+                 enc_mask: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
         attn_weights = None
         if self.use_attention:
             attn_weights = Attn(self.hidden_size, name="attn")(
-                hidden[-1], encoder_outputs)                  # (B, T)
+                hidden[-1], encoder_outputs, mask=enc_mask)   # (B, T)
             context = jnp.einsum("bt,tbh->bh", attn_weights,
                                  encoder_outputs)
             rnn_in = jnp.concatenate([x, context], axis=-1)
@@ -274,8 +275,7 @@ class SeqVQAutoencoder(nn.Module):
             dec_hidden = jnp.transpose(flat.reshape(B, L, H), (1, 0, 2))
 
         first_hidden = dec_hidden
-        outputs = self.decode(dec_hidden, out_poses,
-                              enc_outs if self.use_attention else enc_outs,
+        outputs = self.decode(dec_hidden, out_poses, enc_outs,
                               train=train)
         return {"outputs": outputs, "first_hidden": first_hidden,
                 "vq": vq_out, "mean": mean, "logvar": logvar}

@@ -81,7 +81,8 @@ def _ensure_registry() -> None:
     """Builders live in the trainer modules; import them on demand so the
     registry is populated regardless of which module loaded first."""
     import importlib
-    for mod in ("dae_trainer", "seq_ae_trainer", "text2token_trainer"):
+    for mod in ("dae_trainer", "seq_ae_trainer", "text2token_trainer",
+                "misc_trainers"):
         try:
             importlib.import_module(f"gesture2vec_tpu.train.{mod}")
         except ImportError:

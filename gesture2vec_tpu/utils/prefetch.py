@@ -19,27 +19,48 @@ _SENTINEL = object()
 
 def prefetch(batches: Iterable[Any], depth: int = 2,
              to_device: bool = True) -> Iterator[Any]:
-    """Wrap a batch iterable with background preparation + transfer."""
+    """Wrap a batch iterable with background preparation + transfer.
+
+    The worker polls a stop event between puts so an abandoned consumer
+    (exception mid-epoch, generator GC'd) releases the thread and its
+    device-resident buffers instead of blocking on q.put forever.
+    """
     q: "queue.Queue[Any]" = queue.Queue(maxsize=depth)
     err: list = []
+    stop = threading.Event()
 
     def worker():
         try:
             for b in batches:
                 if to_device:
                     b = jax.tree_util.tree_map(jax.device_put, b)
-                q.put(b)
+                while not stop.is_set():
+                    try:
+                        q.put(b, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surface worker errors to consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
