@@ -31,10 +31,22 @@ def main() -> None:
     parser.add_argument("--autoencoder-checkpoint", default=None,
                         help="frozen Part-b checkpoint (part d)")
     parser.add_argument("--save-dir", default=None)
+    parser.add_argument("--mesh", default=None,
+                        help="device mesh, e.g. 'dp=8' or 'dp=4,tp=2'")
     parser.add_argument("--platform", default=None,
                         help="force jax platform (cpu/tpu)")
     args = parser.parse_args()
 
+    if args.mesh and args.platform == "cpu":
+        # virtual host devices so cpu smoke-runs can exercise the mesh
+        need = 1
+        for kv in args.mesh.split(","):
+            need *= int(kv.split("=")[1])
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count={need}"
+            ).strip()
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
@@ -47,6 +59,10 @@ def main() -> None:
     from gesture2vec_tpu.utils.meters import set_logger
 
     cfg = load_config(args.config)
+    if args.mesh:
+        shape = {k: int(v) for k, v in
+                 (kv.split("=") for kv in args.mesh.split(","))}
+        cfg = cfg.replace(mesh_shape=shape)
     if args.rep_checkpoint:
         cfg = cfg.replace(rep_learning_checkpoint=args.rep_checkpoint)
     if args.autoencoder_checkpoint:

@@ -213,6 +213,19 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
         start_epoch = int(payload["epoch"])
         logging.info("resumed from %s at epoch %d", resume_from,
                      start_epoch)
+
+    # multi-chip: shard params (codebook rows over tp, rest replicated)
+    # and batches (over dp); jit's partitioner inserts the collectives
+    mesh = None
+    if config.mesh_shape:
+        from gesture2vec_tpu.parallel.mesh import (make_mesh, shard_batch,
+                                                   shard_params)
+        mesh = make_mesh(config.mesh_shape)
+        state = state._replace(
+            params=shard_params(state.params, mesh),
+            opt_state=shard_params(state.opt_state, mesh),
+            batch_stats=shard_params(state.batch_stats, mesh))
+        logging.info("training over mesh %s", config.mesh_shape)
     train_step = make_train_step(config, model, optimizer, config.epochs)
     eval_step = make_eval_step(config, model)
 
@@ -228,9 +241,16 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
         perp_m.reset()
         t0 = time.time()
         from gesture2vec_tpu.utils.prefetch import prefetch
-        batches = prefetch(
-            (train_windows[perm[b * bs:(b + 1) * bs]]
-             for b in range(n // bs)))
+        if mesh is not None:
+            from gesture2vec_tpu.parallel.mesh import shard_batch
+            batches = prefetch(
+                (train_windows[perm[b * bs:(b + 1) * bs]]
+                 for b in range(n // bs)), to_device=False)
+            batches = (shard_batch(jnp.asarray(x), mesh) for x in batches)
+        else:
+            batches = prefetch(
+                (train_windows[perm[b * bs:(b + 1) * bs]]
+                 for b in range(n // bs)))
         for b, batch in enumerate(batches):
             rng, srng = jax.random.split(rng)
             state, metrics = train_step(state, batch, srng,
