@@ -115,7 +115,8 @@ class VQFrame(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, vq_state: VQEmaState,
-                 train: bool = False, axis_name: Optional[str] = None
+                 train: bool = False, axis_name: Optional[str] = None,
+                 skip_vq: bool = False
                  ) -> Tuple[Dict[str, Any], VQEmaState]:
         x_in = nn.Dropout(0.5, deterministic=not train)(x)
         h = nn.Dense(self.latent_dim, name="encoder",
@@ -135,10 +136,17 @@ class VQFrame(nn.Module):
                 z = mean
             h = nn.Dense(self.latent_dim, name="fc_decoder")(z)
 
-        vq_out, new_state = vq_ema(h, vq_state,
-                                   commitment_cost=self.commitment_cost,
-                                   decay=self.decay, train=train,
-                                   axis_name=axis_name)
+        if skip_vq:
+            # delayed-VQ warmup (ref: train_DAE.py:232-241 skip_vq)
+            from gesture2vec_tpu.models.vq import VQOutput
+            vq_out = VQOutput(jnp.zeros(()), h, jnp.zeros(()),
+                              jnp.zeros((h.shape[0], self.vq_components)))
+            new_state = vq_state
+        else:
+            vq_out, new_state = vq_ema(h, vq_state,
+                                       commitment_cost=self.commitment_cost,
+                                       decay=self.decay, train=train,
+                                       axis_name=axis_name)
         out = nn.Dense(self.motion_dim, name="decoder",
                        kernel_init=nn.initializers.xavier_normal())(
             vq_out.quantized)

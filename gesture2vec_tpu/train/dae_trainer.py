@@ -75,9 +75,11 @@ def init_state(config: Config, model, rng: jax.Array,
 
 
 def make_train_step(config: Config, model,
-                    optimizer: optax.GradientTransformation):
+                    optimizer: optax.GradientTransformation,
+                    skip_vq: bool = False):
     """One jitted optimization step. Loss matches train_iter_DAE
-    (ref: train_eval/train_seq2seq.py:194-241)."""
+    (ref: train_eval/train_seq2seq.py:194-241). skip_vq compiles the
+    delayed-VQ warmup variant (ref: train_DAE.py:232-241)."""
     is_vq = isinstance(model, VQFrame)
     is_vae = isinstance(model, VAEFrame)
 
@@ -89,7 +91,7 @@ def make_train_step(config: Config, model,
                 out, new_model_state = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     batch, state.vq_state, train=True, rngs=rngs,
-                    mutable=["batch_stats"])
+                    skip_vq=skip_vq, mutable=["batch_stats"])
                 res, new_vq = out
                 rec = mse_loss(res["output"], batch)
                 loss = rec + res["vq"].loss
@@ -148,10 +150,49 @@ def make_eval_step(config: Config, model):
     return jax.jit(step)
 
 
+def reestimate_codebook(model, state: DAETrainState,
+                        frames: np.ndarray, k: int,
+                        batch: int = 4096) -> DAETrainState:
+    """Re-fit the VQ codebook with K-Means over the current encoder
+    latents (ref: train_DAE.py:241-263). The EMA state is reset so the
+    new centers are the exact codebook (codebook = ema_w / cluster_size
+    with cluster_size = 1)."""
+    import jax.numpy as jnp
+
+    from gesture2vec_tpu.cluster.kmeans import kmeans_fit
+    from gesture2vec_tpu.models.vq import VQEmaState
+
+    @jax.jit
+    def encode(x):
+        res, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, state.vq_state, train=False, skip_vq=True)
+        return res["latent"]
+
+    lats = []
+    for s_ in range(0, frames.shape[0], batch):
+        chunk = frames[s_:s_ + batch]
+        if chunk.shape[0]:
+            lats.append(np.asarray(encode(jnp.asarray(chunk))))
+    latents = np.concatenate(lats, axis=0)
+    km = kmeans_fit(latents, k, key=jax.random.PRNGKey(0), n_init=1,
+                    max_iter=300)
+    centers = jnp.asarray(km.centers)
+    logging.info("codebook re-estimated from %d latents (inertia %.2f)",
+                 latents.shape[0], float(km.inertia))
+    # distinct buffers: donated states must not alias (codebook and
+    # ema_w would otherwise be the same donated array)
+    return state._replace(vq_state=VQEmaState(
+        codebook=centers, cluster_size=jnp.ones((k,)),
+        ema_w=jnp.array(centers, copy=True)))
+
+
 def train_dae(config: Config, train_frames: np.ndarray,
               val_frames: np.ndarray, save_dir: Optional[str] = None,
               save_every: int = 10, log_every: int = 50,
-              resume_from: Optional[str] = None
+              resume_from: Optional[str] = None,
+              vq_tricks: bool = False, vq_start_epoch: int = 5,
+              vq_reestimate_every: int = 5
               ) -> Tuple[DAETrainState, Dict[str, list]]:
     """Full Part-a training loop (ref: train_DAE.py:119-371).
 
@@ -177,6 +218,8 @@ def train_dae(config: Config, train_frames: np.ndarray,
         logging.info("resumed from %s at epoch %d", resume_from,
                      start_epoch)
     train_step = make_train_step(config, model, optimizer)
+    warmup_step = (make_train_step(config, model, optimizer, skip_vq=True)
+                   if vq_tricks and isinstance(model, VQFrame) else None)
     eval_step = make_eval_step(config, model)
 
     n = train_frames.shape[0]
@@ -187,6 +230,16 @@ def train_dae(config: Config, train_frames: np.ndarray,
     from gesture2vec_tpu.utils.prefetch import prefetch
 
     for epoch in range(start_epoch, config.epochs):
+        # VQ tricks (ref: train_DAE.py:230-263): delayed VQ start and
+        # periodic K-Means re-estimation of the codebook
+        step_fn = train_step
+        if warmup_step is not None:
+            if epoch < vq_start_epoch:
+                step_fn = warmup_step
+            elif epoch % vq_reestimate_every == 0:
+                state = reestimate_codebook(
+                    model, state, train_frames,
+                    config.autoencoder_vq_components)
         perm = np.random.default_rng(seed + epoch).permutation(n)
         meter.reset()
         t0 = time.time()
@@ -196,7 +249,7 @@ def train_dae(config: Config, train_frames: np.ndarray,
              for b in range(n_batches)))
         for b, batch in enumerate(batches):
             rng, step_rng = jax.random.split(rng)
-            state, metrics = train_step(state, batch, step_rng)
+            state, metrics = step_fn(state, batch, step_rng)
             meter.update(float(metrics["loss"]), bs)
             if (b + 1) % log_every == 0:
                 sps = meter.count / (time.time() - t0)

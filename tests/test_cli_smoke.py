@@ -1,0 +1,103 @@
+"""End-to-end CLI smoke test through subprocesses - the exact commands a
+user types (installed console-script modules, --platform cpu)."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from tests.corpus import make_corpus
+
+pytestmark = pytest.mark.slow
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    r = subprocess.run([sys.executable, "-m"] + args, cwd=cwd,
+                       capture_output=True, text=True, timeout=300,
+                       env=env)
+    assert r.returncode == 0, f"{args}\nstdout:{r.stdout}\nstderr:{r.stderr}"
+    return r
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    make_corpus(str(root / "corpus"), n_files=3, n_frames=360,
+                with_audio=False)
+    return root
+
+
+def _write_cfg(path, **kw):
+    import yaml
+    with open(path, "w") as f:
+        yaml.safe_dump(kw, f)
+
+
+def test_full_cli_workflow(workdir):
+    root = str(workdir)
+    _run(["gesture2vec_tpu.cli.make_dataset", "corpus"], root)
+
+    _write_cfg(os.path.join(root, "dae.yml"), name="dae", model="DAE",
+               train_data_path="corpus/store/train",
+               val_data_path="corpus/store/val",
+               model_save_path="out/dae", hidden_size=16,
+               dropout_prob=0.2, input_motion_dim=135, epochs=2,
+               batch_size=32, learning_rate=0.005, random_seed=0)
+    _run(["gesture2vec_tpu.cli.train", "-c", "dae.yml", "--part", "a",
+          "--platform", "cpu"], root)
+    dae_ckpt = "out/dae/dae_H16_checkpoint_002.bin"
+    assert os.path.exists(os.path.join(root, dae_ckpt))
+
+    _write_cfg(os.path.join(root, "vq.yml"), name="vq", model="seq2seq",
+               train_data_path="corpus/store/train",
+               val_data_path="corpus/store/val",
+               model_save_path="out/vq", hidden_size=24, n_layers=2,
+               dropout_prob=0.1, epochs=2, batch_size=16,
+               learning_rate=0.002, random_seed=0, n_poses=10,
+               n_pre_poses=1, subdivision_stride=5, autoencoder_vq=True,
+               autoencoder_vq_components=16,
+               autoencoder_vq_commitment_cost=0.25, autoencoder_att=False,
+               autoencoder_conditioned=True, autoencoder_vae=False,
+               loss_l1_weight=5, loss_cont_weight=0.1, loss_var_weight=0.5)
+    _run(["gesture2vec_tpu.cli.train", "-c", "vq.yml", "--part", "b",
+          "--rep-checkpoint", dae_ckpt, "--platform", "cpu"], root)
+    vq_ckpt = "out/vq/vq_checkpoint_002.bin"
+    assert os.path.exists(os.path.join(root, vq_ckpt))
+
+    _write_cfg(os.path.join(root, "t2t.yml"), name="t2t", model="seq2seq",
+               train_data_path="corpus/store/train",
+               val_data_path="corpus/store/val",
+               model_save_path="out/t2t", hidden_size=24, n_layers=2,
+               dropout_prob=0.1, epochs=2, batch_size=8,
+               learning_rate=0.003, random_seed=0, wordembed_dim=24,
+               n_poses=10, n_pre_poses=1, sentence_frame_length=40,
+               subdivision_stride_sentence=20,
+               motion_resampling_framerate=20, autoencoder_vq=True,
+               autoencoder_vq_components=16, autoencoder_att=True,
+               text_encoder="tcn")
+    _run(["gesture2vec_tpu.cli.train", "-c", "t2t.yml", "--part", "d",
+          "--rep-checkpoint", dae_ckpt, "--autoencoder-checkpoint",
+          vq_ckpt, "--platform", "cpu"], root)
+    t2t_ckpt = "out/t2t/t2t_checkpoint_002.bin"
+    assert os.path.exists(os.path.join(root, t2t_ckpt))
+
+    _run(["gesture2vec_tpu.cli.cluster", dae_ckpt, vq_ckpt, "--store",
+          "corpus/store/train", "--platform", "cpu"], root)
+    bank = "out/vq/clusters/org_latent_clustering_data.npz"
+    assert os.path.exists(os.path.join(root, bank))
+
+    _run(["gesture2vec_tpu.cli.infer", t2t_ckpt,
+          "corpus/Transcripts/Recording_001.json", dae_ckpt, vq_ckpt,
+          "--latent-bank", bank, "--store", "corpus/store/train",
+          "--pipeline", "corpus/store/data_pipe.json", "--out",
+          "generated.bvh", "--platform", "cpu"], root)
+    assert os.path.getsize(os.path.join(root, "generated.bvh")) > 10000
+
+    _run(["gesture2vec_tpu.cli.reconstruct", dae_ckpt,
+          "corpus/Motion/Recording_001.bvh", "--store",
+          "corpus/store/train", "--pipeline",
+          "corpus/store/data_pipe.json", "--out", "recon.bvh",
+          "--platform", "cpu"], root)
+    assert os.path.getsize(os.path.join(root, "recon.bvh")) > 10000

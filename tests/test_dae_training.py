@@ -88,3 +88,18 @@ def test_vq_frame_trains(corpus, tmp_path):
     assert state.vq_state is not None
     # EMA state must have moved
     assert float(np.abs(np.asarray(state.vq_state.cluster_size)).sum()) > 0
+
+
+def test_vq_tricks(corpus, tmp_path):
+    """Delayed VQ start + K-Means codebook re-estimation
+    (ref: train_DAE.py:230-263)."""
+    train_dir, _ = corpus
+    tr = ClipStore(train_dir)
+    frames = all_frames(tr)
+    cfg = _config(name="test_vqtricks", autoencoder_vq=True,
+                  autoencoder_vq_components=16, epochs=4)
+    state, hist = train_dae(cfg, frames, frames[:64], vq_tricks=True,
+                            vq_start_epoch=2, vq_reestimate_every=2)
+    assert np.isfinite(hist["train_loss"]).all()
+    # codebook was re-estimated: cluster_size reset to ones at epoch 2
+    assert state.vq_state is not None
