@@ -74,7 +74,51 @@ def bench_gru():
               f"max err {err:.2e}")
 
 
+    bench_fused_decoder()
+
+
+def bench_fused_decoder():
+    import jax.random as jr
+    from gesture2vec_tpu.ops.decoder_pallas import fused_chunk_decode
+    from gesture2vec_tpu.train.config import load_config
+    from gesture2vec_tpu.train.optim import make_optimizer
+    from gesture2vec_tpu.train.seq_ae_trainer import (init_state,
+                                                      make_seq_ae)
+
+    cfg = load_config(dict(name="f", model="seq2seq", hidden_size=200,
+                           n_layers=2, dropout_prob=0.1, epochs=1,
+                           batch_size=8, rep_learning_dim=40, n_poses=20,
+                           n_pre_poses=1, autoencoder_vq=True,
+                           autoencoder_vq_components=512, random_seed=0))
+    model = make_seq_ae(cfg)
+    st = init_state(cfg, model, jr.PRNGKey(0), make_optimizer(1e-3))
+    variables = {"params": st.params, "batch_stats": st.batch_stats}
+    rng = np.random.default_rng(0)
+    for B in (1, 150):
+        h0 = jnp.asarray(rng.normal(size=(2, B, 200)).astype(np.float32))
+        seed = jnp.asarray(rng.normal(size=(B, 40)).astype(np.float32))
+        seed_seq = jnp.tile(seed[:, None, :], (1, 20, 1))
+
+        @jax.jit
+        def xla(h, s):
+            return model.apply(variables, h, s, None, method=model.decode)
+
+        t_xla = timeit(xla, h0, seed_seq)
+        t_pl = timeit(lambda h, s: fused_chunk_decode(
+            s, h, st.params["decoder_step"],
+            st.batch_stats["decoder_step"], n_steps=19), h0, seed)
+        y1 = np.asarray(xla(h0, seed_seq))[:, 1:, :]
+        y2 = np.transpose(np.asarray(fused_chunk_decode(
+            seed, h0, st.params["decoder_step"],
+            st.batch_stats["decoder_step"], n_steps=19)), (1, 0, 2))
+        err = np.abs(y1 - y2).max()
+        print(f"chunk decoder B={B}: xla {t_xla*1e6:.0f}us  "
+              f"pallas {t_pl*1e6:.0f}us  speedup {t_xla/t_pl:.2f}x  "
+              f"max err {err:.2e}")
+
+
 if __name__ == "__main__":
     print("backend:", jax.devices()[0].platform)
     bench_vq()
     bench_gru()
+    bench_fused_decoder()

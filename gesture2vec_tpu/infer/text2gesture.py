@@ -60,6 +60,10 @@ class GestureGenerator:
     # batch seeded with zeros, like the reference's per-chunk decoding
     # (ref: inference_Autoencoder.py:124-231) - 60x more parallel.
     chunk_continuity: bool = False
+    # run the chunk rollout through the fully-fused Pallas decoder
+    # kernel (ops/decoder_pallas) - TPU only, 2-layer no-attention
+    # decoders; falls back to the scan path otherwise
+    use_fused_decoder: bool = False
 
     def __post_init__(self):
         self.n_steps = self.sentence_frame_length // self.n_frames
@@ -118,6 +122,18 @@ class GestureGenerator:
                 N = tokens.shape[0]
                 hidden = jnp.transpose(cb[tokens].reshape(N, L, H),
                                        (1, 0, 2))
+                if self.use_fused_decoder:
+                    from gesture2vec_tpu.ops.decoder_pallas import \
+                        fused_chunk_decode
+                    seed0 = jnp.zeros((N, seq.rep_dim))
+                    ys = fused_chunk_decode(
+                        seed0, hidden,
+                        self.seq_variables["params"]["decoder_step"],
+                        self.seq_variables["batch_stats"]["decoder_step"],
+                        n_steps=seq.n_frames - 1)
+                    full = jnp.concatenate([seed0[None], ys], axis=0)
+                    return jnp.transpose(full, (1, 0, 2)).reshape(
+                        -1, seq.rep_dim)
                 seed = jnp.zeros((N, seq.n_frames, seq.rep_dim))
                 out = seq.apply(self.seq_variables, hidden, seed, None,
                                 method=seq.decode)

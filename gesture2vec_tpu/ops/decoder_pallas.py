@@ -1,0 +1,132 @@
+"""Pallas TPU kernel: fully-fused autoregressive chunk decoder.
+
+The Part-b decoder rollout (pre_linear -> BatchNorm -> ReLU -> 2-layer
+GRU -> out_layer, ref: Autoencoder_VQVAE_model.py:499-592) is the
+inference hot loop: T sequential steps whose per-step tensors are tiny,
+so XLA's while-loop spends its time on loop overhead rather than math.
+This kernel runs the ENTIRE rollout in one Pallas program: all weights,
+the hidden state, and the output buffer stay resident in VMEM across
+every step - zero HBM traffic between steps.
+
+Inference-only (BatchNorm folded to scale/shift from running stats;
+no dropout; no autodiff). Matmuls run at HIGHEST precision so outputs
+match models/seq_ae.decode to float32 accuracy.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+def _decoder_kernel(x0_ref, h_ref, wpre_ref, bns_ref, bnb_ref,
+                    w0ih_ref, w0hh_ref, b0ih_ref, b0hh_ref,
+                    w1ih_ref, w1hh_ref, b1ih_ref, b1hh_ref,
+                    wout_ref, bout_ref,
+                    ys_ref, scratch_h):
+    """One fused rollout. Shapes:
+      x0 (B, D) seed frame; h (2, B, H) initial hidden;
+      wpre (D, H); bn scale/bias (1, H) pre-folded with running stats;
+      w{0,1}ih (H, 3H) transposed; w{0,1}hh (H, 3H) transposed;
+      b* (1, 3H); wout (H, D); bout (1, D);
+      ys (T, B, D) outputs; scratch_h (2, B, H).
+    """
+    H = scratch_h.shape[-1]
+    T = ys_ref.shape[0]
+    scratch_h[:] = h_ref[:]
+
+    def gru_step(x, h, wih_ref, whh_ref, bih_ref, bhh_ref):
+        gi = _dot(x, wih_ref[:]) + bih_ref[:]
+        gh = _dot(h, whh_ref[:]) + bhh_ref[:]
+        r = jax.nn.sigmoid(gi[:, :H] + gh[:, :H])
+        z = jax.nn.sigmoid(gi[:, H:2 * H] + gh[:, H:2 * H])
+        n = jnp.tanh(gi[:, 2 * H:] + r * gh[:, 2 * H:])
+        return (1.0 - z) * n + z * h
+
+    def body(t, x):
+        # pre_linear + folded BatchNorm + ReLU
+        p = _dot(x, wpre_ref[:]) * bns_ref[:] + bnb_ref[:]
+        p = jnp.maximum(p, 0.0)
+        h0 = gru_step(p, scratch_h[0], w0ih_ref, w0hh_ref, b0ih_ref,
+                      b0hh_ref)
+        scratch_h[0] = h0
+        h1 = gru_step(h0, scratch_h[1], w1ih_ref, w1hh_ref, b1ih_ref,
+                      b1hh_ref)
+        scratch_h[1] = h1
+        out = _dot(h1, wout_ref[:]) + bout_ref[:]
+        ys_ref[t] = out
+        return out
+
+    jax.lax.fori_loop(0, T, body, x0_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "interpret"))
+def fused_chunk_decode(x0: jnp.ndarray, h0: jnp.ndarray, params: dict,
+                       batch_stats: dict, n_steps: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Run the Part-b decoder rollout fully fused.
+
+    x0 (B, D) seed frames; h0 (2, B, H) decoder-initial hidden;
+    params/batch_stats: the SeqVQAutoencoder 'decoder_step' subtree.
+    Returns generated frames (n_steps, B, D) matching
+    models/seq_ae.decode's post-seed outputs (eval mode, 2-layer GRU,
+    no attention).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, D = x0.shape
+    H = h0.shape[-1]
+    pre = params["pre_linear"]
+    bn = params["pre_bn"]
+    stats = batch_stats["pre_bn"]
+    gru = params["gru"]
+    out = params["out_layer"]
+
+    # fold BatchNorm (eval): y = (x - mean) * scale/sqrt(var+eps) + bias
+    inv = bn["scale"] / jnp.sqrt(stats["var"] + 1e-5)
+    bn_scale = inv[None, :]
+    bn_bias = (bn["bias"] - stats["mean"] * inv)[None, :]
+    # fold the pre_linear bias into the BN bias
+    bn_bias = bn_bias + pre["bias"][None, :] * bn_scale
+
+    ins = [
+        x0.astype(jnp.float32), h0.astype(jnp.float32),
+        pre["kernel"].astype(jnp.float32),
+        bn_scale.astype(jnp.float32), bn_bias.astype(jnp.float32),
+        gru["l0_w_ih"].T.astype(jnp.float32),
+        gru["l0_w_hh"].T.astype(jnp.float32),
+        gru["l0_b_ih"][None, :].astype(jnp.float32),
+        gru["l0_b_hh"][None, :].astype(jnp.float32),
+        gru["l1_w_ih"].T.astype(jnp.float32),
+        gru["l1_w_hh"].T.astype(jnp.float32),
+        gru["l1_b_ih"][None, :].astype(jnp.float32),
+        gru["l1_b_hh"][None, :].astype(jnp.float32),
+        out["kernel"].astype(jnp.float32),
+        out["bias"][None, :].astype(jnp.float32),
+    ]
+    ys = pl.pallas_call(
+        _decoder_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ins),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps, B, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, B, H), jnp.float32)],
+        interpret=interpret,
+    )(*ins)
+    return ys
+
+
+def supported(B: int, H: int, D: int, T: int) -> bool:
+    vmem = 4 * (B * D + 2 * B * H + D * H + 8 * H * 3 * H + H * D
+                + T * B * D + 2 * B * H)
+    return vmem < 12 * 1024 * 1024

@@ -51,3 +51,39 @@ def test_gru_fused_matches_scan(rng):
 def test_gru_supported_budget():
     assert gru_supported(20, 128, 200)
     assert not gru_supported(2000, 1024, 1024)
+
+
+def test_fused_chunk_decoder_matches_scan(rng):
+    """The fused decoder kernel vs models/seq_ae.decode (eval mode)."""
+    from gesture2vec_tpu.ops.decoder_pallas import (fused_chunk_decode,
+                                                    supported)
+    from gesture2vec_tpu.train.config import load_config
+    from gesture2vec_tpu.train.optim import make_optimizer
+    from gesture2vec_tpu.train.seq_ae_trainer import (init_state,
+                                                      make_seq_ae)
+
+    cfg = load_config(dict(name="f", model="seq2seq", hidden_size=32,
+                           n_layers=2, dropout_prob=0.1, epochs=1,
+                           batch_size=8, rep_learning_dim=16, n_poses=10,
+                           n_pre_poses=1, autoencoder_vq=True,
+                           autoencoder_vq_components=8, random_seed=0))
+    model = make_seq_ae(cfg)
+    st = init_state(cfg, model, jax.random.PRNGKey(0),
+                    make_optimizer(1e-3))
+    variables = {"params": st.params, "batch_stats": st.batch_stats}
+
+    B = 6
+    h0 = jnp.asarray(rng.normal(size=(2, B, 32)).astype(np.float32))
+    seed = jnp.asarray(rng.normal(size=(B, 16)).astype(np.float32))
+
+    # reference path: seq_ae.decode with the seed frame tiled
+    seed_seq = jnp.tile(seed[:, None, :], (1, 10, 1))
+    ref = model.apply(variables, h0, seed_seq, None, method=model.decode)
+    ref = np.asarray(ref)[:, 1:, :]  # drop the copied seed frame
+
+    ys = fused_chunk_decode(seed, h0, st.params["decoder_step"],
+                            st.batch_stats["decoder_step"],
+                            n_steps=9, interpret=True)
+    ours = np.transpose(np.asarray(ys), (1, 0, 2))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    assert supported(128, 200, 40, 19)
