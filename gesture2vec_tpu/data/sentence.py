@@ -29,13 +29,17 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
                            stride: int = 20, n_frames: int = 20,
                            fps: int = 20, max_words: int = 48,
                            mean: Optional[np.ndarray] = None,
-                           std: Optional[np.ndarray] = None
+                           std: Optional[np.ndarray] = None,
+                           include_audio: bool = False,
+                           audio_sr: int = 16000
                            ) -> Dict[str, np.ndarray]:
     """Returns arrays:
       word_ids (N, max_words) int32 padded with PAD=0, SOS/EOS included
       lengths  (N,) int32
       tokens   (N, n_steps) int32 gesture tokens (n_steps = flen//n_frames)
       poses    (N, sentence_frame_length, D) float32 normalized
+      mel      (N, seconds, 128, frames) when include_audio (per-second
+               mel chunks, ref: data_preprocessor.py:248-263)
     """
     mean = store.pose_mean if mean is None else mean
     std = store.pose_std if std is None else std
@@ -67,5 +71,29 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
     tokens, _ = tokenize_windows(seq_model, seq_variables, chunks)
     tokens = tokens.reshape(N, n_steps).astype(np.int32)
 
-    return {"word_ids": word_ids, "lengths": lengths, "tokens": tokens,
-            "poses": poses}
+    out = {"word_ids": word_ids, "lengths": lengths, "tokens": tokens,
+           "poses": poses}
+
+    if include_audio:
+        from gesture2vec_tpu.io.audio import mel_chunks_per_second
+        import math
+        window_seconds = sentence_frame_length // fps
+        mels = []
+        for w in wins:
+            clip = clips[w["clip"]]
+            audio = clip.get("audio")
+            if audio is None:
+                mels.append(np.zeros((window_seconds, 128, 32),
+                                     np.float32))
+                continue
+            # map frames -> samples by position ratio
+            # (ref: data_preprocessor.py:251-253)
+            a0 = math.floor(w["frame0"] / clip["poses"].shape[0]
+                            * len(audio))
+            seg = audio[a0:a0 + window_seconds * audio_sr]
+            if len(seg) < window_seconds * audio_sr:
+                seg = np.pad(seg,
+                             (0, window_seconds * audio_sr - len(seg)))
+            mels.append(mel_chunks_per_second(seg, audio_sr))
+        out["mel"] = np.stack(mels, axis=0).astype(np.float32)
+    return out

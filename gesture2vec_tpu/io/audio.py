@@ -94,6 +94,31 @@ def stft_power(y: np.ndarray, n_fft: int = 2048,
     return (spec.real ** 2 + spec.imag ** 2).T.astype(np.float32)
 
 
+def power_to_db(power: np.ndarray, top_db: float = 80.0) -> np.ndarray:
+    """librosa.power_to_db(ref=np.max) equivalent."""
+    ref = max(float(power.max()), 1e-10)
+    db = 10.0 * np.log10(np.maximum(power, 1e-10) / ref)
+    return np.maximum(db, -top_db).astype(np.float32)
+
+
+def mel_chunks_per_second(y: np.ndarray, sr: int = AUDIO_SR,
+                          n_mels: int = 128, hop_length: int = 512
+                          ) -> np.ndarray:
+    """Per-second mel chunks for the audio-context models
+    (ref: data_preprocessor.py:256-263: 1-second chunks through
+    melspectrogram with library defaults, then power_to_db(ref=max)).
+    Returns (n_seconds, n_mels, ~32) float32."""
+    n_sec = len(y) // sr
+    chunks = []
+    for k in range(n_sec):
+        power = stft_power(y[k * sr:(k + 1) * sr], n_fft=2048,
+                           hop_length=hop_length)
+        fb = mel_filterbank(sr, 2048, n_mels, 0.0, sr / 2)
+        chunks.append(power_to_db(fb @ power))
+    return (np.stack(chunks, axis=0) if chunks
+            else np.zeros((0, n_mels, 1), np.float32))
+
+
 def mel_spectrogram(y: np.ndarray, sr: int = AUDIO_SR,
                     n_mels: int = MEL_N, hop_length: int = MEL_HOP,
                     fmin: float = MEL_FMIN, fmax: float = MEL_FMAX,

@@ -141,3 +141,53 @@ def test_audio2token(rng):
     res = m.apply(v, mel, tgt, train=False)
     assert res["logits"].shape == (2, 4, 12)
     assert np.isfinite(np.asarray(res["logits"])).all()
+
+
+def test_sentence_dataset_with_audio(tmp_path):
+    import os
+    from gesture2vec_tpu.data.ingest import ingest_trinity
+    from gesture2vec_tpu.data.sentence import build_sentence_dataset
+    from gesture2vec_tpu.data.store import ClipStore
+    from gesture2vec_tpu.text.vocab import build_vocab
+    from gesture2vec_tpu.train.dae_trainer import (
+        init_state as dae_init, make_frame_model)
+    from gesture2vec_tpu.train.seq_ae_trainer import (
+        init_state as sq_init, make_seq_ae)
+    from tests.corpus import make_corpus
+
+    root = str(tmp_path / "c")
+    make_corpus(root, n_files=2, n_frames=360, with_audio=True)
+    train_dir, _ = ingest_trinity(root)
+    store = ClipStore(train_dir)
+    assert "audio" in store[0]
+
+    opt = make_optimizer(1e-3)
+    dae_cfg = load_config(dict(name="d", model="DAE", hidden_size=12,
+                               epochs=1, batch_size=8,
+                               input_motion_dim=135, random_seed=0))
+    dae = make_frame_model(dae_cfg)
+    dae_vars = {"params": dae_init(dae_cfg, dae, jax.random.PRNGKey(0),
+                                   opt).params}
+    sq_cfg = load_config(dict(name="s", model="seq2seq", hidden_size=16,
+                              n_layers=2, dropout_prob=0.1, epochs=1,
+                              batch_size=8, rep_learning_dim=12,
+                              n_poses=10, n_pre_poses=1,
+                              autoencoder_vq=True,
+                              autoencoder_vq_components=8, random_seed=0))
+    seq = make_seq_ae(sq_cfg)
+    sst = sq_init(sq_cfg, seq, jax.random.PRNGKey(1), opt)
+    seq_vars = {"params": sst.params, "batch_stats": sst.batch_stats}
+
+    vocab = build_vocab("t", [[w[0] for w in c["words"]] for c in store],
+                        embedding_dim=16)
+    sent = build_sentence_dataset(store, vocab, dae_model=dae,
+                                  dae_variables=dae_vars, seq_model=seq,
+                                  seq_variables=seq_vars,
+                                  sentence_frame_length=40, stride=20,
+                                  n_frames=10, fps=20, max_words=16,
+                                  include_audio=True)
+    assert "mel" in sent
+    # 40 frames / 20 fps = 2 seconds -> 2 one-second mel chunks
+    assert sent["mel"].shape[1] == 2
+    assert sent["mel"].shape[2] == 128
+    assert np.isfinite(sent["mel"]).all()
