@@ -35,8 +35,6 @@ def human_study_clips(bvh_path: str, transcript_path: str, out_dir: str,
                       clip_seconds: float = 6.0) -> list:
     """Cut a BVH file into word-aligned windows for human study
     (ref: scripts/creat_human-study.py)."""
-    import numpy as np
-
     from gesture2vec_tpu.io.bvh import parse_bvh, write_bvh
     from gesture2vec_tpu.io.subtitles import read_subtitles
 

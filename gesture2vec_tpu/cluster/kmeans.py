@@ -7,7 +7,7 @@ run under lax.scan so the whole fit is one compiled program.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from gesture2vec_tpu.data.datasets import normalize, pose_windows
+from gesture2vec_tpu.data.datasets import pose_windows
 from gesture2vec_tpu.data.store import ClipStore
 from gesture2vec_tpu.data.teacher import (encode_windows_with_dae,
                                           tokenize_windows)

@@ -12,7 +12,7 @@ stops improving.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import numpy as np
 from scipy.special import gammaln

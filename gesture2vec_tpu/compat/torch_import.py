@@ -22,7 +22,7 @@ because models/gru.py consumes torch-shaped (3H, in) matrices directly.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
 

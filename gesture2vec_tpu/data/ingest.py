@@ -16,7 +16,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from gesture2vec_tpu.data.store import ClipStore, ClipStoreWriter
+from gesture2vec_tpu.data.store import ClipStoreWriter
 from gesture2vec_tpu.io.audio import load_wav
 from gesture2vec_tpu.io.bvh import parse_bvh
 from gesture2vec_tpu.io.subtitles import read_subtitles

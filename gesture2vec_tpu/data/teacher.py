@@ -10,7 +10,7 @@ compute, and the TPU does it instead of dataloader worker processes.
 """
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ from typing import Optional
 import numpy as np
 
 from gesture2vec_tpu.infer.smoothing import savgol, smoothing_spline
-from gesture2vec_tpu.io.bvh import BVHData, write_bvh
+from gesture2vec_tpu.io.bvh import write_bvh
 from gesture2vec_tpu.mocap.features import FeatureExtractor, features_to_euler
 
 

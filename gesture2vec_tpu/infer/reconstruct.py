@@ -6,9 +6,12 @@ Rebuilds:
   chunked_reconstruct    <- scripts/inference_Autoencoder.py:124-231:
                             re-encode/decode the motion chunk by chunk
                             through the frozen DAE + seq autoencoder,
-                            with the reference's decoder warm-up
-                            (5 repeated first steps, ref :206-209) and
-                            linear cross-chunk blending (ref :388-395).
+                            with linear cross-chunk blending
+                            (ref :388-395). The reference's 5-step
+                            decoder "warm-up" (:206-209) is omitted: it
+                            repeats the first decode step to spin the
+                            hidden state, which the quantized hidden
+                            initialization makes redundant here.
 """
 from __future__ import annotations
 

@@ -10,8 +10,6 @@ matching librosa defaults).
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 from scipy.io import wavfile
 from scipy.signal import resample_poly

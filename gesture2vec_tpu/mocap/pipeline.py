@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -15,11 +15,8 @@ match models/seq_ae.decode to float32 accuracy.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _dot(a, b):

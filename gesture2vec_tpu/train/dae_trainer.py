@@ -23,7 +23,7 @@ from gesture2vec_tpu.models.dae import DAE, VAEFrame, VQFrame
 from gesture2vec_tpu.models.vq import VQEmaState
 from gesture2vec_tpu.train import checkpoints
 from gesture2vec_tpu.train.config import Config
-from gesture2vec_tpu.train.losses import kld_loss, mse_loss
+from gesture2vec_tpu.train.losses import mse_loss
 from gesture2vec_tpu.train.optim import make_optimizer
 from gesture2vec_tpu.utils.meters import AverageMeter
 

@@ -11,14 +11,13 @@ and the whole unroll compiles into one program via lax.fori_loop.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 
 from gesture2vec_tpu.models.gan import T2GDiscriminator, T2GGenerator
-from gesture2vec_tpu.train.optim import make_optimizer
 
 
 class GANTrainState(NamedTuple):

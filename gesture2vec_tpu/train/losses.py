@@ -6,8 +6,6 @@ Rebuilds the reference's loss math exactly
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 import optax
 
