@@ -75,14 +75,112 @@ def main() -> None:
     h.add_argument("transcript")
     h.add_argument("--out", default="human_study")
     h.add_argument("--seconds", type=float, default=6.0)
+    c = sub.add_parser("c2g-samples")
+    c.add_argument("c2g_checkpoint")
+    c.add_argument("rep_checkpoint")
+    c.add_argument("--store", required=True)
+    c.add_argument("--pipeline", required=True)
+    c.add_argument("--out", default="c2g_samples")
+    c.add_argument("--clusters", type=int, required=True)
+    c.add_argument("--per-cluster", type=int, default=3)
+    i = sub.add_parser("import-checkpoint")
+    i.add_argument("torch_path")
+    i.add_argument("out_path")
+    i.add_argument("--kind", required=True,
+                   choices=["DAE", "autoencoder", "autoencoder_vq",
+                            "text2embedding"])
     args = parser.parse_args()
     if args.cmd == "unityfy":
         for p in unityfy(args.jsons_path, args.out):
             print(p)
-    else:
+    elif args.cmd == "human-study":
         for p in human_study_clips(args.bvh, args.transcript, args.out,
                                    args.seconds):
             print(p)
+    elif args.cmd == "c2g-samples":
+        n = c2g_samples(args.c2g_checkpoint, args.rep_checkpoint,
+                        args.store, args.pipeline, args.out,
+                        args.clusters, args.per_cluster)
+        print(f"wrote {n} samples")
+    else:
+        import_reference_checkpoint(args.torch_path, args.out_path,
+                                    args.kind)
+
+
+
+
+def c2g_samples(c2g_checkpoint: str, rep_checkpoint: str, store_dir: str,
+                pipeline_path: str, out_dir: str, n_clusters: int,
+                samples_per_cluster: int = 3) -> int:
+    """Synthesize motion per cluster id through the c2g decoder
+    (ref: scripts/inference_cluster2gesture.py:61-96)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gesture2vec_tpu.data.datasets import unnormalize
+    from gesture2vec_tpu.data.store import ClipStore
+    from gesture2vec_tpu.infer.exporter import frames_to_bvh
+    from gesture2vec_tpu.mocap.features import FeatureExtractor
+    from gesture2vec_tpu.train import checkpoints
+
+    c2g_model, c2g_vars, _ = checkpoints.load_checkpoint_and_model(
+        c2g_checkpoint, "c2g")
+    dae_model, dae_vars, _ = checkpoints.load_checkpoint_and_model(
+        rep_checkpoint, "DAE")
+    store = ClipStore(store_dir)
+    fe = FeatureExtractor.load(pipeline_path)
+    os.makedirs(out_dir, exist_ok=True)
+
+    count = 0
+    for cid in range(n_clusters):
+        ids = jnp.full((samples_per_cluster,), cid, jnp.int32)
+        latents = np.asarray(c2g_model.apply(c2g_vars, ids, train=False))
+        for k in range(samples_per_cluster):
+            frames = np.asarray(dae_model.apply(
+                dae_vars, jnp.asarray(latents[k]),
+                method=dae_model.decode))
+            frames = unnormalize(frames, store.pose_mean, store.pose_std)
+            d = os.path.join(out_dir, str(cid))
+            os.makedirs(d, exist_ok=True)
+            frames_to_bvh(frames, fe,
+                          path=os.path.join(d, f"sample_{k}.bvh"))
+            count += 1
+    return count
+
+
+def import_reference_checkpoint(torch_path: str, out_path: str,
+                                kind: str) -> None:
+    """Convert a reference PyTorch checkpoint into our format
+    (compat/torch_import + train/checkpoints)."""
+    from gesture2vec_tpu.compat.torch_import import (
+        convert_dae_state, convert_seq_ae_state, convert_text2token_state,
+        load_reference_checkpoint)
+    from gesture2vec_tpu.train import checkpoints
+    from gesture2vec_tpu.train.config import load_config
+
+    payload = load_reference_checkpoint(torch_path)
+    args = payload.get("args")
+    cfg = load_config(vars(args) if args is not None and
+                      not isinstance(args, dict) else (args or {}))
+    sd = payload["state_dict"]
+    extra = {}
+    if kind == "DAE":
+        params = convert_dae_state(sd)
+    elif kind in ("autoencoder", "autoencoder_vq"):
+        params, batch_stats = convert_seq_ae_state(sd, cfg.n_layers)
+        extra["batch_stats"] = batch_stats
+    elif kind == "text2embedding":
+        params, batch_stats = convert_text2token_state(sd, cfg.n_layers)
+        extra["batch_stats"] = batch_stats
+        extra["n_words"] = sd["encoder.embedding.weight"].shape[0]
+    else:
+        raise ValueError(f"unsupported kind {kind!r}")
+    checkpoints.save_checkpoint(out_path, config=cfg,
+                                epoch=int(payload["epoch"]),
+                                params=params,
+                                pose_dim=int(payload["pose_dim"]),
+                                extra=extra)
+    print(f"converted {torch_path} ({kind}) -> {out_path}")
 
 
 if __name__ == "__main__":

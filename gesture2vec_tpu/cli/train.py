@@ -24,7 +24,7 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", "-c", required=True)
     parser.add_argument("--part",
-                        choices=["a", "b", "d", "baseline", "c2g"],
+                        choices=["a", "b", "d", "baseline", "c2g", "gan"],
                         required=True)
     parser.add_argument("--rep-checkpoint", default=None,
                         help="frozen Part-a checkpoint (parts b, d)")
@@ -82,8 +82,9 @@ def main() -> None:
                   all_frames(val_store, mean, std), save_dir=save_dir)
         return
 
-    if args.part == "baseline":
-        # text -> continuous pose windows (ref: scripts/train.py);
+    if args.part in ("baseline", "gan"):
+        # text -> continuous pose windows (ref: scripts/train.py for the
+        # baseline, scripts/train_gan.py for the unrolled GAN);
         # no frozen teachers needed
         from gesture2vec_tpu.data.datasets import (normalize,
                                                    sentence_windows)
@@ -115,10 +116,59 @@ def main() -> None:
             return {"word_ids": word_ids, "lengths": lengths,
                     "poses": poses}
 
-        train_baseline(cfg, build(train_store), build(val_store),
-                       vocab.n_words,
-                       embedding_weights=vocab.word_embedding_weights,
-                       save_dir=save_dir)
+        if args.part == "baseline":
+            train_baseline(cfg, build(train_store), build(val_store),
+                           vocab.n_words,
+                           embedding_weights=vocab.word_embedding_weights,
+                           save_dir=save_dir)
+            return
+
+        # unrolled GAN (ref: scripts/train_gan.py +
+        # train_eval/train_seq2seq.py:541-661)
+        import jax
+        import jax.numpy as jnp
+
+        from gesture2vec_tpu.train.gan_trainer import (build_gan,
+                                                       init_gan,
+                                                       make_gan_step)
+        from gesture2vec_tpu.train.optim import make_optimizer
+        from gesture2vec_tpu.utils.meters import AverageMeter
+
+        data = build(train_store)
+        g, d = build_gan(cfg, vocab.n_words, data["poses"].shape[-1],
+                         embedding_weights=vocab.word_embedding_weights)
+        g_opt = make_optimizer(cfg.learning_rate)
+        d_opt = make_optimizer(cfg.learning_rate)
+        state = init_gan(g, d, jax.random.PRNGKey(max(cfg.random_seed, 0)),
+                         g_opt, d_opt, max_words=data["word_ids"].shape[1])
+        step = make_gan_step(g, d, g_opt, d_opt)
+        bs = cfg.batch_size
+        meter = AverageMeter("g_loss", ":.4f")
+        rng = jax.random.PRNGKey(1)
+        import numpy as _np
+        for epoch in range(cfg.epochs):
+            perm = _np.random.default_rng(epoch).permutation(
+                data["word_ids"].shape[0])
+            meter.reset()
+            for s in range(0, len(perm) - bs + 1, bs):
+                take = perm[s:s + bs]
+                rng, srng = jax.random.split(rng)
+                state, metrics = step(
+                    state, jnp.asarray(data["word_ids"][take]),
+                    jnp.asarray(data["lengths"][take]),
+                    jnp.asarray(data["poses"][take]), srng)
+                meter.update(float(metrics["g_loss"]), bs)
+            logging.info("EP %d done: g %.4f d_real %.4f d_fake %.4f",
+                         epoch, meter.avg, float(metrics["d_real"]),
+                         float(metrics["d_fake"]))
+        path = checkpoints.checkpoint_filename(save_dir, cfg.name,
+                                               cfg.epochs)
+        checkpoints.save_checkpoint(
+            path, config=cfg, epoch=cfg.epochs, params=state.g_params,
+            pose_dim=data["poses"].shape[-1],
+            extra={"batch_stats": state.g_batch_stats,
+                   "d_params": state.d_params, "n_words": vocab.n_words})
+        logging.info("saved checkpoint %s", path)
         return
 
     # parts b, c2g, and d need the frozen Part-a model

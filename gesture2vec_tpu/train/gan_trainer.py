@@ -147,3 +147,16 @@ def build_gan(config, n_words: int, pose_dim: int,
                          word_embed_size=config.wordembed_dim,
                          embedding_weights=embedding_weights)
     return g, d
+
+
+from gesture2vec_tpu.train import checkpoints  # noqa: E402
+
+
+@checkpoints.register_model_kind("text2embedding_gan")
+def _build_gan_generator(config, payload: dict):
+    """Rebuild the GAN generator from a checkpoint (the reference's
+    'text2embedding_gan' registry kind, ref: utils/train_utils.py:116)."""
+    g, _ = build_gan(config, int(payload["extra"]["n_words"]),
+                     int(payload["pose_dim"]))
+    return g, {"params": payload["params"],
+               "batch_stats": payload["extra"].get("batch_stats", {})}
