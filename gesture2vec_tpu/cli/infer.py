@@ -34,6 +34,9 @@ def main() -> None:
     parser.add_argument("--duration", type=float, default=None,
                         help="seconds (default: last word end time)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--plot-attention", default=None,
+                        help="save the first window's attention heatmap "
+                             "(ref: inference_text2embedding.py:69-105)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -90,6 +93,27 @@ def main() -> None:
     logging.info("generated %d frames (%d tokens) in %.2fs "
                  "(%.0f frames/s)", frames.shape[0], len(tokens), dt,
                  frames.shape[0] / dt)
+
+    if args.plot_attention and t2t_model.use_attention:
+        import jax.numpy as jnp
+        import numpy as np
+
+        from gesture2vec_tpu.cluster.plots import plot_attention
+
+        window_words = [w[0] for w in words][:cfg.extras.get(
+            "max_words", 48)]
+        ids = np.zeros((1, 48), np.int32)
+        wid = vocab.words_to_ids(window_words)[:48]
+        ids[0, :len(wid)] = wid
+        res = t2t_model.apply(t2t_vars, jnp.asarray(ids),
+                              jnp.asarray([max(len(wid), 1)], np.int32),
+                              jnp.zeros((1, t2t_model.n_steps), np.int32),
+                              train=False)
+        attn = np.asarray(res["attentions"])[:, 0, :len(wid)]
+        plot_attention(attn, args.plot_attention,
+                       words=["<SOS>"] + window_words[:len(wid) - 2] +
+                             ["<EOS>"])
+        logging.info("attention heatmap -> %s", args.plot_attention)
 
     if args.dataset == "twh":
         from gesture2vec_tpu.infer.exporter import frames_to_bvh_twh

@@ -237,7 +237,8 @@ def main() -> None:
     sent_val = build_sentence_dataset(val_store, vocab, **kw)
     train_text2token(cfg, sent, sent_val, vocab.n_words,
                      embedding_weights=vocab.word_embedding_weights,
-                     lang_model_state=None, save_dir=save_dir)
+                     lang_model_state=vocab.state_dict(),
+                     save_dir=save_dir)
 
 
 if __name__ == "__main__":

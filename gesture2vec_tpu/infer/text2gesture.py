@@ -115,12 +115,16 @@ class GestureGenerator:
             Default: all chunks decode as ONE batch (19 sequential GRU
             steps total instead of 19*N). chunk_continuity instead scans
             chunks with the previous chunk's last frame as the seed."""
-            cb = self.seq_variables["params"]["vq_layer"]["codebook"]
+            # checkpoint-loaded params may be numpy arrays; make the
+            # codebook a jax array before traced indexing
+            cb = jnp.asarray(
+                self.seq_variables["params"]["vq_layer"]["codebook"])
             L, H = seq.n_layers, seq.hidden_size
 
             if not chunk_continuity:
                 N = tokens.shape[0]
-                hidden = jnp.transpose(cb[tokens].reshape(N, L, H),
+                hidden = jnp.transpose(jnp.take(cb, tokens,
+                                                axis=0).reshape(N, L, H),
                                        (1, 0, 2))
                 if self.use_fused_decoder:
                     from gesture2vec_tpu.ops.decoder_pallas import \
@@ -140,7 +144,7 @@ class GestureGenerator:
                 return out.reshape(-1, seq.rep_dim)
 
             def body(prev_last, tok):
-                codevec = cb[tok]
+                codevec = jnp.take(cb, tok, axis=0)
                 hidden = jnp.transpose(codevec.reshape(1, L, H), (1, 0, 2))
                 seed = jnp.tile(prev_last[None, None, :],
                                 (1, seq.n_frames, 1))
