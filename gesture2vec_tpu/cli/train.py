@@ -76,10 +76,18 @@ def main() -> None:
     val_store = ClipStore(cfg.val_data_path)
     mean, std = train_store.pose_mean, train_store.pose_std
 
+    def _plot(history):
+        from gesture2vec_tpu.mocap.viz import plot_loss_curves
+        path = os.path.join(save_dir, "loss_curves.png")
+        plot_loss_curves(history, path, title=cfg.name)
+        logging.info("loss curves -> %s", path)
+
     if args.part == "a":
         from gesture2vec_tpu.train.dae_trainer import train_dae
-        train_dae(cfg, all_frames(train_store),
-                  all_frames(val_store, mean, std), save_dir=save_dir)
+        _, hist = train_dae(cfg, all_frames(train_store),
+                            all_frames(val_store, mean, std),
+                            save_dir=save_dir)
+        _plot(hist)
         return
 
     if args.part in ("baseline", "gan"):
@@ -189,7 +197,8 @@ def main() -> None:
             dae_model, dae_vars,
             pose_windows(val_store, cfg.n_poses,
                          cfg.subdivision_stride, mean, std))
-        train_seq_ae(cfg, tw, vw, save_dir=save_dir)
+        _, hist = train_seq_ae(cfg, tw, vw, save_dir=save_dir)
+        _plot(hist)
         return
 
     if args.part == "c2g":
@@ -235,10 +244,11 @@ def main() -> None:
               fps=cfg.motion_resampling_framerate, mean=mean, std=std)
     sent = build_sentence_dataset(train_store, vocab, **kw)
     sent_val = build_sentence_dataset(val_store, vocab, **kw)
-    train_text2token(cfg, sent, sent_val, vocab.n_words,
-                     embedding_weights=vocab.word_embedding_weights,
-                     lang_model_state=vocab.state_dict(),
-                     save_dir=save_dir)
+    _, hist = train_text2token(cfg, sent, sent_val, vocab.n_words,
+                               embedding_weights=vocab.word_embedding_weights,
+                               lang_model_state=vocab.state_dict(),
+                               save_dir=save_dir)
+    _plot(hist)
 
 
 if __name__ == "__main__":

@@ -209,10 +209,14 @@ class GestureGenerator:
         unit = self.sentence_frame_length / self.fps   # ref :255-265
         n_windows = max(int(np.ceil(duration_s / unit)), 1)
 
-        # pad the window count to a power-of-two bucket so arbitrary
-        # durations reuse a handful of compiled programs; padded windows
-        # generate throwaway frames that are trimmed below
-        n_padded = 1 << (n_windows - 1).bit_length()
+        # bucket the window count (multiples of 16, powers of two below
+        # that) so arbitrary durations reuse few compiled programs while
+        # wasting at most ~5% padding at scale; padded windows generate
+        # throwaway frames that are trimmed below
+        if n_windows <= 16:
+            n_padded = 1 << (n_windows - 1).bit_length()
+        else:
+            n_padded = (n_windows + 15) // 16 * 16
         word_ids = np.zeros((n_padded, self.max_words), np.int32)
         lengths = np.ones((n_padded,), np.int32)
         for w in range(n_windows):
