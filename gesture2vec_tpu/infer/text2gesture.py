@@ -64,6 +64,12 @@ class GestureGenerator:
     # kernel (ops/decoder_pallas) - TPU only, 2-layer no-attention
     # decoders; falls back to the scan path otherwise
     use_fused_decoder: bool = False
+    # True (reference behavior): each window's teacher prefix carries the
+    # previous window's trailing predictions (ref :369-374), forcing a
+    # sequential scan over windows. False: all windows decode in ONE
+    # batched call with zero seeds - W-fold more parallel, for
+    # throughput-first deployments
+    window_carry: bool = True
 
     def __post_init__(self):
         self.n_steps = self.sentence_frame_length // self.n_frames
@@ -81,11 +87,21 @@ class GestureGenerator:
         n_pre = t2t.n_pre_poses
         n_steps = self.n_steps
 
+        window_carry = self.window_carry
+
         @jax.jit
         def predict_tokens_all(word_ids, lengths, seed0):
             """Text encoding of ALL windows in one batched call, then a
-            scan over windows for the seed-carried token decode.
+            scan over windows for the seed-carried token decode (or one
+            fully-batched decode when window_carry=False).
             word_ids (W, S), lengths (W,), seed0 (n_steps,)."""
+            if not window_carry:
+                W = word_ids.shape[0]
+                targets = jnp.zeros((W, n_steps), jnp.int32)
+                res = t2t.apply(self.t2t_variables, word_ids, lengths,
+                                targets, train=False)
+                return jnp.argmax(res["logits"], axis=-1).reshape(-1)
+
             enc_outs, dec_hidden = t2t.apply(
                 self.t2t_variables, word_ids, lengths,
                 method=t2t.encode_text)   # (S, W, H), (L, W, H)

@@ -166,3 +166,26 @@ def test_token_index(pipeline_artifacts):
     idx = token_index(bank["tokens"], CODES)
     total = sum(len(v) for v in idx.values())
     assert total == bank["tokens"].shape[0]
+
+
+def test_parallel_windows_mode(pipeline_artifacts):
+    """window_carry=False decodes all windows in one batched call; shape
+    contract identical to the sequential default."""
+    art = pipeline_artifacts
+    gen = _generator(art, "decode")
+    gen_fast = GestureGenerator(
+        t2t_model=art["t2t"][0], t2t_variables=art["t2t"][1],
+        seq_model=art["seq"][0], seq_variables=art["seq"][1],
+        dae_model=art["dae"][0], dae_variables=art["dae"][1],
+        vocab=art["vocab"], pose_mean=art["store"].pose_mean,
+        pose_std=art["store"].pose_std, n_frames=N_POSES,
+        sentence_frame_length=SENT_LEN, fps=FPS, max_words=16,
+        mode="decode", latent_bank=art["bank"], seed=0,
+        window_carry=False)
+    f1, t1 = gen.generate(WORDS, duration_s=4.0)
+    f2, t2 = gen_fast.generate(WORDS, duration_s=4.0)
+    assert f1.shape == f2.shape
+    assert t1.shape == t2.shape
+    # first window has no carry in either mode: its tokens agree
+    np.testing.assert_array_equal(t1[:SENT_LEN // N_POSES],
+                                  t2[:SENT_LEN // N_POSES])
