@@ -74,7 +74,6 @@ def bench_gru():
               f"max err {err:.2e}")
 
 
-    bench_fused_decoder()
 
 
 def bench_fused_decoder():

@@ -63,6 +63,9 @@ def main() -> None:
         shape = {k: int(v) for k, v in
                  (kv.split("=") for kv in args.mesh.split(","))}
         cfg = cfg.replace(mesh_shape=shape)
+        if args.part != "b":
+            logging.warning("--mesh currently applies to --part b only; "
+                            "part %s trains single-device", args.part)
     if args.rep_checkpoint:
         cfg = cfg.replace(rep_learning_checkpoint=args.rep_checkpoint)
     if args.autoencoder_checkpoint:
@@ -154,9 +157,13 @@ def main() -> None:
         meter = AverageMeter("g_loss", ":.4f")
         rng = jax.random.PRNGKey(1)
         import numpy as _np
+        n_samples = data["word_ids"].shape[0]
+        if n_samples < bs:
+            raise ValueError(
+                f"GAN training needs at least one full batch "
+                f"({n_samples} windows < batch_size {bs})")
         for epoch in range(cfg.epochs):
-            perm = _np.random.default_rng(epoch).permutation(
-                data["word_ids"].shape[0])
+            perm = _np.random.default_rng(epoch).permutation(n_samples)
             meter.reset()
             for s in range(0, len(perm) - bs + 1, bs):
                 take = perm[s:s + bs]

@@ -87,6 +87,24 @@ class GestureGenerator:
         n_pre = t2t.n_pre_poses
         n_steps = self.n_steps
 
+        if self.use_fused_decoder:
+            # the fused kernel covers 2-layer no-attention decoders on
+            # TPU; anything else falls back to the scan path (see
+            # ops/decoder_pallas docstring)
+            import logging
+
+            ok = (seq.n_layers == 2 and not seq.use_attention
+                  and jax.devices()[0].platform == "tpu")
+            if ok:
+                from gesture2vec_tpu.ops.decoder_pallas import supported
+                ok = supported(256, seq.hidden_size, seq.rep_dim,
+                               seq.n_frames - 1)
+            if not ok:
+                logging.warning("use_fused_decoder unsupported here "
+                                "(needs TPU, 2 layers, no attention, "
+                                "VMEM fit); using the scan decoder")
+                self.use_fused_decoder = False
+
         window_carry = self.window_carry
 
         @jax.jit

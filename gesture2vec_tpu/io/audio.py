@@ -107,11 +107,11 @@ def mel_chunks_per_second(y: np.ndarray, sr: int = AUDIO_SR,
     melspectrogram with library defaults, then power_to_db(ref=max)).
     Returns (n_seconds, n_mels, ~32) float32."""
     n_sec = len(y) // sr
+    fb = mel_filterbank(sr, 2048, n_mels, 0.0, sr / 2)
     chunks = []
     for k in range(n_sec):
         power = stft_power(y[k * sr:(k + 1) * sr], n_fft=2048,
                            hop_length=hop_length)
-        fb = mel_filterbank(sr, 2048, n_mels, 0.0, sr / 2)
         chunks.append(power_to_db(fb @ power))
     return (np.stack(chunks, axis=0) if chunks
             else np.zeros((0, n_mels, 1), np.float32))
