@@ -247,15 +247,23 @@ def train_dae(config: Config, train_frames: np.ndarray,
         batches = prefetch(
             (train_frames[perm[b * bs:(b + 1) * bs]]
              for b in range(n_batches)))
+        # metrics stay on device; float() would force a host sync per
+        # step, so losses are fetched only at log points and epoch end
+        losses = []
         for b, batch in enumerate(batches):
             rng, step_rng = jax.random.split(rng)
             state, metrics = step_fn(state, batch, step_rng)
-            meter.update(float(metrics["loss"]), bs)
+            losses.append(metrics["loss"])
             if (b + 1) % log_every == 0:
-                sps = meter.count / (time.time() - t0)
+                meter.update(float(metrics["loss"]), bs * log_every)
+                sps = (b + 1) * bs / (time.time() - t0)
                 logging.info("EP %d (%d/%d) %s, %.0f samples/s",
                              epoch, b + 1, n_batches, meter, sps)
-        history["train_loss"].append(meter.avg)
+        epoch_loss = (float(np.mean([float(x) for x in losses]))
+                      if losses else float("nan"))
+        meter.update(epoch_loss, max(bs, 1))
+        meter.avg = epoch_loss
+        history["train_loss"].append(epoch_loss)
 
         # evaluation (ref: train_DAE.py:314-371 evaluate_testset)
         val_losses = []

@@ -251,18 +251,29 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
             batches = prefetch(
                 (train_windows[perm[b * bs:(b + 1) * bs]]
                  for b in range(n // bs)))
+        # losses/perplexities stay on device between log points (a
+        # float() per step would host-sync every step)
+        losses, perps = [], []
         for b, batch in enumerate(batches):
             rng, srng = jax.random.split(rng)
             state, metrics = train_step(state, batch, srng,
                                         jnp.asarray(epoch, jnp.float32))
-            meter.update(float(metrics["loss"]), bs)
-            perp_m.update(float(metrics["perplexity"]), bs)
+            losses.append(metrics["loss"])
+            perps.append(metrics["perplexity"])
             if (b + 1) % log_every == 0:
-                sps = meter.count / (time.time() - t0)
+                meter.update(float(metrics["loss"]), bs * log_every)
+                perp_m.update(float(metrics["perplexity"]), bs * log_every)
+                sps = (b + 1) * bs / (time.time() - t0)
                 logging.info("EP %d (%d/%d) %s %s, %.0f samples/s", epoch,
                              b + 1, n // bs, meter, perp_m, sps)
-        history["train_loss"].append(meter.avg)
-        history["perplexity"].append(perp_m.avg)
+        epoch_loss = (float(np.mean([float(x) for x in losses]))
+                      if losses else float("nan"))
+        epoch_perp = (float(np.mean([float(x) for x in perps]))
+                      if perps else float("nan"))
+        meter.avg = epoch_loss
+        perp_m.avg = epoch_perp
+        history["train_loss"].append(epoch_loss)
+        history["perplexity"].append(epoch_perp)
 
         val_losses = []
         rng, vrng = jax.random.split(rng)

@@ -141,6 +141,7 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
         perm = np.random.default_rng(seed + epoch).permutation(n)
         meter.reset()
         t0 = time.time()
+        losses = []
         for b in range(max(n // bs, 1)):
             take = perm[b * bs:(b + 1) * bs]
             if take.size < bs:
@@ -150,12 +151,16 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
                 state, jnp.asarray(data["word_ids"][take]),
                 jnp.asarray(data["lengths"][take]),
                 jnp.asarray(data["tokens"][take]), srng)
-            meter.update(float(metrics["loss"]), bs)
+            losses.append(metrics["loss"])
             if (b + 1) % log_every == 0:
-                sps = meter.count / (time.time() - t0)
+                meter.update(float(metrics["loss"]), bs * log_every)
+                sps = (b + 1) * bs / (time.time() - t0)
                 logging.info("EP %d (%d) %s, %.0f samples/s", epoch,
                              b + 1, meter, sps)
-        history["train_loss"].append(meter.avg)
+        epoch_loss = (float(np.mean([float(x) for x in losses]))
+                      if losses else float("nan"))
+        meter.avg = epoch_loss
+        history["train_loss"].append(epoch_loss)
 
         vl, va = [], []
         m = val_data["word_ids"].shape[0]
