@@ -193,7 +193,8 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
                  val_windows: np.ndarray, save_dir: Optional[str] = None,
                  save_every: int = 20, log_every: int = 50,
                  parity: bool = False,
-                 resume_from: Optional[str] = None
+                 resume_from: Optional[str] = None,
+                 plot_every: int = 0
                  ) -> Tuple[SeqAETrainState, Dict[str, list]]:
     """Full Part-b loop (ref: train_autoencoder_VQVAE.py:108-445).
     train_windows: (N, n_poses, rep_dim) frozen-DAE latents.
@@ -284,6 +285,19 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
         history["val_loss"].append(val_loss)
         logging.info("EP %d done: train %.5f val %.5f perp %.1f", epoch,
                      meter.avg, val_loss, perp_m.avg)
+
+        if (plot_every and save_dir and model.use_vq
+                and (epoch + 1) % plot_every == 0):
+            # per-epoch codebook t-SNE artifact
+            # (ref: train_autoencoder_VQVAE.py:450-545)
+            import os
+
+            from gesture2vec_tpu.cluster.plots import plot_codebook_tsne
+            plot_codebook_tsne(
+                np.asarray(state.params["vq_layer"]["codebook"]),
+                os.path.join(save_dir,
+                             f"codebook_tsne_ep{epoch + 1:03d}.png"),
+                title=f"{config.name} codebook ep{epoch + 1}")
 
         if save_dir and ((epoch + 1) % save_every == 0
                          or epoch + 1 == config.epochs):
