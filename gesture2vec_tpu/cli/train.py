@@ -33,6 +33,10 @@ def main() -> None:
     parser.add_argument("--save-dir", default=None)
     parser.add_argument("--mesh", default=None,
                         help="device mesh, e.g. 'dp=8' or 'dp=4,tp=2'")
+    parser.add_argument("--plot-every", type=int, default=0,
+                        help="part b: write a codebook t-SNE every N "
+                             "epochs (ref: train_autoencoder_VQVAE.py"
+                             ":450-545)")
     parser.add_argument("--platform", default=None,
                         help="force jax platform (cpu/tpu)")
     args = parser.parse_args()
@@ -204,7 +208,8 @@ def main() -> None:
             dae_model, dae_vars,
             pose_windows(val_store, cfg.n_poses,
                          cfg.subdivision_stride, mean, std))
-        _, hist = train_seq_ae(cfg, tw, vw, save_dir=save_dir)
+        _, hist = train_seq_ae(cfg, tw, vw, save_dir=save_dir,
+                               plot_every=args.plot_every)
         _plot(hist)
         return
 

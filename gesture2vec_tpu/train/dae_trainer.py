@@ -255,13 +255,14 @@ def train_dae(config: Config, train_frames: np.ndarray,
             state, metrics = step_fn(state, batch, step_rng)
             losses.append(metrics["loss"])
             if (b + 1) % log_every == 0:
-                meter.update(float(metrics["loss"]), bs * log_every)
+                block = float(jnp.mean(jnp.stack(losses[-log_every:])))
+                meter.update(block, bs * log_every)
                 sps = (b + 1) * bs / (time.time() - t0)
                 logging.info("EP %d (%d/%d) %s, %.0f samples/s",
                              epoch, b + 1, n_batches, meter, sps)
-        epoch_loss = (float(np.mean([float(x) for x in losses]))
+        # single batched device fetch for the epoch mean
+        epoch_loss = (float(jnp.mean(jnp.stack(losses)))
                       if losses else float("nan"))
-        meter.update(epoch_loss, max(bs, 1))
         meter.avg = epoch_loss
         history["train_loss"].append(epoch_loss)
 

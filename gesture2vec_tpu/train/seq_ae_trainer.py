@@ -262,14 +262,19 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
             losses.append(metrics["loss"])
             perps.append(metrics["perplexity"])
             if (b + 1) % log_every == 0:
-                meter.update(float(metrics["loss"]), bs * log_every)
-                perp_m.update(float(metrics["perplexity"]), bs * log_every)
+                # one sync fetches the whole block's exact mean
+                block = float(jnp.mean(jnp.stack(losses[-log_every:])))
+                pblock = float(jnp.mean(jnp.stack(perps[-log_every:])))
+                meter.update(block, bs * log_every)
+                perp_m.update(pblock, bs * log_every)
                 sps = (b + 1) * bs / (time.time() - t0)
                 logging.info("EP %d (%d/%d) %s %s, %.0f samples/s", epoch,
                              b + 1, n // bs, meter, perp_m, sps)
-        epoch_loss = (float(np.mean([float(x) for x in losses]))
+        # single batched device fetch (len(losses) float() calls would be
+        # one tunnel round-trip each)
+        epoch_loss = (float(jnp.mean(jnp.stack(losses)))
                       if losses else float("nan"))
-        epoch_perp = (float(np.mean([float(x) for x in perps]))
+        epoch_perp = (float(jnp.mean(jnp.stack(perps)))
                       if perps else float("nan"))
         meter.avg = epoch_loss
         perp_m.avg = epoch_perp

@@ -153,11 +153,13 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
                 jnp.asarray(data["tokens"][take]), srng)
             losses.append(metrics["loss"])
             if (b + 1) % log_every == 0:
-                meter.update(float(metrics["loss"]), bs * log_every)
+                block = float(jnp.mean(jnp.stack(losses[-log_every:])))
+                meter.update(block, bs * log_every)
                 sps = (b + 1) * bs / (time.time() - t0)
                 logging.info("EP %d (%d) %s, %.0f samples/s", epoch,
                              b + 1, meter, sps)
-        epoch_loss = (float(np.mean([float(x) for x in losses]))
+        # single batched device fetch for the epoch mean
+        epoch_loss = (float(jnp.mean(jnp.stack(losses)))
                       if losses else float("nan"))
         meter.avg = epoch_loss
         history["train_loss"].append(epoch_loss)

@@ -118,3 +118,14 @@ def test_attention_variant(rng):
                     "dropout": jax.random.PRNGKey(1)}, x, x, train=False)
     res = model.apply(v, x, x, train=False)
     assert np.isfinite(np.asarray(res["outputs"])).all()
+
+
+def test_plot_every_writes_codebook_tsne(rng, tmp_path):
+    import os
+
+    cfg = _config(epochs=2)
+    w = _windows(rng, n=48)
+    train_seq_ae(cfg, w, w[:16], save_dir=str(tmp_path), save_every=100,
+                 plot_every=1)
+    pngs = [f for f in os.listdir(tmp_path) if f.startswith("codebook")]
+    assert len(pngs) == 2
