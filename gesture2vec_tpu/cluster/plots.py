@@ -32,8 +32,9 @@ def tsne_embed(x: np.ndarray, seed: int = 0,
     from sklearn.manifold import TSNE
 
     x = np.asarray(x, np.float64)
-    if x.shape[1] > pca_dims:
-        x = PCA(n_components=pca_dims, random_state=seed).fit_transform(x)
+    n_comp = min(pca_dims, x.shape[0] - 1, x.shape[1])
+    if x.shape[1] > n_comp >= 2:
+        x = PCA(n_components=n_comp, random_state=seed).fit_transform(x)
     perplexity = min(30.0, max(2.0, x.shape[0] / 4 - 1))
     return TSNE(n_components=2, random_state=seed,
                 perplexity=perplexity, init="pca").fit_transform(x)
