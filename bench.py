@@ -32,7 +32,7 @@ N_WORDS, MAXW = 5000, 48
 # reports the same throughput metric.
 DURATION_S = 1800.0
 TORCH_DURATION_S = 120.0
-WARMUP, ITERS = 2, 3
+WARMUP, ITERS = 2, 5
 
 
 def _words():
