@@ -98,3 +98,30 @@ def test_gan_step_runs(rng):
                   jnp.zeros((4, cfg.noise_dim)),
                   jnp.asarray(data["poses"][:4, 0]), train=False)
     assert gen.shape == (4, T, D)
+
+
+def test_baseline_inference(rng):
+    """Sliding-window baseline generation with seed carry + blending
+    (ref: inference.py:53-96)."""
+    from gesture2vec_tpu.infer.baseline_infer import generate_baseline
+    from gesture2vec_tpu.text.vocab import Vocab
+    from gesture2vec_tpu.train.misc_trainers import make_baseline
+    from gesture2vec_tpu.train.optim import make_optimizer
+
+    cfg = _cfg()
+    vocab = Vocab("t")
+    for i in range(20):
+        vocab.index_word(f"w{i}")
+    model = make_baseline(cfg, vocab.n_words, D)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)},
+                   jnp.zeros((1, 8), jnp.int32),
+                   jnp.ones((1,), jnp.int32),
+                   jnp.zeros((1, T, D)), train=False)
+    words = [[f"w{k}", k * 0.4, k * 0.4 + 0.2] for k in range(12)]
+    out = generate_baseline(model, v, vocab, words, duration_s=3.0,
+                            pose_mean=np.zeros(D, np.float32),
+                            pose_std=np.ones(D, np.float32), fps=20,
+                            max_words=8, overlap=4)
+    assert out.shape == (60, D)
+    assert np.isfinite(out).all()
