@@ -153,6 +153,14 @@ def main() -> None:
         ]
         with open(os.path.join(out, "Metrics.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
+        # LaTeX table like the reference emits (ref: Clustering.py:1611-1626)
+        vals = [ln.split(": ")[1] for ln in lines]
+        with open(os.path.join(out, "Metrics.tex"), "w") as f:
+            f.write("\\begin{tabular}{lccccc}\n\\toprule\n"
+                    "Hellinger & Fr\\'echet & PPL(train) & PPL(val) & "
+                    "Wasserstein \\\\\n\\midrule\n"
+                    + " & ".join(vals) + " \\\\\n"
+                    "\\bottomrule\n\\end{tabular}\n")
         for ln in lines:
             logging.info(ln)
 
