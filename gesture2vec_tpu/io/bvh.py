@@ -180,9 +180,9 @@ def parse_bvh(path_or_text: str, from_text: bool = False,
     data_start = 0
     for li, line in enumerate(lines):
         s = line.strip()
-        if s.startswith("Frames:"):
+        if s.startswith("Frames"):
             n_frames = int(s.split(":", 1)[1])
-        elif s.startswith("Frame Time:"):
+        elif s.startswith("Frame") and "Time" in s:
             frame_time = float(s.split(":", 1)[1])
             data_start = li + 1
             break
