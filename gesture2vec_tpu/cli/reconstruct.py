@@ -25,6 +25,9 @@ def main() -> None:
     parser.add_argument("--out", default="reconstructed.bvh")
     parser.add_argument("--overlap", type=int, default=0,
                         help="chunk overlap frames (cross-fade blended)")
+    parser.add_argument("--warmup-steps", type=int, default=0,
+                        help="decoder hidden warm-up repeats before each "
+                             "chunk rollout (reference uses 5)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -62,7 +65,8 @@ def main() -> None:
         recon = chunked_reconstruct(seq_model, seq_vars, dae_model,
                                     dae_vars, frames,
                                     seq_payload["config"].n_poses,
-                                    overlap=args.overlap)
+                                    overlap=args.overlap,
+                                    warmup_steps=args.warmup_steps)
         logging.info("part a+b chunked round trip (%d frames)",
                      recon.shape[0])
     else:

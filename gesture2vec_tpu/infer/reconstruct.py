@@ -8,10 +8,13 @@ Rebuilds:
                             through the frozen DAE + seq autoencoder,
                             with linear cross-chunk blending
                             (ref :388-395). The reference's 5-step
-                            decoder "warm-up" (:206-209) is omitted: it
-                            repeats the first decode step to spin the
-                            hidden state, which the quantized hidden
-                            initialization makes redundant here.
+                            decoder "warm-up" (:206-209) - repeating
+                            the first decode step to spin the hidden
+                            state - is available via warmup_steps
+                            (default 0: the quantized hidden
+                            initialization makes it redundant here,
+                            but it reproduces the reference rollout
+                            exactly when enabled).
 """
 from __future__ import annotations
 
@@ -38,13 +41,15 @@ def dae_roundtrip(dae_model, dae_variables, frames: np.ndarray
 
 def chunked_reconstruct(seq_model, seq_variables, dae_model, dae_variables,
                         frames: np.ndarray, n_poses: int,
-                        overlap: int = 0, blend: bool = True
-                        ) -> np.ndarray:
+                        overlap: int = 0, blend: bool = True,
+                        warmup_steps: int = 0) -> np.ndarray:
     """Round-trip (T, D) normalized motion through the full Part-a+b
     autoencoder, chunk by chunk.
 
     overlap > 0 strides chunks by (n_poses - overlap) and linearly
-    cross-fades the overlapping frames (ref :388-395).
+    cross-fades the overlapping frames (ref :388-395). warmup_steps > 0
+    spins the decoder hidden by repeating the first decode step before
+    the rollout, like the reference (ref :206-209 uses 5).
     """
     T = frames.shape[0]
     stride = n_poses - overlap if overlap > 0 else n_poses
@@ -61,6 +66,10 @@ def chunked_reconstruct(seq_model, seq_variables, dae_model, dae_variables,
         if seq_model.use_vq:
             _, hidden = seq_model.apply(seq_variables, hidden,
                                         method=seq_model.quantize)
+        if warmup_steps > 0:
+            hidden = seq_model.apply(seq_variables, hidden, lat[:, 0],
+                                     None, warmup_steps,
+                                     method=seq_model.warmup_hidden)
         out = seq_model.apply(seq_variables, hidden, lat, None,
                               method=seq_model.decode)[0]
         return dae_model.apply(dae_variables, out,

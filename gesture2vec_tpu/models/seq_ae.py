@@ -215,6 +215,23 @@ class SeqVQAutoencoder(nn.Module):
         vq_out, _ = self.quantize(dec_hidden)
         return jnp.argmax(vq_out.encodings, axis=-1)
 
+    def warmup_hidden(self, dec_hidden: jnp.ndarray, seed: jnp.ndarray,
+                      encoder_outputs: Optional[jnp.ndarray],
+                      steps: int = 5, train: bool = False) -> jnp.ndarray:
+        """Spin the decoder hidden state by feeding the seed frame
+        `steps` times before the rollout, discarding the outputs
+        (ref: inference_Autoencoder.py:206-209). seed is (B, D) - the
+        first target frame, same as the rollout's decoder_input seed.
+        """
+        x = seed if self.conditioned else jnp.zeros_like(seed)
+        apply_sd = train or self.eval_step_dropout
+        hidden = dec_hidden
+        for _ in range(steps):   # static count; XLA unrolls
+            _, hidden, _ = self.decoder_step(x, hidden, encoder_outputs,
+                                             train=train,
+                                             apply_step_dropout=apply_sd)
+        return hidden
+
     def decode(self, dec_hidden: jnp.ndarray, out_poses: jnp.ndarray,
                encoder_outputs: Optional[jnp.ndarray],
                train: bool = False) -> jnp.ndarray:

@@ -118,6 +118,18 @@ def test_reconstruction_paths(rng):
     assert out.shape == frames.shape
     assert np.isfinite(out).all()
 
+    # 5-step decoder warm-up (ref: inference_Autoencoder.py:206-209):
+    # spins the hidden state, so the rollout differs from warmup=0
+    warm = chunked_reconstruct(seq, seq_vars, dae, dae_vars, frames,
+                               n_poses=10, overlap=5, warmup_steps=5)
+    assert warm.shape == frames.shape
+    assert np.isfinite(warm).all()
+    assert not np.allclose(warm, out)
+    # warmup=0 is deterministic and identical to the default path
+    again = chunked_reconstruct(seq, seq_vars, dae, dae_vars, frames,
+                                n_poses=10, overlap=5, warmup_steps=0)
+    np.testing.assert_allclose(again, out, atol=1e-6)
+
 
 def test_stage_timer():
     t = StageTimer(sync=False)
