@@ -1,0 +1,134 @@
+"""Microbenchmark: jitted training-step throughput for parts a, b, d.
+
+Measures steady-state optimization steps/s (and samples/s) of the real
+jitted train steps at production shapes, threading the donated train
+state exactly like the training loop does. Run on TPU:
+
+    python benchmarks/train_step.py [--batch 128] [--iters 30]
+
+The reference's training loop is torch on GPU/CPU with a Python-level
+batch loop (ref: scripts/train_DAE.py / train_Autoencoder_VQVAE.py /
+train_text2embedding.py); here each step is one fused XLA program.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gesture2vec_tpu.train.config import load_config
+from gesture2vec_tpu.train.optim import make_optimizer
+
+
+def bench_steps(step_fn, state, args, iters, warmup=5):
+    """Thread state through step_fn (donated arg 0) and return aggregate
+    s/step over a chained run with ONE final host sync.
+
+    Per-iteration block_until_ready is deliberately avoided: on the axon
+    tunnel it under-reports (returns before device completion), and
+    per-step float() sync instead measures the ~34ms tunnel RTT. The
+    chained measurement matches how the real trainers run (async
+    dispatch, deferred metric sync)."""
+    for _ in range(warmup):
+        state, metrics = step_fn(state, *args)
+    _ = float(metrics["loss"])  # hard sync: warmup + compile done
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step_fn(state, *args)
+    _ = float(metrics["loss"])  # hard sync: all iters complete
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_dae(batch_size, iters):
+    from gesture2vec_tpu.train import dae_trainer
+
+    cfg = load_config(dict(name="bench_dae", model="DAE", hidden_size=40,
+                           input_motion_dim=135, dropout_prob=0.2,
+                           learning_rate=5e-4, epochs=1,
+                           batch_size=batch_size, random_seed=0))
+    model = dae_trainer.make_frame_model(cfg)
+    opt = make_optimizer(cfg.learning_rate)
+    state = dae_trainer.init_state(cfg, model, jax.random.PRNGKey(0), opt)
+    step = dae_trainer.make_train_step(cfg, model, opt)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(batch_size, 135)).astype(np.float32))
+    t = bench_steps(step, state, (x, jax.random.PRNGKey(1)), iters)
+    print(f"part a (DAE 135->40)      batch {batch_size}: "
+          f"{t*1e3:7.2f} ms/step  {batch_size/t:10.0f} frames/s")
+
+
+def bench_seq_ae(batch_size, iters):
+    from gesture2vec_tpu.train import seq_ae_trainer
+
+    cfg = load_config(dict(name="bench_b", model="seq2seq",
+                           hidden_size=200, n_layers=2, dropout_prob=0.2,
+                           rep_learning_dim=40, n_poses=20, n_pre_poses=1,
+                           autoencoder_vq=True,
+                           autoencoder_vq_components=512,
+                           learning_rate=5e-4, epochs=1,
+                           batch_size=batch_size, random_seed=0,
+                           loss_l1_weight=5, loss_cont_weight=0.1,
+                           loss_var_weight=0.5))
+    model = seq_ae_trainer.make_seq_ae(cfg)
+    opt = make_optimizer(cfg.learning_rate)
+    state = seq_ae_trainer.init_state(cfg, model, jax.random.PRNGKey(0),
+                                      opt)
+    step = seq_ae_trainer.make_train_step(cfg, model, opt, total_epochs=1)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(batch_size, 20, 40)).astype(np.float32))
+    t = bench_steps(step, state,
+                    (x, jax.random.PRNGKey(1), jnp.asarray(0.0)), iters)
+    print(f"part b (VQ-VAE tokenizer) batch {batch_size}: "
+          f"{t*1e3:7.2f} ms/step  {batch_size/t:10.0f} windows/s")
+
+
+def bench_t2t(batch_size, iters, max_words=32):
+    from gesture2vec_tpu.train import text2token_trainer
+
+    cfg = load_config(dict(name="bench_d", model="seq2seq",
+                           hidden_size=200, n_layers=2, dropout_prob=0.2,
+                           n_poses=20, n_pre_poses=1, wordembed_dim=300,
+                           sentence_frame_length=80,
+                           autoencoder_vq_components=512,
+                           learning_rate=5e-4, epochs=1,
+                           batch_size=batch_size, random_seed=0))
+    model = text2token_trainer.make_text2token(cfg, n_words=8000)
+    opt = make_optimizer(cfg.learning_rate)
+    state = text2token_trainer.init_state(model, jax.random.PRNGKey(0),
+                                          opt, max_words=max_words)
+    step = text2token_trainer.make_train_step(model, opt)
+    rng = np.random.default_rng(0)
+    words = jnp.asarray(rng.integers(4, 8000,
+                                     size=(batch_size, max_words),
+                                     dtype=np.int32))
+    lens = jnp.asarray(rng.integers(8, max_words, size=batch_size,
+                                    dtype=np.int32))
+    tgt = jnp.asarray(rng.integers(0, 512,
+                                   size=(batch_size, model.n_steps),
+                                   dtype=np.int32))
+    t = bench_steps(step, state, (words, lens, tgt, jax.random.PRNGKey(1)),
+                    iters)
+    print(f"part d (text->tokens)     batch {batch_size}: "
+          f"{t*1e3:7.2f} ms/step  {batch_size/t:10.0f} sentences/s")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    print(f"backend: {jax.default_backend()}  devices: "
+          f"{len(jax.devices())}")
+    bench_dae(args.batch, args.iters)
+    bench_seq_ae(args.batch, args.iters)
+    bench_t2t(args.batch, args.iters)
+
+
+if __name__ == "__main__":
+    main()

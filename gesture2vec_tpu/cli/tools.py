@@ -179,7 +179,7 @@ def import_reference_checkpoint(torch_path: str, out_path: str,
                                 epoch=int(payload["epoch"]),
                                 params=params,
                                 pose_dim=int(payload["pose_dim"]),
-                                extra=extra)
+                                extra=extra, kind=kind)
     print(f"converted {torch_path} ({kind}) -> {out_path}")
 
 

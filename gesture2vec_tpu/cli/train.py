@@ -186,7 +186,8 @@ def main() -> None:
             path, config=cfg, epoch=cfg.epochs, params=state.g_params,
             pose_dim=data["poses"].shape[-1],
             extra={"batch_stats": state.g_batch_stats,
-                   "d_params": state.d_params, "n_words": vocab.n_words})
+                   "d_params": state.d_params, "n_words": vocab.n_words},
+            kind="text2embedding_gan")
         logging.info("saved checkpoint %s", path)
         return
 

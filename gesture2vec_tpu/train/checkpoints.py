@@ -7,7 +7,7 @@ training script's init_model (ref: scripts/utils/train_utils.py:98-175).
 Here the payload is a msgpack-serialized pytree:
 
     {"args": <config dict>, "epoch": int, "pose_dim": int,
-     "lang_model": <vocab state or None>,
+     "lang_model": <vocab state or None>, "kind": <registry kind str>,
      "params": <flax params>, "extra": {batch_stats, vq_state, ...}}
 
 and the registry is a plain dict of builders - no circular imports.
@@ -55,12 +55,31 @@ def _to_serializable(tree):
 def save_checkpoint(path: str, *, config: Config, epoch: int,
                     params: Any, pose_dim: int = 0,
                     lang_model: Optional[dict] = None,
-                    extra: Optional[Dict[str, Any]] = None) -> None:
+                    extra: Optional[Dict[str, Any]] = None,
+                    kind: str = "") -> None:
+    # Footgun guard: two parts trained with the same config name + save
+    # dir produce colliding "{name}_checkpoint_{epoch}.bin" filenames
+    # (the reference has the same hazard, ref: scripts/train.py:64).
+    # Overwriting a checkpoint of a DIFFERENT kind is almost certainly
+    # that collision, not a re-run - warn loudly.
+    if kind and os.path.exists(path):
+        try:
+            old_kind = load_checkpoint(path).get("kind", "")
+        except Exception:
+            old_kind = ""
+        if old_kind and old_kind != kind:
+            import logging
+            logging.warning(
+                "overwriting %s: existing checkpoint is kind=%r, new "
+                "one is kind=%r - are two pipeline parts sharing a "
+                "config name/save dir? Use distinct names or "
+                "--save-dir.", path, old_kind, kind)
     payload = {
         "args": config.to_dict(),
         "epoch": int(epoch),
         "pose_dim": int(pose_dim),
         "lang_model": lang_model,
+        "kind": kind,
         "params": _to_serializable(params),
         "extra": _to_serializable(extra or {}),
     }
@@ -98,6 +117,14 @@ def load_checkpoint_and_model(path: str, what: str
     if what not in _REGISTRY:
         raise KeyError(f"unknown checkpoint kind {what!r}; known: "
                        f"{sorted(_REGISTRY)}")
+    stored = payload.get("kind", "")
+    # autoencoder / autoencoder_vq share a builder (config decides)
+    alias = {"autoencoder": "autoencoder_vq"}
+    if stored and alias.get(stored, stored) != alias.get(what, what):
+        import logging
+        logging.warning("%s was saved as kind=%r but is being loaded as "
+                        "%r - wrong checkpoint passed?", path, stored,
+                        what)
     model, variables = _REGISTRY[what](payload["config"], payload)
     return model, variables, payload
 

@@ -285,7 +285,8 @@ def train_dae(config: Config, train_frames: np.ndarray,
                 extra["vq_state"] = state.vq_state._asdict()
             checkpoints.save_checkpoint(
                 path, config=config, epoch=epoch + 1, params=state.params,
-                pose_dim=config.input_motion_dim, extra=extra)
+                pose_dim=config.input_motion_dim, extra=extra,
+                kind="DAE")
             logging.info("saved checkpoint %s", path)
 
     return state, history

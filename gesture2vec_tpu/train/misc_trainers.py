@@ -146,7 +146,7 @@ def train_baseline(config: Config, data: Dict[str, np.ndarray],
                 path, config=config, epoch=epoch + 1, params=st.params,
                 pose_dim=data["poses"].shape[-1],
                 extra={"batch_stats": st.batch_stats,
-                       "n_words": n_words})
+                       "n_words": n_words}, kind="baseline")
 
     return _loop(config, state, train_step, eval_step, batches,
                  val_batches, save_fn)
@@ -230,7 +230,7 @@ def train_c2g(config: Config, cluster_ids: np.ndarray,
             checkpoints.save_checkpoint(
                 path, config=config, epoch=epoch + 1, params=st.params,
                 pose_dim=target_latents.shape[-1],
-                extra={"batch_stats": st.batch_stats})
+                extra={"batch_stats": st.batch_stats}, kind="c2g")
 
     return _loop(config, state, train_step, eval_step, batches,
                  val_batches, save_fn)

@@ -312,7 +312,8 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
                 path, config=config, epoch=epoch + 1, params=state.params,
                 pose_dim=model.rep_dim,
                 extra={"batch_stats": state.batch_stats,
-                       "parity": parity})
+                       "parity": parity},
+                kind="autoencoder_vq" if model.use_vq else "autoencoder")
             logging.info("saved checkpoint %s", path)
 
     return state, history

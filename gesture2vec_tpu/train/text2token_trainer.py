@@ -188,7 +188,7 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
                 pose_dim=config.autoencoder_vq_components,
                 lang_model=lang_model_state,
                 extra={"batch_stats": state.batch_stats,
-                       "n_words": n_words})
+                       "n_words": n_words}, kind="text2embedding")
             logging.info("saved checkpoint %s", path)
 
     return state, history

@@ -30,6 +30,36 @@ def test_extras_roundtrip(tmp_path):
     assert payload["config"].extras["custom_flag"] == 7
 
 
+def test_kind_collision_warnings(tmp_path, caplog):
+    """Overwriting a checkpoint of a different kind (two parts sharing
+    a config name + save dir) and loading a checkpoint as the wrong
+    kind both warn."""
+    import logging
+
+    from gesture2vec_tpu.train import checkpoints
+
+    cfg = load_config(dict(name="x", model="seq2seq"))
+    p = str(tmp_path / "x_checkpoint_001.bin")
+    checkpoints.save_checkpoint(p, config=cfg, epoch=1, params={},
+                                kind="autoencoder_vq")
+    with caplog.at_level(logging.WARNING):
+        checkpoints.save_checkpoint(p, config=cfg, epoch=1, params={},
+                                    kind="text2embedding")
+    assert any("sharing a config name" in r.message for r in caplog.records)
+    assert checkpoints.load_checkpoint(p)["kind"] == "text2embedding"
+
+    # re-saving the same kind does not warn
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        checkpoints.save_checkpoint(p, config=cfg, epoch=1, params={},
+                                    kind="text2embedding")
+    assert not caplog.records
+
+    # checkpoints without a kind stamp (older files) stay silent
+    checkpoints.save_checkpoint(p, config=cfg, epoch=1, params={})
+    assert checkpoints.load_checkpoint(p)["kind"] == ""
+
+
 @pytest.mark.skipif(not os.path.isdir(REF),
                     reason="reference configs not mounted")
 @pytest.mark.parametrize("name", ["DAE.yml", "VQ-VAE.yml",
