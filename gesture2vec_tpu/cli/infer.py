@@ -13,9 +13,15 @@ import time
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("t2t_checkpoint")
-    parser.add_argument("transcript", help="Google-STT JSON or GENEA TSV")
+    parser.add_argument("transcript", nargs="+",
+                        help="Google-STT JSON or GENEA TSV; several "
+                             "files run as ONE batched device program "
+                             "(one output BVH per transcript)")
     parser.add_argument("rep_checkpoint")
     parser.add_argument("autoencoder_checkpoint")
+    parser.add_argument("--mesh", default=None,
+                        help="shard a multi-transcript batch over a "
+                             "device mesh, e.g. 'dp=8'")
     parser.add_argument("--latent-bank", default=None,
                         help="org_latent_clustering_data.npz "
                              "(required for exemplar mode)")
@@ -40,6 +46,17 @@ def main() -> None:
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
+    if args.mesh and args.platform == "cpu":
+        # virtual host devices so cpu smoke-runs can exercise the mesh
+        import os
+        need = 1
+        for kv in args.mesh.split(","):
+            need *= int(kv.split("=")[1])
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count={need}"
+            ).strip()
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
@@ -85,7 +102,46 @@ def main() -> None:
         fps=cfg.motion_resampling_framerate, mode=args.mode,
         latent_bank=bank, seed=args.seed)
 
-    words = read_subtitles(args.transcript)
+    def _export(frames, out_path):
+        if args.dataset == "twh":
+            from gesture2vec_tpu.infer.exporter import frames_to_bvh_twh
+            from gesture2vec_tpu.mocap.features import TWHFeatureExtractor
+            fe = TWHFeatureExtractor.load(args.pipeline, args.twh_variant)
+            frames_to_bvh_twh(frames, fe, path=out_path)
+        else:
+            fe = FeatureExtractor.load(args.pipeline)
+            frames_to_bvh(frames, fe, path=out_path)
+        print(f"wrote {out_path}")
+
+    if len(args.transcript) > 1:
+        # batched serving path: all transcripts in ONE device program,
+        # optionally sharded over a dp mesh
+        import os
+
+        from gesture2vec_tpu.parallel.mesh import make_mesh
+        mesh = None
+        if args.mesh:
+            shape = {k: int(v)
+                     for k, v in (kv.split("=")
+                                  for kv in args.mesh.split(","))}
+            mesh = make_mesh(shape)
+        all_words = [read_subtitles(t) for t in args.transcript]
+        durs = [args.duration or (w[-1][2] if w else 6.0)
+                for w in all_words]
+        t0 = time.time()
+        results = gen.generate_batch(all_words, durs, mesh=mesh)
+        dt = time.time() - t0
+        total = sum(f.shape[0] for f, _ in results)
+        logging.info("generated %d transcripts, %d frames in %.2fs "
+                     "(%.0f frames/s)", len(results), total, dt,
+                     total / dt)
+        stem, ext = os.path.splitext(args.out)
+        for t_path, (frames, _) in zip(args.transcript, results):
+            base = os.path.splitext(os.path.basename(t_path))[0]
+            _export(frames, f"{stem}_{base}{ext or '.bvh'}")
+        return
+
+    words = read_subtitles(args.transcript[0])
     duration = args.duration or (words[-1][2] if words else 6.0)
     t0 = time.time()
     frames, tokens = gen.generate(words, duration)
@@ -115,15 +171,7 @@ def main() -> None:
                              ["<EOS>"])
         logging.info("attention heatmap -> %s", args.plot_attention)
 
-    if args.dataset == "twh":
-        from gesture2vec_tpu.infer.exporter import frames_to_bvh_twh
-        from gesture2vec_tpu.mocap.features import TWHFeatureExtractor
-        fe = TWHFeatureExtractor.load(args.pipeline, args.twh_variant)
-        frames_to_bvh_twh(frames, fe, path=args.out)
-    else:
-        fe = FeatureExtractor.load(args.pipeline)
-        frames_to_bvh(frames, fe, path=args.out)
-    print(f"wrote {args.out}")
+    _export(frames, args.out)
 
 
 if __name__ == "__main__":

@@ -142,8 +142,7 @@ class GestureGenerator:
 
         chunk_continuity = self.chunk_continuity
 
-        @jax.jit
-        def decode_tokens_all(tokens):
+        def decode_tokens_core(tokens, use_fused):
             """tokens (N,) -> latents (N*n_frames, rep_dim).
 
             Default: all chunks decode as ONE batch (19 sequential GRU
@@ -160,7 +159,7 @@ class GestureGenerator:
                 hidden = jnp.transpose(jnp.take(cb, tokens,
                                                 axis=0).reshape(N, L, H),
                                        (1, 0, 2))
-                if self.use_fused_decoder:
+                if use_fused:
                     from gesture2vec_tpu.ops.decoder_pallas import \
                         fused_chunk_decode
                     seed0 = jnp.zeros((N, seq.rep_dim))
@@ -190,6 +189,10 @@ class GestureGenerator:
                 body, jnp.zeros((seq.rep_dim,), jnp.float32), tokens)
             return chunks.reshape(-1, seq.rep_dim)
 
+        decode_tokens_all = jax.jit(
+            lambda tokens: decode_tokens_core(tokens,
+                                              self.use_fused_decoder))
+
         @jax.jit
         def dae_decode(latents):
             return dae.apply(self.dae_variables, latents,
@@ -203,10 +206,35 @@ class GestureGenerator:
             latents = decode_tokens_all(tokens)
             return dae_decode(latents), tokens
 
+        @jax.jit
+        def generate_decode_batch(word_ids, lengths, seed0):
+            """Batch-of-transcripts decode mode: vmap the whole program
+            over a leading transcript axis. word_ids (B, W, S), lengths
+            (B, W) -> (frames (B, W*n_steps*n_frames, D),
+            tokens (B, W*n_steps)). Transcripts are independent, so when
+            the inputs are sharded over a "dp" mesh axis XLA partitions
+            the batch across devices with no collectives.
+
+            Uses the scan chunk decoder (the Pallas fused kernel has no
+            batching rule under vmap)."""
+            toks = jax.vmap(
+                lambda w, l: predict_tokens_all(w, l, seed0))(word_ids,
+                                                              lengths)
+            lats = jax.vmap(lambda t: decode_tokens_core(t, False))(toks)
+            return dae_decode(lats), toks
+
+        @jax.jit
+        def predict_tokens_batch(word_ids, lengths, seed0):
+            return jax.vmap(
+                lambda w, l: predict_tokens_all(w, l, seed0))(word_ids,
+                                                              lengths)
+
         self._predict_tokens_all = predict_tokens_all
         self._decode_tokens_all = decode_tokens_all
         self._dae_decode = dae_decode
         self._generate_decode_mode = generate_decode_mode
+        self._generate_decode_batch = generate_decode_batch
+        self._predict_tokens_batch = predict_tokens_batch
 
     # ------------------------------------------------------------------
     def _window_word_ids(self, words: List[List], t0: float, t1: float
@@ -275,3 +303,80 @@ class GestureGenerator:
         frames = np.asarray(self._dae_decode(jnp.asarray(latents)))
         frames = unnormalize(frames, self.pose_mean, self.pose_std)
         return frames, tokens
+
+    # ------------------------------------------------------------------
+    def generate_batch(self, transcripts: List[List[List]],
+                       durations_s, mesh=None
+                       ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Generate gestures for MANY transcripts in one device program.
+
+        transcripts: list of word lists ([[word, start_s, end_s], ...]);
+        durations_s: one float or a per-transcript list. Returns a list
+        of (motion (T_i, pose_dim), tokens) like generate().
+
+        TPU-native serving path: all transcripts pad to a common window
+        bucket and the whole batch runs as ONE vmapped program. Pass a
+        jax.sharding.Mesh with a "dp" axis to shard the transcript axis
+        across devices - the transcripts are independent, so the program
+        partitions with zero collectives (the batch is padded to a
+        multiple of the dp size). The reference generates one transcript
+        per process (ref: inference_text2embedding.py:108-569)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        B = len(transcripts)
+        if not isinstance(durations_s, (list, tuple, np.ndarray)):
+            durations_s = [durations_s] * B
+        assert len(durations_s) == B
+        unit = self.sentence_frame_length / self.fps
+        wins = [max(int(np.ceil(d / unit)), 1) for d in durations_s]
+        w_max = max(wins)
+        if w_max <= 16:
+            n_padded = 1 << (w_max - 1).bit_length()
+        else:
+            n_padded = (w_max + 15) // 16 * 16
+
+        b_padded = B
+        if mesh is not None:
+            dp = mesh.shape["dp"]
+            b_padded = (B + dp - 1) // dp * dp
+
+        word_ids = np.zeros((b_padded, n_padded, self.max_words), np.int32)
+        lengths = np.ones((b_padded, n_padded), np.int32)
+        for b, words in enumerate(transcripts):
+            for w in range(wins[b]):
+                word_ids[b, w], lengths[b, w] = self._window_word_ids(
+                    words, w * unit, (w + 1) * unit)
+
+        seed0 = jnp.zeros((self.n_steps,), jnp.int32)
+        ids_j, len_j = jnp.asarray(word_ids), jnp.asarray(lengths)
+        if mesh is not None:
+            sh = NamedSharding(mesh, PartitionSpec("dp"))
+            ids_j, len_j = (jax.device_put(ids_j, sh),
+                            jax.device_put(len_j, sh))
+
+        if self.mode == "decode":
+            frames_j, tokens_j = self._generate_decode_batch(ids_j, len_j,
+                                                             seed0)
+            frames_all, tokens_all = (np.asarray(frames_j),
+                                      np.asarray(tokens_j))
+            out = []
+            for b in range(B):
+                n_tok = wins[b] * self.n_steps
+                fr = unnormalize(frames_all[b, : n_tok * self.n_frames],
+                                 self.pose_mean, self.pose_std)
+                out.append((fr, tokens_all[b, :n_tok]))
+            return out
+
+        tokens_all = np.asarray(self._predict_tokens_batch(ids_j, len_j,
+                                                           seed0))
+        per, bounds, acc = [], [0], []
+        for b in range(B):
+            toks = tokens_all[b, : wins[b] * self.n_steps]
+            per.append(toks)
+            acc.extend(self._exemplar_latents(int(t)) for t in toks)
+            bounds.append(bounds[-1] + len(toks) * self.n_frames)
+        frames = np.asarray(self._dae_decode(
+            jnp.asarray(np.concatenate(acc, axis=0))))
+        frames = unnormalize(frames, self.pose_mean, self.pose_std)
+        return [(frames[bounds[b]: bounds[b + 1]], per[b])
+                for b in range(B)]

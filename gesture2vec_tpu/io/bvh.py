@@ -256,6 +256,10 @@ def write_bvh(data: BVHData, path: Optional[str] = None,
     text = "".join(out)
     if path is None:
         return text
+    import os
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
     with open(path, "w") as f:
         f.write(text)
     return None

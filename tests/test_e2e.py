@@ -189,3 +189,49 @@ def test_parallel_windows_mode(pipeline_artifacts):
     # first window has no carry in either mode: its tokens agree
     np.testing.assert_array_equal(t1[:SENT_LEN // N_POSES],
                                   t2[:SENT_LEN // N_POSES])
+
+
+WORDS_B = [["good", 0.1, 0.4], ["morning", 0.6, 1.0],
+           ["everyone", 1.3, 1.8], ["today", 2.2, 2.6],
+           ["we", 2.8, 3.0], ["talk", 3.2, 3.6]]
+
+
+def test_generate_batch_matches_single(pipeline_artifacts):
+    """Batch-of-transcripts decode mode reproduces per-transcript
+    generate() exactly (different durations in one batch)."""
+    gen = _generator(pipeline_artifacts, "decode")
+    singles = [gen.generate(WORDS, 4.0), gen.generate(WORDS_B, 2.0),
+               gen.generate(WORDS[:3], 2.0)]
+    batch = gen.generate_batch([WORDS, WORDS_B, WORDS[:3]],
+                               [4.0, 2.0, 2.0])
+    assert len(batch) == 3
+    for (fs, ts), (fb, tb) in zip(singles, batch):
+        np.testing.assert_array_equal(ts, tb)
+        np.testing.assert_allclose(fs, fb, atol=1e-5)
+
+
+def test_generate_batch_dp_mesh(pipeline_artifacts):
+    """The transcript axis shards over a dp mesh (8 virtual CPU devices)
+    with identical results; batch pads to a multiple of the dp size."""
+    from gesture2vec_tpu.parallel.mesh import make_mesh
+
+    gen = _generator(pipeline_artifacts, "decode")
+    mesh = make_mesh({"dp": 4})
+    single_f, single_t = gen.generate(WORDS, 4.0)
+    batch = gen.generate_batch([WORDS, WORDS_B, WORDS[:3]],
+                               [4.0, 2.0, 2.0], mesh=mesh)  # pads B 3->4
+    assert len(batch) == 3
+    np.testing.assert_array_equal(batch[0][1], single_t)
+    np.testing.assert_allclose(batch[0][0], single_f, atol=1e-5)
+
+
+def test_generate_batch_exemplar(pipeline_artifacts):
+    """Exemplar mode batches token prediction + DAE decode; per-item
+    shapes match the single path."""
+    gen = _generator(pipeline_artifacts, "exemplar")
+    batch = gen.generate_batch([WORDS, WORDS_B], 4.0)
+    n_tok = 2 * (SENT_LEN // N_POSES)  # 4s -> 2 windows
+    for frames, tokens in batch:
+        assert tokens.shape == (n_tok,)
+        assert frames.shape == (n_tok * N_POSES, 135)
+        assert np.isfinite(frames).all()
