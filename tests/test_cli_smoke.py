@@ -101,3 +101,15 @@ def test_full_cli_workflow(workdir):
           "corpus/store/data_pipe.json", "--out", "recon.bvh",
           "--platform", "cpu"], root)
     assert os.path.getsize(os.path.join(root, "recon.bvh")) > 10000
+
+    # batched serving: two transcripts, one device program, dp=2 mesh
+    _run(["gesture2vec_tpu.cli.infer", t2t_ckpt,
+          "corpus/Transcripts/Recording_001.json",
+          "corpus/Transcripts/Recording_002.json", dae_ckpt, vq_ckpt,
+          "--mode", "decode", "--mesh", "dp=2", "--store",
+          "corpus/store/train", "--pipeline",
+          "corpus/store/data_pipe.json", "--out", "batch/gen.bvh",
+          "--duration", "4", "--platform", "cpu"], root)
+    for rec in ("Recording_001", "Recording_002"):
+        p = os.path.join(root, "batch", f"gen_{rec}.bvh")
+        assert os.path.getsize(p) > 10000, p
