@@ -67,9 +67,6 @@ def main() -> None:
         shape = {k: int(v) for k, v in
                  (kv.split("=") for kv in args.mesh.split(","))}
         cfg = cfg.replace(mesh_shape=shape)
-        if args.part != "b":
-            logging.warning("--mesh currently applies to --part b only; "
-                            "part %s trains single-device", args.part)
     if args.rep_checkpoint:
         cfg = cfg.replace(rep_learning_checkpoint=args.rep_checkpoint)
     if args.autoencoder_checkpoint:
@@ -140,55 +137,11 @@ def main() -> None:
 
         # unrolled GAN (ref: scripts/train_gan.py +
         # train_eval/train_seq2seq.py:541-661)
-        import jax
-        import jax.numpy as jnp
+        from gesture2vec_tpu.train.gan_trainer import train_gan
 
-        from gesture2vec_tpu.train.gan_trainer import (build_gan,
-                                                       init_gan,
-                                                       make_gan_step)
-        from gesture2vec_tpu.train.optim import make_optimizer
-        from gesture2vec_tpu.utils.meters import AverageMeter
-
-        data = build(train_store)
-        g, d = build_gan(cfg, vocab.n_words, data["poses"].shape[-1],
-                         embedding_weights=vocab.word_embedding_weights)
-        g_opt = make_optimizer(cfg.learning_rate)
-        d_opt = make_optimizer(cfg.learning_rate)
-        state = init_gan(g, d, jax.random.PRNGKey(max(cfg.random_seed, 0)),
-                         g_opt, d_opt, max_words=data["word_ids"].shape[1])
-        step = make_gan_step(g, d, g_opt, d_opt)
-        bs = cfg.batch_size
-        meter = AverageMeter("g_loss", ":.4f")
-        rng = jax.random.PRNGKey(1)
-        import numpy as _np
-        n_samples = data["word_ids"].shape[0]
-        if n_samples < bs:
-            raise ValueError(
-                f"GAN training needs at least one full batch "
-                f"({n_samples} windows < batch_size {bs})")
-        for epoch in range(cfg.epochs):
-            perm = _np.random.default_rng(epoch).permutation(n_samples)
-            meter.reset()
-            for s in range(0, len(perm) - bs + 1, bs):
-                take = perm[s:s + bs]
-                rng, srng = jax.random.split(rng)
-                state, metrics = step(
-                    state, jnp.asarray(data["word_ids"][take]),
-                    jnp.asarray(data["lengths"][take]),
-                    jnp.asarray(data["poses"][take]), srng)
-                meter.update(float(metrics["g_loss"]), bs)
-            logging.info("EP %d done: g %.4f d_real %.4f d_fake %.4f",
-                         epoch, meter.avg, float(metrics["d_real"]),
-                         float(metrics["d_fake"]))
-        path = checkpoints.checkpoint_filename(save_dir, cfg.name,
-                                               cfg.epochs)
-        checkpoints.save_checkpoint(
-            path, config=cfg, epoch=cfg.epochs, params=state.g_params,
-            pose_dim=data["poses"].shape[-1],
-            extra={"batch_stats": state.g_batch_stats,
-                   "d_params": state.d_params, "n_words": vocab.n_words},
-            kind="text2embedding_gan")
-        logging.info("saved checkpoint %s", path)
+        train_gan(cfg, build(train_store), vocab.n_words,
+                  embedding_weights=vocab.word_embedding_weights,
+                  save_dir=save_dir)
         return
 
     # parts b, c2g, and d need the frozen Part-a model

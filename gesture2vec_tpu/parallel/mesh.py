@@ -87,6 +87,31 @@ def shard_batch(batch: Any, mesh: Optional[Mesh]) -> Any:
     return jax.tree_util.tree_map(place, batch)
 
 
+def prepare_state(state, mesh_shape: Optional[Dict[str, int]]):
+    """Build the mesh from a config mesh_shape and shard a NamedTuple
+    train state over it: every field (params / optimizer state / EMA or
+    batch stats) goes through shard_params, so row-shardable tables land
+    on tp and everything else replicates. Returns (mesh, state);
+    (None, state) when no mesh is configured.
+
+    This is the one-line hook every trainer uses to honor
+    cfg.mesh_shape (the rebuild's scale-out obligation, SURVEY.md §2.8 —
+    the reference itself is strictly single-GPU)."""
+    if not mesh_shape:
+        return None, state
+    mesh = make_mesh(mesh_shape)
+    return mesh, type(state)(*(shard_params(f, mesh) for f in state))
+
+
+def batch_placer(mesh: Optional[Mesh]):
+    """Host->device placement fn for batches: dp-sharded under a mesh,
+    plain asarray otherwise."""
+    import jax.numpy as jnp
+    if mesh is None:
+        return jnp.asarray
+    return lambda x: shard_batch(jnp.asarray(x), mesh)
+
+
 def replicate(tree: Any, mesh: Optional[Mesh]) -> Any:
     if mesh is None:
         return tree

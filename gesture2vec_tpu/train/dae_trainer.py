@@ -217,6 +217,12 @@ def train_dae(config: Config, train_frames: np.ndarray,
         start_epoch = int(payload["epoch"])
         logging.info("resumed from %s at epoch %d", resume_from,
                      start_epoch)
+    # multi-chip: dp-sharded batches, replicated params (SURVEY.md §2.8)
+    from gesture2vec_tpu.parallel.mesh import batch_placer, prepare_state
+    mesh, state = prepare_state(state, config.mesh_shape)
+    place = batch_placer(mesh)
+    if mesh is not None:
+        logging.info("training over mesh %s", config.mesh_shape)
     train_step = make_train_step(config, model, optimizer)
     warmup_step = (make_train_step(config, model, optimizer, skip_vq=True)
                    if vq_tricks and isinstance(model, VQFrame) else None)
@@ -240,13 +246,21 @@ def train_dae(config: Config, train_frames: np.ndarray,
                 state = reestimate_codebook(
                     model, state, train_frames,
                     config.autoencoder_vq_components)
+                if mesh is not None:
+                    # keep the rebuilt EMA state on the mesh layout so
+                    # the compiled step is not retraced
+                    from gesture2vec_tpu.parallel.mesh import shard_params
+                    state = state._replace(
+                        vq_state=shard_params(state.vq_state, mesh))
         perm = np.random.default_rng(seed + epoch).permutation(n)
         meter.reset()
         t0 = time.time()
         n_batches = n // bs
         batches = prefetch(
             (train_frames[perm[b * bs:(b + 1) * bs]]
-             for b in range(n_batches)))
+             for b in range(n_batches)), to_device=mesh is None)
+        if mesh is not None:
+            batches = (place(x) for x in batches)
         # metrics stay on device; float() would force a host sync per
         # step, so losses are fetched only at log points and epoch end
         losses = []
@@ -270,7 +284,7 @@ def train_dae(config: Config, train_frames: np.ndarray,
         val_losses = []
         for s in range(0, val_frames.shape[0] - bs + 1, bs):
             val_losses.append(float(eval_step(
-                state, jnp.asarray(val_frames[s:s + bs]))))
+                state, place(val_frames[s:s + bs]))))
         val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
         history["val_loss"].append(val_loss)
         logging.info("EP %d done: train %.5f val %.5f", epoch, meter.avg,

@@ -152,6 +152,70 @@ def build_gan(config, n_words: int, pose_dim: int,
 from gesture2vec_tpu.train import checkpoints  # noqa: E402
 
 
+def train_gan(config, data, n_words: int, embedding_weights=None,
+              save_dir=None) -> Tuple[GANTrainState, dict]:
+    """Full unrolled-GAN training loop (ref: scripts/train_gan.py +
+    train_eval/train_seq2seq.py:541-661). data: {word_ids (N,S),
+    lengths (N,), poses (N,T,D)}. Honors config.mesh_shape: batches
+    dp-sharded, generator/discriminator params replicated, the word
+    embedding tables row-sharded over tp."""
+    import logging
+
+    import numpy as np
+
+    from gesture2vec_tpu.parallel.mesh import batch_placer, prepare_state
+    from gesture2vec_tpu.train.optim import make_optimizer
+    from gesture2vec_tpu.utils.meters import AverageMeter
+
+    g, d = build_gan(config, n_words, data["poses"].shape[-1],
+                     embedding_weights=embedding_weights)
+    g_opt = make_optimizer(config.learning_rate)
+    d_opt = make_optimizer(config.learning_rate)
+    state = init_gan(g, d, jax.random.PRNGKey(max(config.random_seed, 0)),
+                     g_opt, d_opt, max_words=data["word_ids"].shape[1])
+    mesh, state = prepare_state(state, config.mesh_shape)
+    place = batch_placer(mesh)
+    if mesh is not None:
+        logging.info("training over mesh %s", config.mesh_shape)
+    step = make_gan_step(g, d, g_opt, d_opt)
+    bs = config.batch_size
+    meter = AverageMeter("g_loss", ":.4f")
+    rng = jax.random.PRNGKey(1)
+    n_samples = data["word_ids"].shape[0]
+    if n_samples < bs:
+        raise ValueError(f"GAN training needs at least one full batch "
+                         f"({n_samples} windows < batch_size {bs})")
+    history: dict = {"g_loss": [], "d_real": [], "d_fake": []}
+    metrics = None
+    for epoch in range(config.epochs):
+        perm = np.random.default_rng(epoch).permutation(n_samples)
+        meter.reset()
+        for s in range(0, len(perm) - bs + 1, bs):
+            take = perm[s:s + bs]
+            rng, srng = jax.random.split(rng)
+            state, metrics = step(state, place(data["word_ids"][take]),
+                                  place(data["lengths"][take]),
+                                  place(data["poses"][take]), srng)
+            meter.update(float(metrics["g_loss"]), bs)
+        history["g_loss"].append(meter.avg)
+        history["d_real"].append(float(metrics["d_real"]))
+        history["d_fake"].append(float(metrics["d_fake"]))
+        logging.info("EP %d done: g %.4f d_real %.4f d_fake %.4f", epoch,
+                     meter.avg, history["d_real"][-1],
+                     history["d_fake"][-1])
+    if save_dir:
+        path = checkpoints.checkpoint_filename(save_dir, config.name,
+                                               config.epochs)
+        checkpoints.save_checkpoint(
+            path, config=config, epoch=config.epochs, params=state.g_params,
+            pose_dim=data["poses"].shape[-1],
+            extra={"batch_stats": state.g_batch_stats,
+                   "d_params": state.d_params, "n_words": n_words},
+            kind="text2embedding_gan")
+        logging.info("saved checkpoint %s", path)
+    return state, history
+
+
 @checkpoints.register_model_kind("text2embedding_gan")
 def _build_gan_generator(config, payload: dict):
     """Rebuild the GAN generator from a checkpoint (the reference's

@@ -90,6 +90,12 @@ def train_baseline(config: Config, data: Dict[str, np.ndarray],
                              optimizer.init(variables["params"]),
                              variables.get("batch_stats", {}),
                              jnp.zeros((), jnp.int32))
+    # multi-chip: dp-sharded batches, tp row-sharded embedding table
+    from gesture2vec_tpu.parallel.mesh import batch_placer, prepare_state
+    mesh, state = prepare_state(state, config.mesh_shape)
+    place = batch_placer(mesh)
+    if mesh is not None:
+        logging.info("training over mesh %s", config.mesh_shape)
 
     @jax.jit
     def train_step(st, toks, lens, poses, srng):
@@ -127,16 +133,16 @@ def train_baseline(config: Config, data: Dict[str, np.ndarray],
         perm = np.random.default_rng(epoch).permutation(n)
         for s in range(0, n - bs_ + 1, bs_):
             take = perm[s:s + bs_]
-            yield (jnp.asarray(data["word_ids"][take]),
-                   jnp.asarray(data["lengths"][take]),
-                   jnp.asarray(data["poses"][take]))
+            yield (place(data["word_ids"][take]),
+                   place(data["lengths"][take]),
+                   place(data["poses"][take]))
 
     def val_batches():
         n = val_data["word_ids"].shape[0]
         for s in range(0, n - bs_ + 1, bs_):
-            yield (jnp.asarray(val_data["word_ids"][s:s + bs_]),
-                   jnp.asarray(val_data["lengths"][s:s + bs_]),
-                   jnp.asarray(val_data["poses"][s:s + bs_]))
+            yield (place(val_data["word_ids"][s:s + bs_]),
+                   place(val_data["lengths"][s:s + bs_]),
+                   place(val_data["poses"][s:s + bs_]))
 
     def save_fn(st, epoch):
         if save_dir and epoch + 1 == config.epochs:
@@ -177,6 +183,12 @@ def train_c2g(config: Config, cluster_ids: np.ndarray,
                              optimizer.init(variables["params"]),
                              variables.get("batch_stats", {}),
                              jnp.zeros((), jnp.int32))
+    # multi-chip: dp-sharded batches (cluster-id embedding stays small)
+    from gesture2vec_tpu.parallel.mesh import batch_placer, prepare_state
+    mesh, state = prepare_state(state, config.mesh_shape)
+    place = batch_placer(mesh)
+    if mesh is not None:
+        logging.info("training over mesh %s", config.mesh_shape)
 
     @jax.jit
     def train_step(st, ids, latents, srng):
@@ -214,14 +226,14 @@ def train_c2g(config: Config, cluster_ids: np.ndarray,
         perm = np.random.default_rng(epoch).permutation(n)
         for s in range(0, n - bs_ + 1, bs_):
             take = perm[s:s + bs_]
-            yield (jnp.asarray(cluster_ids[take]),
-                   jnp.asarray(target_latents[take]))
+            yield (place(cluster_ids[take]),
+                   place(target_latents[take]))
 
     def val_batches():
         n = val_ids.shape[0]
         for s in range(0, n - bs_ + 1, bs_):
-            yield (jnp.asarray(val_ids[s:s + bs_]),
-                   jnp.asarray(val_latents[s:s + bs_]))
+            yield (place(val_ids[s:s + bs_]),
+                   place(val_latents[s:s + bs_]))
 
     def save_fn(st, epoch):
         if save_dir and epoch + 1 == config.epochs:

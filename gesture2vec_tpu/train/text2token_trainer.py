@@ -129,6 +129,13 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
     optimizer = make_optimizer(config.learning_rate)
     state = init_state(model, rng, optimizer,
                        max_words=data["word_ids"].shape[1])
+    # multi-chip: batch over dp; the vocab embedding table row-shards
+    # over tp via parallel.mesh.param_spec (SURVEY.md §2.8)
+    from gesture2vec_tpu.parallel.mesh import batch_placer, prepare_state
+    mesh, state = prepare_state(state, config.mesh_shape)
+    place = batch_placer(mesh)
+    if mesh is not None:
+        logging.info("training over mesh %s", config.mesh_shape)
     train_step = make_train_step(model, optimizer)
     eval_step = make_eval_step(model)
 
@@ -148,9 +155,9 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
                 break
             rng, srng = jax.random.split(rng)
             state, metrics = train_step(
-                state, jnp.asarray(data["word_ids"][take]),
-                jnp.asarray(data["lengths"][take]),
-                jnp.asarray(data["tokens"][take]), srng)
+                state, place(data["word_ids"][take]),
+                place(data["lengths"][take]),
+                place(data["tokens"][take]), srng)
             losses.append(metrics["loss"])
             if (b + 1) % log_every == 0:
                 block = float(jnp.mean(jnp.stack(losses[-log_every:])))
@@ -168,9 +175,9 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
         m = val_data["word_ids"].shape[0]
         for s in range(0, m - bs + 1, bs):
             loss, acc, _ = eval_step(
-                state, jnp.asarray(val_data["word_ids"][s:s + bs]),
-                jnp.asarray(val_data["lengths"][s:s + bs]),
-                jnp.asarray(val_data["tokens"][s:s + bs]))
+                state, place(val_data["word_ids"][s:s + bs]),
+                place(val_data["lengths"][s:s + bs]),
+                place(val_data["tokens"][s:s + bs]))
             vl.append(float(loss))
             va.append(float(acc))
         history["val_loss"].append(float(np.mean(vl)) if vl else float("nan"))

@@ -29,6 +29,74 @@ def test_seq_ae_trains_on_mesh(rng):
     assert hist["train_loss"][-1] < hist["train_loss"][0]
 
 
+def test_dae_mesh_matches_single_device(rng):
+    """Part a: dp-sharded DAE training must match the single-device
+    run step for step."""
+    from gesture2vec_tpu.train.dae_trainer import train_dae
+    frames = rng.normal(size=(256, 24)).astype(np.float32)
+    base = dict(name="dae_m", model="DAE", hidden_size=10, epochs=2,
+                batch_size=32, learning_rate=0.002, dropout_prob=0.2,
+                input_motion_dim=24, random_seed=0)
+    _, h1 = train_dae(load_config(base), frames, frames[:32])
+    _, h2 = train_dae(load_config({**base, "mesh_shape": {"dp": 8}}),
+                      frames, frames[:32])
+    np.testing.assert_allclose(h1["train_loss"], h2["train_loss"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(h1["val_loss"], h2["val_loss"], rtol=1e-4)
+
+
+def test_text2token_mesh_matches_single_device(rng):
+    """Part d: dp-sharded (+tp row-sharded embedding) token training
+    must match the single-device run."""
+    from gesture2vec_tpu.train.text2token_trainer import train_text2token
+    n, s, steps = 64, 12, 4
+    data = {"word_ids": rng.integers(4, 40, size=(n, s)).astype(np.int32),
+            "lengths": np.full((n,), s, np.int32),
+            "tokens": rng.integers(0, 16, size=(n, steps)).astype(np.int32)}
+    val = {k: v[:16] for k, v in data.items()}
+    base = dict(name="t2t_m", model="seq2seq", hidden_size=16, n_layers=1,
+                dropout_prob=0.0, epochs=2, batch_size=16,
+                learning_rate=0.002, n_poses=8, n_pre_poses=1,
+                sentence_frame_length=32, autoencoder_vq_components=16,
+                autoencoder_att=True, wordembed_dim=8, random_seed=0)
+    _, h1 = train_text2token(load_config(base), data, val, n_words=40)
+    _, h2 = train_text2token(load_config({**base,
+                                          "mesh_shape": {"dp": 4, "tp": 2}}),
+                             data, val, n_words=40)
+    np.testing.assert_allclose(h1["train_loss"], h2["train_loss"],
+                               rtol=1e-4)
+    np.testing.assert_allclose(h1["val_acc"], h2["val_acc"], rtol=1e-4)
+
+
+def test_baseline_c2g_gan_train_on_mesh(rng):
+    """Every remaining trainer honors cfg.mesh_shape (smoke: finite,
+    decreasing losses on the 8-device mesh)."""
+    from gesture2vec_tpu.train.gan_trainer import train_gan
+    from gesture2vec_tpu.train.misc_trainers import train_baseline, train_c2g
+    n, s, t, d = 64, 10, 8, 12
+    data = {"word_ids": rng.integers(4, 30, size=(n, s)).astype(np.int32),
+            "lengths": np.full((n,), s, np.int32),
+            "poses": rng.normal(size=(n, t, d)).astype(np.float32)}
+    cfg = load_config(dict(name="m3", model="seq2seq", hidden_size=16,
+                           n_layers=1, dropout_prob=0.1, epochs=2,
+                           batch_size=16, learning_rate=0.002, n_poses=t,
+                           n_pre_poses=1, wordembed_dim=8, noise_dim=8,
+                           autoencoder_vq_components=16, random_seed=0,
+                           mesh_shape={"dp": 8}))
+    _, hb = train_baseline(cfg, data, {k: v[:16] for k, v in data.items()},
+                           n_words=30)
+    assert np.isfinite(hb["train_loss"]).all()
+    assert hb["train_loss"][-1] < hb["train_loss"][0]
+
+    ids = rng.integers(0, 16, size=(n,)).astype(np.int32)
+    lat = rng.normal(size=(n, t, d)).astype(np.float32)
+    _, hc = train_c2g(cfg, ids, lat, ids[:16], lat[:16])
+    assert np.isfinite(hc["train_loss"]).all()
+
+    _, hg = train_gan(cfg.replace(epochs=1), data, n_words=30)
+    assert np.isfinite(hg["g_loss"]).all()
+
+
 def test_dryrun_multichip_self_provisions():
     """Driver contract: dryrun_multichip must succeed even when the
     live backend has fewer devices than requested (round-1 failure,
