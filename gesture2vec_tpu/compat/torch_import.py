@@ -136,6 +136,65 @@ def convert_text2token_state(sd: Dict[str, Any], n_layers: int = 2
     return params, {"decoder_step": {"pre_bn": bn_stats}}
 
 
+def _weight_norm_conv(sd: Dict[str, Any], prefix: str
+                      ) -> Dict[str, Any]:
+    """torch weight_norm(Conv1d) -> flax nn.WeightNorm(nn.Conv) params.
+
+    torch stores weight_v (out, in, k) + weight_g (out, 1, 1) with the
+    norm taken per output channel (dim=0); flax keeps the direction as
+    the wrapped Conv kernel (k, in, out) plus a per-feature scale -
+    identical effective weight g * v / ||v||.
+    """
+    v = np.asarray(sd[f"{prefix}.weight_v"])
+    g = np.asarray(sd[f"{prefix}.weight_g"])
+    return {"Conv_0": {"kernel": np.ascontiguousarray(v.transpose(2, 1, 0)),
+                       "bias": np.asarray(sd[f"{prefix}.bias"])},
+            "wn": {"Conv_0/kernel/scale": g.reshape(-1)}}
+
+
+def convert_tcn_encoder_state(sd: Dict[str, Any], n_layers: int = 2
+                              ) -> Dict[str, Any]:
+    """TextEncoderTCN (ref: Helper_models.py:371-449) state dict ->
+    partial flax params for models.tcn.TextEncoderTCN.
+
+    Partial: the reference returns (y, 0) with no decoder-initial
+    hidden, so our repaired hidden_proj head has no torch counterpart -
+    merge this over initialized params. Reference key names:
+    embedding.weight, tcn.network.{i}.{conv1,conv2}.weight_{g,v}/bias,
+    tcn.network.0.downsample.*, decoder.*.
+    """
+    tcn: Dict[str, Any] = {}
+    for i in range(n_layers):
+        block: Dict[str, Any] = {
+            "conv1": _weight_norm_conv(sd, f"tcn.network.{i}.conv1"),
+            "conv2": _weight_norm_conv(sd, f"tcn.network.{i}.conv2"),
+        }
+        down = f"tcn.network.{i}.downsample.weight"
+        if down in sd:
+            block["downsample"] = {
+                "kernel": np.ascontiguousarray(
+                    np.asarray(sd[down]).transpose(2, 1, 0)),
+                "bias": np.asarray(sd[f"tcn.network.{i}.downsample.bias"]),
+            }
+        tcn[f"block{i}"] = block
+    return {"embedding_table": np.asarray(sd["embedding.weight"]),
+            "tcn": tcn,
+            "decoder": _dense(sd, "decoder")}
+
+
+def merge_params(base: Dict[str, Any], update: Dict[str, Any]
+                 ) -> Dict[str, Any]:
+    """Deep-merge a (possibly partial) converted param tree over
+    initialized params, keeping leaves that have no torch counterpart."""
+    out = dict(base)
+    for k, v in update.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = merge_params(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
 def load_reference_checkpoint(path: str) -> Dict[str, Any]:
     """Read a reference torch checkpoint file: returns
     {args, epoch, pose_dim, state_dict} with tensors as numpy."""

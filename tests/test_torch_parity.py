@@ -1,244 +1,170 @@
-"""Full-model parity: reference-architecture torch models vs our flax
-models with converted weights. This is the BASELINE.md contract: >= 99%
-VQ token agreement (we assert 100%) and matching motion trajectories.
+"""Full-model parity against the LITERAL reference modules.
 
-The torch models below are assembled from torch primitives following
-the reference architecture (module names arranged to produce
-reference-style state_dict keys); the reference's eval-time 0.95 step
-dropout is omitted on both sides so trajectories are deterministic.
+The torch side of every test here is the reference's own forward code,
+imported from /root/reference/scripts/model via tests.reference_loader
+(DAE_model.py, Autoencoder_VQVAE_model.py, text2embedding_model.py,
+Helper_models.py, tcn.py) - not rebuilt twins. Weights are converted
+with compat.torch_import and outputs compared at production-like
+shapes. This backs the BASELINE.md contract: >= 99% VQ token agreement
+(we assert 100%) and matching motion/logit trajectories.
+
+Determinism notes:
+  - models run under .eval(), so init-time dropout modules are inactive;
+  - the seq-AE decoder's inline nn.Dropout(0.95) (fires even in eval,
+    ref: Autoencoder_VQVAE_model.py:570) is switched off on both sides:
+    reference via inline_step_dropout_disabled(), ours via
+    eval_step_dropout=False. The quirk itself is covered by
+    test_parity_quirks.py.
 """
-import jax
+import argparse
+
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
-import torch.nn as nn
-import torch.nn.functional as F
 
 from gesture2vec_tpu.compat.torch_import import (convert_dae_state,
                                                  convert_seq_ae_state,
-                                                 convert_text2token_state)
+                                                 convert_tcn_encoder_state,
+                                                 convert_text2token_state,
+                                                 merge_params)
 from gesture2vec_tpu.models.dae import DAE
 from gesture2vec_tpu.models.seq_ae import SeqVQAutoencoder
+from gesture2vec_tpu.models.tcn import TextEncoderTCN
 from gesture2vec_tpu.models.text2token import Text2Token
+from tests.reference_loader import (inline_step_dropout_disabled,
+                                    load_reference_models,
+                                    reference_available)
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference tree not present")
 
 REP, HID, L, K, T = 24, 32, 2, 50, 10
 
 
-# ---------------------------------------------------------------- torch ref
-class _TorchEncoder(nn.Module):
-    def __init__(self):
-        super().__init__()
-        self.in_layer = nn.Linear(REP, HID)
-        self.gru = nn.GRU(HID, HID, L, bidirectional=True)
-
-    def forward(self, xs):  # (T, B, D)
-        outs, hidden = self.gru(self.in_layer(xs))
-        return outs[:, :, :HID] + outs[:, :, HID:], hidden
+@pytest.fixture(scope="module")
+def ref_mods():
+    return load_reference_models()
 
 
-class _TorchVQ(nn.Module):
-    def __init__(self):
-        super().__init__()
-        self.mean_layer = nn.Linear(L * HID, L * HID)
-        self.logvar_layer = nn.Linear(L * HID, K)
-        self._embedding = nn.Embedding(K, L * HID)
-
-    def forward(self, hidden):  # (L, B, H), torch_view flattening
-        flat = hidden.reshape(-1, L * HID)
-        proj = self.mean_layer(flat)
-        zlv = self.logvar_layer(proj)
-        e = self._embedding.weight
-        d = (proj.pow(2).sum(1, keepdim=True) + e.pow(2).sum(1)
-             - 2 * proj @ e.t())
-        smooth = torch.exp(zlv) ** -2
-        prob = torch.exp(-(d / 400) * 0.5 * smooth) / torch.sqrt(smooth)
-        probs = prob / prob.sum(1, keepdim=True)
-        q = (probs @ e).reshape(hidden.shape)
-        return q, probs
+def _sd(model) -> dict:
+    return {k: v.numpy() for k, v in model.state_dict().items()}
 
 
-class _TorchDecoderInner(nn.Module):
-    def __init__(self):
-        super().__init__()
-        self.pre_linear = nn.Sequential(nn.Linear(REP, HID),
-                                        nn.BatchNorm1d(HID),
-                                        nn.ReLU(inplace=True))
-        self.gru = nn.GRU(HID, HID, L)
-        self.out_layer = nn.Linear(HID, REP)
-
-    def forward(self, x, hidden):
-        h = self.pre_linear(x)
-        o, hidden = self.gru(h.unsqueeze(0), hidden)
-        return self.out_layer(o[0]), hidden
+def _seq_ae_args(**over) -> argparse.Namespace:
+    """Reference-style args (string booleans) for Autoencoder_VQVAE
+    (ref: Autoencoder_VQVAE_model.py:716-745)."""
+    base = dict(rep_learning_dim=REP, hidden_size=HID, n_layers=L,
+                dropout_prob=0.2, autoencoder_vae="False",
+                autoencoder_vq="True", autoencoder_vq_components=K,
+                autoencoder_vq_commitment_cost=0.25, n_pre_poses=1,
+                autoencoder_conditioned="True", autoencoder_att="False",
+                autoencoder_fixed_weight="False")
+    base.update(over)
+    return argparse.Namespace(**base)
 
 
-class _TorchDecoder(nn.Module):
-    def __init__(self):
-        super().__init__()
-        self.decoder = _TorchDecoderInner()
-
-
-class TorchSeqVQ(nn.Module):
-    def __init__(self):
-        super().__init__()
-        self.encoder = _TorchEncoder()
-        self.vq_layer = _TorchVQ()
-        self.decoder = _TorchDecoder()
-
-    def forward(self, poses, n_pre=1):  # (B, T, D)
-        xs = poses.transpose(0, 1)
-        enc_outs, enc_hidden = self.encoder(xs)
-        dec_hidden = enc_hidden[:L].contiguous()
-        q, probs = self.vq_layer(dec_hidden)
-        dec_hidden = q.contiguous()
-        outs = [xs[0]]
-        inp = xs[0]
-        for t in range(1, T):
-            out, dec_hidden = self.decoder.decoder(inp, dec_hidden)
-            outs.append(out)
-            inp = xs[t] if t < n_pre else out
-        return torch.stack(outs, 1), probs
-
-
-def test_seq_ae_token_agreement_and_trajectory(rng):
-    torch.manual_seed(0)
-    ref = TorchSeqVQ().eval()
-    x = rng.normal(size=(16, T, REP)).astype(np.float32)
-    with torch.no_grad():
-        ref_out, ref_probs = ref(torch.from_numpy(x))
-    ref_tokens = ref_probs.argmax(1).numpy()
-
-    params, batch_stats = convert_seq_ae_state(
-        {k: v.numpy() for k, v in ref.state_dict().items()}, n_layers=L)
-    model = SeqVQAutoencoder(rep_dim=REP, hidden_size=HID, n_layers=L,
-                             n_frames=T, n_pre_poses=1, use_vq=True,
-                             vq_components=K, vq_flatten="torch_view",
-                             eval_step_dropout=False)
-    variables = {"params": params, "batch_stats": batch_stats}
-    res = model.apply(variables, jnp.asarray(x), jnp.asarray(x),
-                      train=False)
-
-    tokens = np.argmax(np.asarray(res["vq"].encodings), axis=1)
-    agreement = (tokens == ref_tokens).mean()
-    assert agreement == 1.0, f"token agreement {agreement}"
-
-    np.testing.assert_allclose(np.asarray(res["outputs"]),
-                               ref_out.numpy(), atol=5e-4)
-
-
-def test_dae_parity(rng):
+def test_dae_parity_literal(ref_mods, rng):
+    """DAE_Network (ref: DAE_model.py:22-114) vs models.dae.DAE."""
     torch.manual_seed(1)
-
-    class TorchDAE(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.encoder = nn.Sequential(nn.Linear(135, 40), nn.ReLU())
-            self.decoder = nn.Sequential(nn.Linear(40, 135))
-
-        def forward(self, x):
-            return self.decoder(self.encoder(x))
-
-    ref = TorchDAE().eval()
+    ref = ref_mods["DAE_model"].DAE_Network(135, 40).eval()
     x = rng.normal(size=(64, 135)).astype(np.float32)
     with torch.no_grad():
-        ref_out = ref(torch.from_numpy(x)).numpy()
+        ref_out = ref(torch.from_numpy(x)).squeeze(2).numpy()
 
-    params = convert_dae_state({k: v.numpy()
-                                for k, v in ref.state_dict().items()})
+    params = convert_dae_state(_sd(ref))
     model = DAE(motion_dim=135, latent_dim=40)
     out = model.apply({"params": params}, jnp.asarray(x), train=False)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=1e-5)
 
 
-class _TorchTextEncoder(nn.Module):
-    def __init__(self, n_words):
-        super().__init__()
-        self.embedding = nn.Embedding(n_words, 16)
-        self.gru = nn.GRU(16, HID, L, bidirectional=True)
+def test_seq_ae_token_agreement_literal(ref_mods, rng):
+    """Autoencoder_VQVAE (ref: Autoencoder_VQVAE_model.py:686-1085,
+    shipped VQ_Payam_GSSoft quantizer :1304-1440) vs SeqVQAutoencoder:
+    100% token agreement, matching VQ loss/perplexity, and matching
+    motion trajectory with the inline step dropout disabled."""
+    torch.manual_seed(0)
+    ref = ref_mods["Autoencoder_VQVAE_model"].Autoencoder_VQVAE(
+        _seq_ae_args(), REP, T).eval()
+    x = rng.normal(size=(16, T, REP)).astype(np.float32)
+
+    with torch.no_grad():
+        xs = torch.from_numpy(x).transpose(0, 1)
+        enc_outs, enc_hidden = ref.encoder(xs, None)
+        dec_hidden = enc_hidden[: ref.decoder.n_layers]
+        ref_loss, _, ref_perp, encodings = ref.vq_layer(dec_hidden)
+        ref_tokens = encodings.argmax(1).numpy()
+        with inline_step_dropout_disabled():
+            ref_outputs = ref(torch.from_numpy(x),
+                              torch.from_numpy(x))[0].numpy()
+
+    params, batch_stats = convert_seq_ae_state(_sd(ref), n_layers=L)
+    model = SeqVQAutoencoder(rep_dim=REP, hidden_size=HID, n_layers=L,
+                             n_frames=T, n_pre_poses=1, use_vq=True,
+                             vq_components=K, vq_flatten="torch_view",
+                             eval_step_dropout=False)
+    res = model.apply({"params": params, "batch_stats": batch_stats},
+                      jnp.asarray(x), jnp.asarray(x), train=False)
+
+    tokens = np.argmax(np.asarray(res["vq"].encodings), axis=1)
+    agreement = (tokens == ref_tokens).mean()
+    assert agreement == 1.0, f"token agreement {agreement}"
+    np.testing.assert_allclose(float(res["vq"].loss), float(ref_loss),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(res["vq"].perplexity),
+                               float(ref_perp), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(res["outputs"]), ref_outputs,
+                               atol=5e-4)
 
 
-class _TorchT2TInner(nn.Module):
-    def __init__(self):
-        super().__init__()
-        self.embedding = nn.Embedding(K, HID)
-        self.attn = _TorchAttn()
-        self.pre_linear = nn.Sequential(nn.Linear(2 * HID, HID),
-                                        nn.BatchNorm1d(HID),
-                                        nn.ReLU(inplace=True))
-        self.gru = nn.GRU(HID, HID, L)
-        self.out = nn.Linear(HID, K)
+def test_text2token_parity_literal(ref_mods, rng):
+    """text2embedding_model (ref: text2embedding_model.py:488-746, GRU
+    encoder path) vs Text2Token: identical logits and greedy tokens.
 
-
-class _TorchAttn(nn.Module):
-    def __init__(self):
-        super().__init__()
-        self.attn = nn.Linear(2 * HID, HID)
-        self.v = nn.Parameter(torch.randn(HID) / HID ** 0.5)
-
-
-class _TorchT2TDecoder(nn.Module):
-    def __init__(self):
-        super().__init__()
-        self.decoder = _TorchT2TInner()
-
-
-class TorchT2T(nn.Module):
-    """Reference text2embedding (GRU encoder path) with packed-sequence
-    semantics, eval mode, attention decode over tokens."""
-
-    def __init__(self, n_words, n_steps, n_pre):
-        super().__init__()
-        self.encoder = _TorchTextEncoder(n_words)
-        self.decoder = _TorchT2TDecoder()
-        self.n_steps = n_steps
-        self.n_pre = n_pre
-
-    def forward(self, ids, lengths, targets):
-        emb = self.encoder.embedding(ids).transpose(0, 1)
-        packed = nn.utils.rnn.pack_padded_sequence(
-            emb, lengths, enforce_sorted=False)
-        outs, hidden = self.encoder.gru(packed)
-        outs, _ = nn.utils.rnn.pad_packed_sequence(outs)
-        outs = outs[:, :, :HID] + outs[:, :, HID:]
-        dec_hidden = hidden[:L].contiguous()
-
-        d = self.decoder.decoder
-        token = targets[:, 0]
-        logits_seq = [F.one_hot(token, K).float()]
-        for t in range(1, self.n_steps):
-            tok_in = targets[:, t - 1] if t - 1 < self.n_pre else token
-            x = d.embedding(tok_in)
-            q = dec_hidden[-1].unsqueeze(0).expand(outs.shape[0], -1, -1)
-            energy = torch.tanh(d.attn.attn(torch.cat([q, outs], dim=2)))
-            scores = torch.einsum("tbh,h->bt", energy, d.attn.v)
-            w = torch.softmax(scores, dim=1)
-            ctx = torch.einsum("bt,tbh->bh", w, outs)
-            h = d.pre_linear(torch.cat([x, ctx], dim=1))
-            o, dec_hidden = d.gru(h.unsqueeze(0), dec_hidden)
-            logits = d.out(o[0])
-            token = logits.argmax(1)
-            logits_seq.append(logits)
-        return torch.stack(logits_seq, 1)
-
-
-def test_text2token_parity(rng):
-    torch.manual_seed(2)
+    use_TCN is a module-level flag (ref :42); it is flipped to exercise
+    the packed-sequence EncoderRNN - the reference's only runnable
+    encoder (the committed TCN path crashes, see models/tcn.py)."""
+    t2e = ref_mods["text2embedding_model"]
     n_words, n_steps, n_pre, maxw = 40, 6, 2, 12
-    ref = TorchT2T(n_words, n_steps, n_pre).eval()
+    torch.manual_seed(2)
+    emb = rng.normal(size=(n_words, 16)).astype(np.float32)
+    args = argparse.Namespace(
+        text2_embedding_discrete="True", n_layers=L,
+        autoencoder_vq_components=K, hidden_size=HID, dropout_prob=0.2,
+        autoencoder_att="True", n_pre_poses=n_pre,
+        sentence_frame_length=n_steps * T, rep_learning_dim=REP,
+        autoencoder_conditioned="True", autoencoder_fixed_weight="False")
+    saved = t2e.use_TCN
+    t2e.use_TCN = False
+    try:
+        ref = t2e.text2embedding_model(args, K, T, n_words, 16,
+                                       emb).eval()
+    finally:
+        t2e.use_TCN = saved
 
-    lengths = rng.integers(3, maxw, size=8).astype(np.int64)
+    # pack_padded_sequence(enforce_sorted default): descending lengths,
+    # first row full so padded length == maxw (the reference relies on
+    # word_seq_collate_fn sorting, ref: lmdb_data_loader.py:29)
+    lengths = np.sort(rng.integers(3, maxw, size=8))[::-1].copy()
+    lengths[0] = maxw
     ids = np.zeros((8, maxw), np.int64)
     for i, ln in enumerate(lengths):
         ids[i, :ln] = rng.integers(4, n_words, size=ln)
     targets = rng.integers(0, K, size=(8, n_steps)).astype(np.int64)
 
     with torch.no_grad():
-        ref_logits = ref(torch.from_numpy(ids),
-                         torch.from_numpy(lengths),
-                         torch.from_numpy(targets)).numpy()
+        saved = t2e.use_TCN
+        t2e.use_TCN = False
+        try:
+            ref_logits, _ = ref(torch.from_numpy(ids),
+                                torch.from_numpy(lengths),
+                                None, torch.from_numpy(targets), None,
+                                None)
+        finally:
+            t2e.use_TCN = saved
+        ref_logits = ref_logits.numpy()
 
-    params, batch_stats = convert_text2token_state(
-        {k: v.numpy() for k, v in ref.state_dict().items()}, n_layers=L)
+    params, batch_stats = convert_text2token_state(_sd(ref), n_layers=L)
     model = Text2Token(n_words=n_words, n_tokens=K, hidden_size=HID,
                        n_layers=L, n_steps=n_steps, n_pre_poses=n_pre,
                        dropout=0.0, word_embed_size=16,
@@ -249,27 +175,56 @@ def test_text2token_parity(rng):
                       jnp.asarray(targets.astype(np.int32)), train=False)
     ours = np.asarray(res["logits"])
     np.testing.assert_allclose(ours, ref_logits, atol=5e-4)
-    # predicted token sequences identical
     np.testing.assert_array_equal(ours.argmax(-1), ref_logits.argmax(-1))
 
 
-def test_import_checkpoint_roundtrip(rng, tmp_path):
-    """Reference-style torch checkpoint file -> our format -> loaded
-    model produces identical tokens."""
-    import argparse
+def test_tcn_encoder_parity_literal(ref_mods, rng):
+    """TextEncoderTCN (ref: Helper_models.py:371-449 + the vendored
+    locuslab tcn.py) vs models.tcn.TextEncoderTCN on batch-major input:
+    the dilated weight-normed conv stack and projection match exactly.
+    (The repaired hidden head has no reference counterpart - the
+    reference returns (y, 0).)"""
+    torch.manual_seed(3)
+    args = argparse.Namespace(hidden_size=HID, n_layers=L)
+    ref = ref_mods["Helper_models"].TextEncoderTCN(
+        args, n_words=40, embed_size=16, pre_trained_embedding=None,
+        kernel_size=2, dropout=0.3, emb_dropout=0.1).eval()
 
+    ids = rng.integers(0, 40, size=(8, 12)).astype(np.int64)
+    with torch.no_grad():
+        ref_y, ref_zero = ref(torch.from_numpy(ids))
+    assert ref_zero == 0  # the reference's crash-inducing contract
+    ref_y = ref_y.numpy()
+
+    model = TextEncoderTCN(n_words=40, embed_size=16, hidden_size=HID,
+                           n_layers=L, kernel_size=2, dropout=0.3,
+                           emb_dropout=0.1, out_dim=32)
+    import jax
+    init = model.init({"params": jax.random.PRNGKey(0)},
+                      jnp.asarray(ids.astype(np.int32)),
+                      jnp.full((8,), 12, jnp.int32))
+    params = merge_params(init["params"],
+                          convert_tcn_encoder_state(_sd(ref), n_layers=L))
+    outs, _ = model.apply({"params": params},
+                          jnp.asarray(ids.astype(np.int32)),
+                          jnp.full((8,), 12, jnp.int32), train=False)
+    ours = np.transpose(np.asarray(outs), (1, 0, 2))  # (T,B,32)->(B,T,32)
+    np.testing.assert_allclose(ours, ref_y, atol=5e-4)
+
+
+def test_import_checkpoint_roundtrip_literal(ref_mods, rng, tmp_path):
+    """A reference-format torch checkpoint holding the LITERAL
+    Autoencoder_VQVAE state -> import_reference_checkpoint -> our loaded
+    model produces identical tokens."""
     from gesture2vec_tpu.cli.tools import import_reference_checkpoint
     from gesture2vec_tpu.train import checkpoints
 
-    torch.manual_seed(3)
-    ref = TorchSeqVQ().eval()
-    args = argparse.Namespace(
-        name="ref_vq", model="seq2seq", hidden_size=HID, n_layers=L,
-        dropout_prob=0.2, autoencoder_vq="True",
-        autoencoder_vq_components=K, autoencoder_vae="False",
-        autoencoder_att="False", autoencoder_conditioned="True",
-        n_poses=T, n_pre_poses=1, rep_learning_dim=REP, random_seed=0,
-        epochs=1, batch_size=8, learning_rate=5e-4)
+    torch.manual_seed(4)
+    args = _seq_ae_args(name="ref_vq", model="seq2seq", random_seed=0,
+                        epochs=1, batch_size=8, learning_rate=5e-4,
+                        n_poses=T)
+    ref = ref_mods["Autoencoder_VQVAE_model"].Autoencoder_VQVAE(
+        args, REP, T).eval()
     torch_path = str(tmp_path / "ref_checkpoint_020.bin")
     torch.save({"args": args, "epoch": 20, "pose_dim": REP,
                 "lang_model": None, "gen_dict": ref.state_dict()},
@@ -284,7 +239,10 @@ def test_import_checkpoint_roundtrip(rng, tmp_path):
 
     x = rng.normal(size=(8, T, REP)).astype(np.float32)
     with torch.no_grad():
-        _, ref_probs = ref(torch.from_numpy(x))
+        xs = torch.from_numpy(x).transpose(0, 1)
+        _, enc_hidden = ref.encoder(xs, None)
+        ref_tokens = ref.vq_layer(
+            enc_hidden[: ref.decoder.n_layers])[3].argmax(1).numpy()
     # the converted model must be built in parity (torch_view) mode for
     # token agreement; rebuild explicitly
     from gesture2vec_tpu.train.seq_ae_trainer import make_seq_ae
@@ -293,4 +251,4 @@ def test_import_checkpoint_roundtrip(rng, tmp_path):
                            method=pmodel.encode)[1]
     vq_out, _ = pmodel.apply(variables, enc_hid, method=pmodel.quantize)
     tokens = np.argmax(np.asarray(vq_out.encodings), axis=1)
-    np.testing.assert_array_equal(tokens, ref_probs.argmax(1).numpy())
+    np.testing.assert_array_equal(tokens, ref_tokens)
