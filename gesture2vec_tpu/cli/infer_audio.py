@@ -1,0 +1,96 @@
+"""CLI: end-to-end audio -> gesture BVH (audio-context Part-d variant).
+
+The reference exposes audio context as a module flag inside the text
+inference script (ref: scripts/model/text2embedding_model.py:41
+audio_context + scripts/inference_text2embedding.py mel-chunk windows
+:293-339). Here it is a first-class entry point:
+
+    g2v-infer-audio <audio2token.bin> <speech.wav> <DAE.bin> <VQVAE.bin>
+        --store ... --pipeline ... [--mode decode|exemplar]
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("a2t_checkpoint")
+    parser.add_argument("wav", help="mono wav file (16 kHz)")
+    parser.add_argument("rep_checkpoint")
+    parser.add_argument("autoencoder_checkpoint")
+    parser.add_argument("--store", required=True,
+                        help="train clip store (for pose mean/std)")
+    parser.add_argument("--pipeline", required=True,
+                        help="fitted data_pipe.json for BVH export")
+    parser.add_argument("--mode", choices=["decode", "exemplar"],
+                        default="decode")
+    parser.add_argument("--latent-bank", default=None,
+                        help="org_latent_clustering_data.npz "
+                             "(required for exemplar mode)")
+    parser.add_argument("--out", default="generated_audio.bvh")
+    parser.add_argument("--duration", type=float, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+    from scipy.io import wavfile
+
+    from gesture2vec_tpu.cluster.latent_dataset import load_latent_dataset
+    from gesture2vec_tpu.data.store import ClipStore
+    from gesture2vec_tpu.infer.audio2gesture import AudioGestureGenerator
+    from gesture2vec_tpu.infer.exporter import frames_to_bvh
+    from gesture2vec_tpu.mocap.features import FeatureExtractor
+    from gesture2vec_tpu.train import checkpoints
+
+    logging.basicConfig(level=logging.INFO)
+    store = ClipStore(args.store)
+
+    a2t_model, a2t_vars, a2t_payload = \
+        checkpoints.load_checkpoint_and_model(args.a2t_checkpoint,
+                                              "audio2token")
+    dae_model, dae_vars, _ = checkpoints.load_checkpoint_and_model(
+        args.rep_checkpoint, "DAE")
+    seq_model, seq_vars, _ = checkpoints.load_checkpoint_and_model(
+        args.autoencoder_checkpoint, "autoencoder_vq")
+    cfg = a2t_payload["config"]
+
+    sr, wave = wavfile.read(args.wav)
+    if wave.dtype.kind == "i":
+        wave = wave.astype(np.float32) / np.iinfo(wave.dtype).max
+    if wave.ndim > 1:
+        wave = wave.mean(axis=1)
+
+    bank = (load_latent_dataset(args.latent_bank)
+            if args.latent_bank else None)
+    gen = AudioGestureGenerator(
+        a2t_model=a2t_model, a2t_variables=a2t_vars,
+        seq_model=seq_model, seq_variables=seq_vars,
+        dae_model=dae_model, dae_variables=dae_vars,
+        pose_mean=store.pose_mean, pose_std=store.pose_std,
+        n_frames=cfg.n_poses,
+        sentence_frame_length=cfg.sentence_frame_length,
+        fps=cfg.motion_resampling_framerate, audio_sr=sr,
+        mode=args.mode, latent_bank=bank, seed=args.seed)
+
+    t0 = time.time()
+    frames, tokens = gen.generate(wave, args.duration)
+    dt = time.time() - t0
+    logging.info("generated %d frames (%d tokens) in %.2fs "
+                 "(%.0f frames/s)", frames.shape[0], len(tokens), dt,
+                 frames.shape[0] / dt)
+
+    fe = FeatureExtractor.load(args.pipeline)
+    frames_to_bvh(frames, fe, path=args.out)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

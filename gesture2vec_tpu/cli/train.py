@@ -24,7 +24,8 @@ def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--config", "-c", required=True)
     parser.add_argument("--part",
-                        choices=["a", "b", "d", "baseline", "c2g", "gan"],
+                        choices=["a", "b", "d", "audio", "baseline", "c2g",
+                                 "gan"],
                         required=True)
     parser.add_argument("--rep-checkpoint", default=None,
                         help="frozen Part-a checkpoint (parts b, d)")
@@ -196,10 +197,8 @@ def main() -> None:
                         [[w[0] for w in c["words"]] for c in train_store],
                         cfg.wordembed_path, cfg.wordembed_dim)
 
-    # part d
+    # parts d and audio share the sentence-level dataset build
     assert cfg.autoencoder_checkpoint, "--autoencoder-checkpoint required"
-    from gesture2vec_tpu.train.text2token_trainer import train_text2token
-
     seq_model, seq_vars, _ = checkpoints.load_checkpoint_and_model(
         cfg.autoencoder_checkpoint, "autoencoder_vq")
     kw = dict(dae_model=dae_model, dae_variables=dae_vars,
@@ -207,9 +206,22 @@ def main() -> None:
               sentence_frame_length=cfg.sentence_frame_length,
               stride=cfg.subdivision_stride_sentence,
               n_frames=cfg.n_poses,
-              fps=cfg.motion_resampling_framerate, mean=mean, std=std)
+              fps=cfg.motion_resampling_framerate, mean=mean, std=std,
+              include_audio=args.part == "audio")
     sent = build_sentence_dataset(train_store, vocab, **kw)
     sent_val = build_sentence_dataset(val_store, vocab, **kw)
+
+    if args.part == "audio":
+        # audio-context variant (ref: text2embedding_model.py:563-571,
+        # Helper_models.py:179-317): mel chunks -> gesture tokens
+        from gesture2vec_tpu.train.audio2token_trainer import \
+            train_audio2token
+        _, hist = train_audio2token(cfg, sent, sent_val,
+                                    save_dir=save_dir)
+        _plot(hist)
+        return
+
+    from gesture2vec_tpu.train.text2token_trainer import train_text2token
     _, hist = train_text2token(cfg, sent, sent_val, vocab.n_words,
                                embedding_weights=vocab.word_embedding_weights,
                                lang_model_state=vocab.state_dict(),

@@ -1,0 +1,157 @@
+"""End-to-end audio-context inference: waveform -> tokens -> motion.
+
+The reference's audio_context=True inference path feeds per-second mel
+chunks through EncoderRNN_With_Audio inside the same generate_gestures
+window loop as the text path (ref: scripts/inference_text2embedding.py
+:293-339 builds the mel chunks, :360-366 decodes tokens per window,
+audio encoder ref: Helper_models.py:179-317). Same TPU-native shape as
+infer/text2gesture.py: all windows' audio encodes in ONE device call,
+one lax.scan carries the teacher-forced seed across windows
+(ref :369-374), then tokens synthesize to motion either generatively
+(Part-b decode + DAE) or by exemplar retrieval from a latent bank.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gesture2vec_tpu.data.datasets import unnormalize
+
+
+@dataclasses.dataclass
+class AudioGestureGenerator:
+    a2t_model: object
+    a2t_variables: dict
+    seq_model: object
+    seq_variables: dict
+    dae_model: object
+    dae_variables: dict
+    pose_mean: np.ndarray
+    pose_std: np.ndarray
+    n_frames: int = 20
+    sentence_frame_length: int = 120
+    fps: int = 20
+    audio_sr: int = 16000
+    mode: str = "decode"              # "decode" | "exemplar"
+    latent_bank: Optional[Dict[str, np.ndarray]] = None
+    seed: int = 0
+
+    def __post_init__(self):
+        self.n_steps = self.sentence_frame_length // self.n_frames
+        self._rng = np.random.default_rng(self.seed)
+        if self.mode == "exemplar":
+            assert self.latent_bank is not None, \
+                "exemplar mode needs a latent bank (cluster/latent_dataset)"
+            toks = self.latent_bank["tokens"]
+            k = int(self.a2t_model.n_tokens)
+            self._token_index = [np.where(toks == t)[0] for t in range(k)]
+            self._populated = np.array(
+                [t for t in range(k) if len(self._token_index[t])])
+
+        a2t, seq, dae = self.a2t_model, self.seq_model, self.dae_model
+        n_pre, n_steps = a2t.n_pre_poses, self.n_steps
+
+        @jax.jit
+        def predict_tokens_all(mel_windows, seed0):
+            """mel_windows (W, S, n_mels, frames), seed0 (n_steps,) ->
+            tokens (W * n_steps,). One batched audio encode, then a scan
+            over windows carrying the trailing predictions as the next
+            teacher prefix (ref :369-374)."""
+            enc_outs, dec_hidden = a2t.apply(
+                self.a2t_variables, mel_windows,
+                method=a2t.encode_audio)          # (S, W, H), (L, W, H)
+
+            def body(seed_tokens, w):
+                eo = jax.lax.dynamic_slice_in_dim(enc_outs, w, 1, axis=1)
+                dh = jax.lax.dynamic_slice_in_dim(dec_hidden, w, 1, axis=1)
+                res = a2t.apply(self.a2t_variables, eo, dh,
+                                seed_tokens[None],
+                                method=a2t.decode_tokens)
+                toks = jnp.argmax(res["logits"][0], axis=-1)
+                next_seed = jnp.zeros((n_steps,), jnp.int32) \
+                    .at[:n_pre].set(toks[-n_pre:])
+                return next_seed, toks
+
+            _, all_toks = jax.lax.scan(body, seed0,
+                                       jnp.arange(mel_windows.shape[0]))
+            return all_toks.reshape(-1)
+
+        @jax.jit
+        def decode_and_dae(tokens):
+            """tokens (N,) -> motion frames (N * n_frames, pose_dim):
+            batched Part-b chunk decode + batched DAE decode."""
+            cb = jnp.asarray(
+                self.seq_variables["params"]["vq_layer"]["codebook"])
+            L, H = seq.n_layers, seq.hidden_size
+            N = tokens.shape[0]
+            hidden = jnp.transpose(
+                jnp.take(cb, tokens, axis=0).reshape(N, L, H), (1, 0, 2))
+            seed = jnp.zeros((N, seq.n_frames, seq.rep_dim))
+            latents = seq.apply(self.seq_variables, hidden, seed, None,
+                                method=seq.decode).reshape(-1, seq.rep_dim)
+            return dae.apply(self.dae_variables, latents,
+                             method=dae.decode)
+
+        @jax.jit
+        def dae_decode(latents):
+            return dae.apply(self.dae_variables, latents,
+                             method=dae.decode)
+
+        self._predict_tokens_all = predict_tokens_all
+        self._decode_and_dae = decode_and_dae
+        self._dae_decode = dae_decode
+
+    # ------------------------------------------------------------------
+    def _exemplar_latents(self, token: int) -> np.ndarray:
+        idxs = self._token_index[token] if token < len(self._token_index) \
+            else np.array([], np.int64)
+        if len(idxs) == 0:
+            cb = np.asarray(self.seq_variables["params"]["vq_layer"]
+                            ["codebook"])
+            pop = self._populated
+            d = np.sum((cb[pop] - cb[token]) ** 2, axis=1)
+            token = int(pop[np.argmin(d)])
+            idxs = self._token_index[token]
+        pick = int(self._rng.choice(idxs))
+        return self.latent_bank["dae_latents"][pick]
+
+    def _mel_windows(self, audio: np.ndarray, n_windows: int) -> np.ndarray:
+        from gesture2vec_tpu.io.audio import mel_chunks_per_second
+        window_seconds = self.sentence_frame_length // self.fps
+        need = n_windows * window_seconds * self.audio_sr
+        if len(audio) < need:
+            audio = np.pad(audio, (0, need - len(audio)))
+        wins = []
+        for w in range(n_windows):
+            seg = audio[w * window_seconds * self.audio_sr:
+                        (w + 1) * window_seconds * self.audio_sr]
+            wins.append(mel_chunks_per_second(seg, self.audio_sr))
+        return np.stack(wins, axis=0).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def generate(self, audio: np.ndarray,
+                 duration_s: Optional[float] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        """audio: mono waveform at audio_sr. Returns
+        (motion (T, pose_dim) unnormalized, tokens (n_windows*n_steps,))."""
+        if duration_s is None:
+            duration_s = len(audio) / self.audio_sr
+        unit = self.sentence_frame_length / self.fps
+        n_windows = max(int(np.ceil(duration_s / unit)), 1)
+        mel = self._mel_windows(np.asarray(audio, np.float32), n_windows)
+
+        seed0 = jnp.zeros((self.n_steps,), jnp.int32)
+        tokens = np.asarray(self._predict_tokens_all(jnp.asarray(mel),
+                                                     seed0))
+        if self.mode == "decode":
+            frames = np.asarray(self._decode_and_dae(jnp.asarray(tokens)))
+        else:
+            latents = np.concatenate(
+                [self._exemplar_latents(int(t)) for t in tokens], axis=0)
+            frames = np.asarray(self._dae_decode(jnp.asarray(latents)))
+        frames = unnormalize(frames, self.pose_mean, self.pose_std)
+        return frames, tokens

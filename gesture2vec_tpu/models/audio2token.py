@@ -4,11 +4,17 @@ Rebuild of the reference's audio_context=True configuration
 (ref: scripts/model/text2embedding_model.py:41,563-571 swaps the text
 encoder for EncoderRNN_With_Audio, whose shipped branch consumes ONLY
 audio features - see models/audio.AudioContextEncoder). The decoder is
-the same discrete token decoder as the text path.
+the same discrete token decoder as the text path, teacher-forced for
+the first n_pre_poses steps then argmax-fed, under lax.scan
+(ref: text2embedding_model.py:701-744).
+
+encode_audio / decode_tokens are exposed separately (like
+Text2Token.encode_text) so inference can batch-encode every window in
+one device call and scan the seed-carried decode across windows.
 """
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,13 +42,17 @@ class Audio2Token(nn.Module):
             n_layers=self.n_layers, dropout_p=self.dropout,
             use_attention=self.use_attention)
 
-    def __call__(self, mel_chunks: jnp.ndarray,
-                 target_tokens: jnp.ndarray, train: bool = False
-                 ) -> Dict[str, Any]:
-        """mel_chunks (B, S, n_mels, frames); target_tokens (B, n_steps)."""
+    def encode_audio(self, mel_chunks: jnp.ndarray, train: bool = False
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """mel_chunks (B, S, n_mels, frames) -> (encoder outputs
+        (S, B, H), decoder-initial hidden (L, B, H))."""
         enc_outs, enc_hidden = self.encoder(mel_chunks, train=train)
-        dec_hidden = enc_hidden[: self.n_layers]
+        return enc_outs, enc_hidden[: self.n_layers]
 
+    def decode_tokens(self, enc_outs: jnp.ndarray, dec_hidden: jnp.ndarray,
+                      target_tokens: jnp.ndarray, train: bool = False
+                      ) -> Dict[str, Any]:
+        """The autoregressive token decode given an audio encoding."""
         seed = target_tokens[:, 0]
         onehot0 = jax.nn.one_hot(seed, self.n_tokens)
         step_mod = self.decoder_step
@@ -73,3 +83,11 @@ class Audio2Token(nn.Module):
         logits = jnp.concatenate([onehot0[None], logits_seq], axis=0)
         return {"logits": jnp.transpose(logits, (1, 0, 2)),
                 "attentions": attns}
+
+    def __call__(self, mel_chunks: jnp.ndarray,
+                 target_tokens: jnp.ndarray, train: bool = False
+                 ) -> Dict[str, Any]:
+        """mel_chunks (B, S, n_mels, frames); target_tokens (B, n_steps)."""
+        enc_outs, dec_hidden = self.encode_audio(mel_chunks, train=train)
+        return self.decode_tokens(enc_outs, dec_hidden, target_tokens,
+                                  train=train)

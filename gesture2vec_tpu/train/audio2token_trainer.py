@@ -1,0 +1,182 @@
+"""Audio-context Part-d trainer: mel chunks -> gesture tokens.
+
+The reference's audio_context=True configuration trains through the
+same train_text2embedding.py loop with EncoderRNN_With_Audio swapped in
+(ref: scripts/model/text2embedding_model.py:41,563-571 +
+Helper_models.py:179-317) and saves under the 'text2embedding' registry
+kind. Here the audio variant is a first-class part with its own
+checkpoint kind ("audio2token") so loads cannot silently cross wires
+with the text model. Loss is the same CE over token positions 1..
+(ref: train_eval/train_seq2seq.py:462-538). Honors config.mesh_shape:
+batches dp-sharded, params replicated.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gesture2vec_tpu.models.audio2token import Audio2Token
+from gesture2vec_tpu.train import checkpoints
+from gesture2vec_tpu.train.config import Config
+from gesture2vec_tpu.train.losses import token_cross_entropy
+from gesture2vec_tpu.train.optim import make_optimizer
+from gesture2vec_tpu.utils.meters import AverageMeter
+
+
+class A2TTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    batch_stats: Any
+    step: jnp.ndarray
+
+
+def make_audio2token(config: Config) -> Audio2Token:
+    n_steps = config.sentence_frame_length // config.n_poses
+    return Audio2Token(n_tokens=config.autoencoder_vq_components,
+                       hidden_size=config.hidden_size,
+                       n_layers=config.n_layers,
+                       n_steps=n_steps,
+                       n_pre_poses=config.n_pre_poses,
+                       dropout=config.dropout_prob,
+                       use_attention=config.autoencoder_att)
+
+
+def init_state(model: Audio2Token, rng: jax.Array,
+               optimizer: optax.GradientTransformation,
+               mel_shape: Tuple[int, int, int]) -> A2TTrainState:
+    """mel_shape: (seconds, n_mels, frames) of one window."""
+    mel = jnp.zeros((2,) + tuple(mel_shape), jnp.float32)
+    tgt = jnp.zeros((2, model.n_steps), jnp.int32)
+    variables = model.init({"params": rng,
+                            "dropout": jax.random.fold_in(rng, 1)},
+                           mel, tgt, train=False)
+    return A2TTrainState(params=variables["params"],
+                         opt_state=optimizer.init(variables["params"]),
+                         batch_stats=variables.get("batch_stats", {}),
+                         step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model: Audio2Token,
+                    optimizer: optax.GradientTransformation):
+    def step(state: A2TTrainState, mel, targets, rng: jax.Array):
+        def loss_fn(params):
+            res, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                mel, targets, train=True, rngs={"dropout": rng},
+                mutable=["batch_stats"])
+            loss = token_cross_entropy(res["logits"], targets)
+            return loss, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (A2TTrainState(new_params, new_opt, new_bs, state.step + 1),
+                {"loss": loss})
+
+    return jax.jit(step, donate_argnums=0)
+
+
+def make_eval_step(model: Audio2Token):
+    def step(state: A2TTrainState, mel, targets):
+        res = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            mel, targets, train=False)
+        loss = token_cross_entropy(res["logits"], targets)
+        pred = jnp.argmax(res["logits"], axis=-1)
+        acc = jnp.mean((pred[:, 1:] == targets[:, 1:]).astype(jnp.float32))
+        return loss, acc, pred
+
+    return jax.jit(step)
+
+
+def train_audio2token(config: Config, data: Dict[str, np.ndarray],
+                      val_data: Dict[str, np.ndarray],
+                      save_dir=None, save_every: int = 20,
+                      log_every: int = 50
+                      ) -> Tuple[A2TTrainState, Dict[str, list]]:
+    """data: {mel (N, S, n_mels, frames), tokens (N, n_steps)}."""
+    seed = max(config.random_seed, 0)
+    rng = jax.random.PRNGKey(seed)
+    model = make_audio2token(config)
+    optimizer = make_optimizer(config.learning_rate)
+    state = init_state(model, rng, optimizer, data["mel"].shape[1:])
+    from gesture2vec_tpu.parallel.mesh import batch_placer, prepare_state
+    mesh, state = prepare_state(state, config.mesh_shape)
+    place = batch_placer(mesh)
+    if mesh is not None:
+        logging.info("training over mesh %s", config.mesh_shape)
+    train_step = make_train_step(model, optimizer)
+    eval_step = make_eval_step(model)
+
+    n, bs = data["mel"].shape[0], config.batch_size
+    history: Dict[str, list] = {"train_loss": [], "val_loss": [],
+                                "val_acc": []}
+    meter = AverageMeter("loss", ":.4f")
+
+    for epoch in range(config.epochs):
+        perm = np.random.default_rng(seed + epoch).permutation(n)
+        meter.reset()
+        t0 = time.time()
+        losses = []
+        for b in range(max(n // bs, 1)):
+            take = perm[b * bs:(b + 1) * bs]
+            if take.size < bs:
+                break
+            rng, srng = jax.random.split(rng)
+            state, metrics = train_step(state, place(data["mel"][take]),
+                                        place(data["tokens"][take]), srng)
+            losses.append(metrics["loss"])
+            if (b + 1) % log_every == 0:
+                block = float(jnp.mean(jnp.stack(losses[-log_every:])))
+                meter.update(block, bs * log_every)
+                sps = (b + 1) * bs / (time.time() - t0)
+                logging.info("EP %d (%d) %s, %.0f samples/s", epoch,
+                             b + 1, meter, sps)
+        epoch_loss = (float(jnp.mean(jnp.stack(losses)))
+                      if losses else float("nan"))
+        meter.avg = epoch_loss
+        history["train_loss"].append(epoch_loss)
+
+        vl, va = [], []
+        m = val_data["mel"].shape[0]
+        for s in range(0, m - bs + 1, bs):
+            loss, acc, _ = eval_step(state,
+                                     place(val_data["mel"][s:s + bs]),
+                                     place(val_data["tokens"][s:s + bs]))
+            vl.append(float(loss))
+            va.append(float(acc))
+        history["val_loss"].append(float(np.mean(vl)) if vl else float("nan"))
+        history["val_acc"].append(float(np.mean(va)) if va else float("nan"))
+        logging.info("EP %d done: train %.4f val %.4f acc %.3f", epoch,
+                     meter.avg, history["val_loss"][-1],
+                     history["val_acc"][-1])
+
+        if save_dir and ((epoch + 1) % save_every == 0
+                         or epoch + 1 == config.epochs):
+            path = checkpoints.checkpoint_filename(save_dir, config.name,
+                                                   epoch + 1)
+            checkpoints.save_checkpoint(
+                path, config=config, epoch=epoch + 1, params=state.params,
+                pose_dim=config.autoencoder_vq_components,
+                extra={"batch_stats": state.batch_stats,
+                       "mel_shape": list(data["mel"].shape[1:])},
+                kind="audio2token")
+            logging.info("saved checkpoint %s", path)
+
+    return state, history
+
+
+@checkpoints.register_model_kind("audio2token")
+def _build_a2t(config: Config, payload: dict):
+    model = make_audio2token(config)
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["extra"].get("batch_stats", {})}
+    return model, variables

@@ -101,7 +101,7 @@ def _ensure_registry() -> None:
     registry is populated regardless of which module loaded first."""
     import importlib
     for mod in ("dae_trainer", "seq_ae_trainer", "text2token_trainer",
-                "misc_trainers", "gan_trainer"):
+                "misc_trainers", "gan_trainer", "audio2token_trainer"):
         try:
             importlib.import_module(f"gesture2vec_tpu.train.{mod}")
         except ImportError:

@@ -1,0 +1,136 @@
+"""Audio-context Part-d path: trainer, checkpoint kind, inference.
+
+Covers the reference's audio_context=True configuration
+(ref: scripts/model/text2embedding_model.py:41,563-571 +
+Helper_models.py:179-317) rebuilt as a first-class part: mel chunks ->
+Audio2Token -> gesture tokens -> motion.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gesture2vec_tpu.train.audio2token_trainer import (make_audio2token,
+                                                       train_audio2token)
+from gesture2vec_tpu.train.config import load_config
+
+S, MELS, FRAMES, CODES, N_POSES, SENT_LEN = 2, 32, 16, 8, 10, 20
+
+
+def _cfg(**over):
+    base = dict(name="a2t", model="seq2seq", hidden_size=16, n_layers=2,
+                dropout_prob=0.1, epochs=4, batch_size=16,
+                learning_rate=0.003, n_poses=N_POSES, n_pre_poses=1,
+                sentence_frame_length=SENT_LEN,
+                autoencoder_vq_components=CODES, autoencoder_att=True,
+                random_seed=0)
+    base.update(over)
+    return load_config(base)
+
+
+def _synthetic_audio_data(rng, n=64):
+    """Mel windows whose per-chunk mean level determines the token, so
+    the mapping is learnable."""
+    tokens = rng.integers(0, CODES, size=(n, SENT_LEN // N_POSES))
+    mel = rng.normal(scale=0.1,
+                     size=(n, S, MELS, FRAMES)).astype(np.float32)
+    for i in range(n):
+        for s in range(S):
+            mel[i, s] += tokens[i, min(s, tokens.shape[1] - 1)] / CODES
+    return {"mel": mel, "tokens": tokens.astype(np.int32)}
+
+
+def test_audio2token_trains(rng, tmp_path):
+    data = _synthetic_audio_data(rng)
+    cfg = _cfg()
+    state, hist = train_audio2token(cfg, data,
+                                    {k: v[:16] for k, v in data.items()},
+                                    save_dir=str(tmp_path), save_every=100)
+    assert np.isfinite(hist["train_loss"]).all()
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    ckpt = os.path.join(str(tmp_path), "a2t_checkpoint_004.bin")
+    assert os.path.exists(ckpt)
+
+    # checkpoint kind roundtrip: the audio2token registry builder
+    from gesture2vec_tpu.train import checkpoints
+    model, variables, payload = checkpoints.load_checkpoint_and_model(
+        ckpt, "audio2token")
+    res = model.apply(variables, jnp.asarray(data["mel"][:4]),
+                      jnp.asarray(data["tokens"][:4]), train=False)
+    assert res["logits"].shape == (4, SENT_LEN // N_POSES, CODES)
+
+
+def test_audio2token_mesh_matches_single_device(rng):
+    """config.mesh_shape in the audio trainer: dp-sharded run matches
+    single-device losses."""
+    data = _synthetic_audio_data(rng, n=32)
+    val = {k: v[:16] for k, v in data.items()}
+    _, h1 = train_audio2token(_cfg(epochs=2), data, val)
+    _, h2 = train_audio2token(_cfg(epochs=2, mesh_shape={"dp": 8}),
+                              data, val)
+    np.testing.assert_allclose(h1["train_loss"], h2["train_loss"],
+                               rtol=1e-4)
+
+
+def test_audio_generator_end_to_end(rng):
+    """Waveform -> mel windows -> tokens -> Part-b decode -> DAE decode:
+    the full audio-context generation produces motion of the right
+    length with in-range tokens."""
+    from gesture2vec_tpu.infer.audio2gesture import AudioGestureGenerator
+    from gesture2vec_tpu.train.dae_trainer import (init_state as dae_init,
+                                                   make_frame_model)
+    from gesture2vec_tpu.train.optim import make_optimizer
+    from gesture2vec_tpu.train.seq_ae_trainer import (init_state as sq_init,
+                                                      make_seq_ae)
+
+    rep, fps = 12, 10
+    a2t_cfg = _cfg(hidden_size=16)
+    a2t = make_audio2token(a2t_cfg)
+    key = jax.random.PRNGKey(0)
+    # window_seconds = SENT_LEN / fps = 2 -> S=2 mel chunks per window
+    mel0 = jnp.zeros((2, SENT_LEN // fps, 128, 31), jnp.float32)
+    tgt0 = jnp.zeros((2, SENT_LEN // N_POSES), jnp.int32)
+    a2t_vars = a2t.init({"params": key,
+                         "dropout": jax.random.fold_in(key, 1)},
+                        mel0, tgt0, train=False)
+    a2t_vars = {"params": a2t_vars["params"],
+                "batch_stats": a2t_vars.get("batch_stats", {})}
+
+    dae_cfg = load_config(dict(name="d", model="DAE", hidden_size=rep,
+                               input_motion_dim=30, epochs=1,
+                               batch_size=4, random_seed=0))
+    dae = make_frame_model(dae_cfg)
+    dae_state = dae_init(dae_cfg, dae, jax.random.fold_in(key, 2),
+                         make_optimizer(1e-3))
+    sq_cfg = load_config(dict(name="s", model="seq2seq", hidden_size=16,
+                              n_layers=2, dropout_prob=0.0, epochs=1,
+                              batch_size=4, learning_rate=1e-3,
+                              rep_learning_dim=rep, n_poses=N_POSES,
+                              n_pre_poses=1, autoencoder_vq=True,
+                              autoencoder_vq_components=CODES,
+                              autoencoder_att=False,
+                              autoencoder_conditioned=True, random_seed=0))
+    seq = make_seq_ae(sq_cfg)
+    sq_state = sq_init(sq_cfg, seq, jax.random.fold_in(key, 3),
+                       make_optimizer(1e-3))
+
+    gen = AudioGestureGenerator(
+        a2t_model=a2t, a2t_variables=a2t_vars,
+        seq_model=seq,
+        seq_variables={"params": sq_state.params,
+                       "batch_stats": sq_state.batch_stats},
+        dae_model=dae, dae_variables={"params": dae_state.params},
+        pose_mean=np.zeros(30, np.float32),
+        pose_std=np.ones(30, np.float32),
+        n_frames=N_POSES, sentence_frame_length=SENT_LEN, fps=fps,
+        audio_sr=16000, mode="decode")
+
+    audio = rng.normal(scale=0.1, size=(16000 * 4,)).astype(np.float32)
+    frames, tokens = gen.generate(audio)
+    n_windows = 2  # 4 s / 2 s per window
+    assert tokens.shape == (n_windows * SENT_LEN // N_POSES,)
+    assert frames.shape == (n_windows * SENT_LEN, 30)
+    assert np.isfinite(frames).all()
+    assert (tokens >= 0).all() and (tokens < CODES).all()

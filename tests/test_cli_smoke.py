@@ -25,7 +25,7 @@ def _run(args, cwd):
 def workdir(tmp_path_factory):
     root = tmp_path_factory.mktemp("cli")
     make_corpus(str(root / "corpus"), n_files=3, n_frames=360,
-                with_audio=False)
+                with_audio=True)
     return root
 
 
@@ -82,6 +82,30 @@ def test_full_cli_workflow(workdir):
           vq_ckpt, "--platform", "cpu"], root)
     t2t_ckpt = "out/t2t/t2t_checkpoint_002.bin"
     assert os.path.exists(os.path.join(root, t2t_ckpt))
+
+    # audio-context Part-d variant: mel chunks -> tokens
+    _write_cfg(os.path.join(root, "a2t.yml"), name="a2t", model="seq2seq",
+               train_data_path="corpus/store/train",
+               val_data_path="corpus/store/val",
+               model_save_path="out/a2t", hidden_size=24, n_layers=2,
+               dropout_prob=0.1, epochs=2, batch_size=8,
+               learning_rate=0.003, random_seed=0, n_poses=10,
+               n_pre_poses=1, sentence_frame_length=40,
+               subdivision_stride_sentence=20,
+               motion_resampling_framerate=20, autoencoder_vq=True,
+               autoencoder_vq_components=16, autoencoder_att=True)
+    _run(["gesture2vec_tpu.cli.train", "-c", "a2t.yml", "--part", "audio",
+          "--rep-checkpoint", dae_ckpt, "--autoencoder-checkpoint",
+          vq_ckpt, "--platform", "cpu"], root)
+    a2t_ckpt = "out/a2t/a2t_checkpoint_002.bin"
+    assert os.path.exists(os.path.join(root, a2t_ckpt))
+
+    _run(["gesture2vec_tpu.cli.infer_audio", a2t_ckpt,
+          "corpus/Audio/Recording_001.wav", dae_ckpt, vq_ckpt,
+          "--mode", "decode", "--store", "corpus/store/train",
+          "--pipeline", "corpus/store/data_pipe.json", "--out",
+          "generated_audio.bvh", "--platform", "cpu"], root)
+    assert os.path.getsize(os.path.join(root, "generated_audio.bvh")) > 10000
 
     _run(["gesture2vec_tpu.cli.cluster", dae_ckpt, vq_ckpt, "--store",
           "corpus/store/train", "--platform", "cpu"], root)
