@@ -1,10 +1,12 @@
 """Small export utilities.
 
-  unityfy      <- scripts/utils/Unityfier.py: transcripts -> Unity-
-                  readable "start,end,word" text files.
-  human-study  <- scripts/creat_human-study.py: cut word-aligned clip
-                  windows out of generated/ground-truth motion for
-                  side-by-side human evaluation.
+  unityfy        <- scripts/utils/Unityfier.py: transcripts -> Unity-
+                    readable "start,end,word" text files.
+  human-study    <- scripts/creat_human-study.py: cut word-aligned clip
+                    windows out of generated/ground-truth motion for
+                    side-by-side human evaluation.
+  baseline-infer <- scripts/inference.py: the continuous text->pose
+                    baseline with seed-pose carry + overlap blending.
 """
 from __future__ import annotations
 
@@ -89,7 +91,22 @@ def main() -> None:
     i.add_argument("--kind", required=True,
                    choices=["DAE", "autoencoder", "autoencoder_vq",
                             "text2embedding"])
+    b = sub.add_parser("baseline-infer")
+    b.add_argument("baseline_checkpoint")
+    b.add_argument("transcript")
+    b.add_argument("--store", required=True)
+    b.add_argument("--pipeline", required=True)
+    b.add_argument("--out", default="baseline.bvh")
+    b.add_argument("--duration", type=float, default=None)
+    b.add_argument("--platform", default=None)
     args = parser.parse_args()
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    if args.cmd == "baseline-infer":
+        baseline_infer(args.baseline_checkpoint, args.transcript,
+                       args.store, args.pipeline, args.out, args.duration)
+        return
     if args.cmd == "unityfy":
         for p in unityfy(args.jsons_path, args.out):
             print(p)
@@ -146,6 +163,39 @@ def c2g_samples(c2g_checkpoint: str, rep_checkpoint: str, store_dir: str,
                           path=os.path.join(d, f"sample_{k}.bvh"))
             count += 1
     return count
+
+
+def baseline_infer(ckpt: str, transcript: str, store_dir: str,
+                   pipeline_path: str, out: str,
+                   duration: float | None = None) -> None:
+    """Baseline Seq2SeqNet text->pose inference to BVH
+    (ref: scripts/inference.py:53-96)."""
+    from gesture2vec_tpu.data.store import ClipStore
+    from gesture2vec_tpu.infer.baseline_infer import generate_baseline
+    from gesture2vec_tpu.infer.exporter import frames_to_bvh
+    from gesture2vec_tpu.io.subtitles import read_subtitles
+    from gesture2vec_tpu.mocap.features import FeatureExtractor
+    from gesture2vec_tpu.text.vocab import build_vocab
+    from gesture2vec_tpu.train import checkpoints
+
+    model, variables, payload = checkpoints.load_checkpoint_and_model(
+        ckpt, "baseline")
+    cfg = payload["config"]
+    store = ClipStore(store_dir)
+    # the baseline trainer builds its vocab from the train store; the
+    # same deterministic build reproduces the training-time word ids
+    vocab = build_vocab("corpus",
+                        [[w[0] for w in c["words"]] for c in store],
+                        cfg.wordembed_path, cfg.wordembed_dim)
+    words = read_subtitles(transcript)
+    dur = duration or (words[-1][2] if words else 6.0)
+    frames = generate_baseline(model, variables, vocab, words, dur,
+                               pose_mean=store.pose_mean,
+                               pose_std=store.pose_std,
+                               fps=cfg.motion_resampling_framerate)
+    fe = FeatureExtractor.load(pipeline_path)
+    frames_to_bvh(frames, fe, path=out)
+    print(f"wrote {out}")
 
 
 def import_reference_checkpoint(torch_path: str, out_path: str,

@@ -83,6 +83,28 @@ def test_full_cli_workflow(workdir):
     t2t_ckpt = "out/t2t/t2t_checkpoint_002.bin"
     assert os.path.exists(os.path.join(root, t2t_ckpt))
 
+    # baseline text->pose regressor (ref: scripts/train.py +
+    # scripts/inference.py, config/seq2seq.yml)
+    _write_cfg(os.path.join(root, "seq2seq.yml"), name="baseline",
+               model="seq2seq", train_data_path="corpus/store/train",
+               val_data_path="corpus/store/val",
+               model_save_path="out/baseline", hidden_size=24, n_layers=2,
+               dropout_prob=0.0, epochs=2, batch_size=8,
+               learning_rate=0.0005, random_seed=0, wordembed_dim=24,
+               n_poses=20, n_pre_poses=1, subdivision_stride=20,
+               motion_resampling_framerate=20, loss_l1_weight=5,
+               loss_cont_weight=0.1, loss_var_weight=0.5)
+    _run(["gesture2vec_tpu.cli.train", "-c", "seq2seq.yml", "--part",
+          "baseline", "--platform", "cpu"], root)
+    base_ckpt = "out/baseline/baseline_checkpoint_002.bin"
+    assert os.path.exists(os.path.join(root, base_ckpt))
+    _run(["gesture2vec_tpu.cli.tools", "baseline-infer", base_ckpt,
+          "corpus/Transcripts/Recording_001.json", "--store",
+          "corpus/store/train", "--pipeline",
+          "corpus/store/data_pipe.json", "--out", "baseline.bvh",
+          "--platform", "cpu"], root)
+    assert os.path.getsize(os.path.join(root, "baseline.bvh")) > 10000
+
     # audio-context Part-d variant: mel chunks -> tokens
     _write_cfg(os.path.join(root, "a2t.yml"), name="a2t", model="seq2seq",
                train_data_path="corpus/store/train",

@@ -77,3 +77,21 @@ def test_reference_yaml_loads(name):
         # well-formedness is asserted here
         assert cfg.data_mean.ndim >= 1
         assert np.isfinite(cfg.data_mean).all()
+
+
+def test_all_shipped_configs_load():
+    """Every --part choice in cli/train.py has a shipped config that
+    loads (reference config/seq2seq.yml included -> configs/seq2seq.yml
+    for --part baseline)."""
+    here = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+    names = {f for f in os.listdir(here) if f.endswith(".yml")}
+    # part -> config file coverage
+    for required in ("DAE.yml", "VQ-VAE.yml", "seq2seqtxt.yml",
+                     "seq2seq.yml", "audio.yml", "c2g.yml", "gan.yml",
+                     "DAE_GENEA.yml", "VQ-VAE_GENEA.yml"):
+        assert required in names, required
+    for name in sorted(names):
+        cfg = load_config(os.path.join(here, name))
+        assert cfg.hidden_size > 0
+        assert isinstance(cfg.autoencoder_vq, bool)
