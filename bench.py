@@ -110,10 +110,25 @@ def bench_jax() -> float:
     return frames.shape[0] / float(np.median(times))
 
 
-def bench_torch_cpu() -> float:
-    """Equivalent e2e computation with torch on CPU: per 6s window a
-    GRU-attention token decoder over the text encoding, then per token a
-    20-step GRU chunk rollout, then the DAE decode."""
+def make_torch_baseline_models():
+    """The torch-CPU baseline models, at module call scope so
+    tests/test_bench_baseline.py can pin their structure against the
+    reference call graph (the actual reference cannot run in this image
+    - lmdb/pyarrow.serialize/fasttext are absent - so the baseline is a
+    faithful reconstruction; per-stage mapping documented in
+    BASELINE.md).
+
+    Reference stages reproduced:
+      T2T.forward          <- inference_text2embedding.py:360-366 via
+        text2embedding_model.py:701-744: one Python decoder step per
+        token (GRU stepped with a length-1 sequence), Bahdanau attention
+        re-scored per step, argmax fed back.
+      ChunkDecoder.forward <- Autoencoder_VQVAE_model.py:1038-1054 via
+        inference_text2embedding.py:453-519: per token, a Python loop of
+        n_frames-1 single-step GRU calls (pre_linear+BN+ReLU -> GRU ->
+        out), then the frame-wise DAE decode
+        (inference_text2embedding.py:544-547).
+    """
     import torch
     import torch.nn as nn
 
@@ -176,8 +191,16 @@ def bench_torch_cpu() -> float:
                 lat.append(x)
             return self.dae_dec(torch.stack(lat, dim=0)[:, 0])
 
-    t2t = T2T().eval()
-    dec = ChunkDecoder().eval()
+    return T2T().eval(), ChunkDecoder().eval()
+
+
+def bench_torch_cpu() -> float:
+    """Equivalent e2e computation with torch on CPU: per 6s window a
+    GRU-attention token decoder over the text encoding, then per token a
+    20-step GRU chunk rollout, then the DAE decode."""
+    import torch
+
+    t2t, dec = make_torch_baseline_models()
     rng = np.random.default_rng(0)
     ids = torch.from_numpy(rng.integers(0, N_WORDS, size=(1, MAXW)))
     n_windows = int(np.ceil(TORCH_DURATION_S / (SENT_LEN / FPS)))

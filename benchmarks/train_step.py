@@ -21,6 +21,21 @@ import numpy as np
 
 from gesture2vec_tpu.train.config import load_config
 from gesture2vec_tpu.train.optim import make_optimizer
+from gesture2vec_tpu.utils import flops as F
+
+
+def _report(label, batch, t, unit, step_fn, state, args, fwd_analytic):
+    """One result line with FLOPs and MFU (vs v5e bf16 peak)."""
+    try:
+        step_flops = F.xla_flops(step_fn, state, *args)
+    except Exception:                       # cost model unavailable
+        step_flops = 0.0
+    util = F.mfu(step_flops, t)
+    print(f"{label} batch {batch}: {t*1e3:7.2f} ms/step "
+          f"{batch/t:10.0f} {unit}  "
+          f"{step_flops/1e9:8.3f} GFLOP/step (XLA, fwd+bwd+opt; "
+          f"fwd analytic {fwd_analytic/1e9:.3f})  "
+          f"MFU {util*100:5.2f}% of v5e bf16 peak")
 
 
 def bench_steps(step_fn, state, args, iters, warmup=5):
@@ -55,9 +70,11 @@ def bench_dae(batch_size, iters):
     step = dae_trainer.make_train_step(cfg, model, opt)
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(batch_size, 135)).astype(np.float32))
-    t = bench_steps(step, state, (x, jax.random.PRNGKey(1)), iters)
-    print(f"part a (DAE 135->40)      batch {batch_size}: "
-          f"{t*1e3:7.2f} ms/step  {batch_size/t:10.0f} frames/s")
+    args_ = (x, jax.random.PRNGKey(1))
+    t = bench_steps(step, state, args_, iters)
+    _report("part a (DAE 135->40)     ", batch_size, t, "frames/s",
+            step, state, args_,
+            F.dae_forward_flops(batch_size))
 
 
 def bench_seq_ae(batch_size, iters):
@@ -79,10 +96,11 @@ def bench_seq_ae(batch_size, iters):
     step = seq_ae_trainer.make_train_step(cfg, model, opt, total_epochs=1)
     x = jnp.asarray(np.random.default_rng(0).normal(
         size=(batch_size, 20, 40)).astype(np.float32))
-    t = bench_steps(step, state,
-                    (x, jax.random.PRNGKey(1), jnp.asarray(0.0)), iters)
-    print(f"part b (VQ-VAE tokenizer) batch {batch_size}: "
-          f"{t*1e3:7.2f} ms/step  {batch_size/t:10.0f} windows/s")
+    args_ = (x, jax.random.PRNGKey(1), jnp.asarray(0.0))
+    t = bench_steps(step, state, args_, iters)
+    _report("part b (VQ-VAE tokenizer)", batch_size, t, "windows/s",
+            step, state, args_,
+            F.seq_ae_forward_flops(batch_size))
 
 
 def bench_t2t(batch_size, iters, max_words=32):
@@ -109,10 +127,12 @@ def bench_t2t(batch_size, iters, max_words=32):
     tgt = jnp.asarray(rng.integers(0, 512,
                                    size=(batch_size, model.n_steps),
                                    dtype=np.int32))
-    t = bench_steps(step, state, (words, lens, tgt, jax.random.PRNGKey(1)),
-                    iters)
-    print(f"part d (text->tokens)     batch {batch_size}: "
-          f"{t*1e3:7.2f} ms/step  {batch_size/t:10.0f} sentences/s")
+    args_ = (words, lens, tgt, jax.random.PRNGKey(1))
+    t = bench_steps(step, state, args_, iters)
+    _report("part d (text->tokens)    ", batch_size, t, "sentences/s",
+            step, state, args_,
+            F.text2token_forward_flops(batch_size, max_words=max_words,
+                                       n_steps=model.n_steps))
 
 
 def main():

@@ -97,7 +97,7 @@ class GestureGenerator:
                   and jax.devices()[0].platform == "tpu")
             if ok:
                 from gesture2vec_tpu.ops.decoder_pallas import supported
-                ok = supported(256, seq.hidden_size, seq.rep_dim,
+                ok = supported(seq.hidden_size, seq.rep_dim,
                                seq.n_frames - 1)
             if not ok:
                 logging.warning("use_fused_decoder unsupported here "

@@ -67,6 +67,9 @@ def _decoder_kernel(x0_ref, h_ref, wpre_ref, bns_ref, bnb_ref,
     jax.lax.fori_loop(0, T, body, x0_ref[:])
 
 
+BLOCK = 256  # chunks decoded per grid step (VMEM-bounded, see supported)
+
+
 @functools.partial(jax.jit, static_argnames=("n_steps", "interpret"))
 def fused_chunk_decode(x0: jnp.ndarray, h0: jnp.ndarray, params: dict,
                        batch_stats: dict, n_steps: int,
@@ -78,12 +81,24 @@ def fused_chunk_decode(x0: jnp.ndarray, h0: jnp.ndarray, params: dict,
     Returns generated frames (n_steps, B, D) matching
     models/seq_ae.decode's post-seed outputs (eval mode, 2-layer GRU,
     no attention).
+
+    Arbitrary B: the batch is tiled into BLOCK-chunk grid steps so VMEM
+    residency is bounded regardless of workload size (a 30-minute
+    transcript decodes ~1800 chunks; a single unblocked program
+    overflows the 16 MB VMEM scoped allocation).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, D = x0.shape
     H = h0.shape[-1]
+    # pad the chunk axis to a BLOCK multiple; padded rows are decoded
+    # with zero seeds/hiddens and sliced away below
+    n_blocks = max((B + BLOCK - 1) // BLOCK, 1)
+    Bp = n_blocks * BLOCK
+    if Bp != B:
+        x0 = jnp.pad(x0, ((0, Bp - B), (0, 0)))
+        h0 = jnp.pad(h0, ((0, 0), (0, Bp - B), (0, 0)))
     pre = params["pre_linear"]
     bn = params["pre_bn"]
     stats = batch_stats["pre_bn"]
@@ -112,18 +127,29 @@ def fused_chunk_decode(x0: jnp.ndarray, h0: jnp.ndarray, params: dict,
         out["kernel"].astype(jnp.float32),
         out["bias"][None, :].astype(jnp.float32),
     ]
+    # blocked specs: seeds/hiddens/outputs tile over the chunk axis,
+    # weights are broadcast to every grid step
+    bcast = [pl.BlockSpec(tuple(i.shape), lambda b: (0,) * i.ndim,
+                          memory_space=pltpu.VMEM) for i in ins[2:]]
     ys = pl.pallas_call(
         _decoder_kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ins),
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_steps, B, D), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, B, H), jnp.float32)],
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec((BLOCK, D), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((2, BLOCK, H), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM)] + bcast,
+        out_specs=pl.BlockSpec((n_steps, BLOCK, D), lambda b: (0, b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_steps, Bp, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, BLOCK, H), jnp.float32)],
         interpret=interpret,
     )(*ins)
-    return ys
+    return ys[:, :B] if Bp != B else ys
 
 
-def supported(B: int, H: int, D: int, T: int) -> bool:
-    vmem = 4 * (B * D + 2 * B * H + D * H + 8 * H * 3 * H + H * D
-                + T * B * D + 2 * B * H)
+def supported(H: int, D: int, T: int, block: int = BLOCK) -> bool:
+    """VMEM fit for ONE grid step (the chunk axis is tiled into `block`
+    rows, so the answer no longer depends on the workload size)."""
+    vmem = 4 * (block * D + 2 * block * H + D * H + 8 * H * 3 * H
+                + H * D + T * block * D + 2 * block * H)
     return vmem < 12 * 1024 * 1024

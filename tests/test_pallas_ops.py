@@ -86,4 +86,42 @@ def test_fused_chunk_decoder_matches_scan(rng):
                             n_steps=9, interpret=True)
     ours = np.transpose(np.asarray(ys), (1, 0, 2))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
-    assert supported(128, 200, 40, 19)
+    # production shapes fit one grid step; the chunk axis is blocked so
+    # the answer is workload-size independent (a 30-min transcript's
+    # ~1800 chunks previously overflowed the 16 MB VMEM scope)
+    assert supported(200, 40, 19)
+
+
+def test_fused_chunk_decoder_blocks_large_batch(rng):
+    """B far above one BLOCK tiles over the grid and still matches the
+    scan decoder (regression for the unblocked-VMEM-overflow gating
+    bug found at the 30-min bench workload)."""
+    from gesture2vec_tpu.ops import decoder_pallas as dp
+    from gesture2vec_tpu.train.config import load_config
+    from gesture2vec_tpu.train.optim import make_optimizer
+    from gesture2vec_tpu.train.seq_ae_trainer import (init_state,
+                                                      make_seq_ae)
+
+    cfg = load_config(dict(name="f2", model="seq2seq", hidden_size=16,
+                           n_layers=2, dropout_prob=0.1, epochs=1,
+                           batch_size=8, rep_learning_dim=8, n_poses=6,
+                           n_pre_poses=1, autoencoder_vq=True,
+                           autoencoder_vq_components=8, random_seed=0))
+    model = make_seq_ae(cfg)
+    st = init_state(cfg, model, jax.random.PRNGKey(0),
+                    make_optimizer(1e-3))
+    variables = {"params": st.params, "batch_stats": st.batch_stats}
+
+    B = dp.BLOCK + 37  # forces 2 grid blocks + padding
+    h0 = jnp.asarray(rng.normal(size=(2, B, 16)).astype(np.float32))
+    seed = jnp.asarray(rng.normal(size=(B, 8)).astype(np.float32))
+    seed_seq = jnp.tile(seed[:, None, :], (1, 6, 1))
+    ref = model.apply(variables, h0, seed_seq, None, method=model.decode)
+    ref = np.asarray(ref)[:, 1:, :]
+
+    ys = dp.fused_chunk_decode(seed, h0, st.params["decoder_step"],
+                               st.batch_stats["decoder_step"],
+                               n_steps=5, interpret=True)
+    ours = np.transpose(np.asarray(ys), (1, 0, 2))
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
