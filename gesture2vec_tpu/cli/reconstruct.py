@@ -28,6 +28,14 @@ def main() -> None:
     parser.add_argument("--warmup-steps", type=int, default=0,
                         help="decoder hidden warm-up repeats before each "
                              "chunk rollout (reference uses 5)")
+    parser.add_argument("--plot-kernels", default=None, metavar="DIR",
+                        help="render each DAE encoder unit as a stick "
+                             "figure + heatmaps (ref: inference_DAE.py"
+                             ":358-407 Plot_Kernel)")
+    parser.add_argument("--html-player", default=None, metavar="FILE",
+                        help="write a self-contained HTML player of the "
+                             "reconstruction (nb_play_mocap equivalent, "
+                             "ref: pymo/viz_tools.py:190)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -76,8 +84,25 @@ def main() -> None:
     err = float(np.mean((recon - frames) ** 2))
     logging.info("reconstruction MSE (normalized space): %.5f", err)
     out_frames = unnormalize(recon, store.pose_mean, store.pose_std)
-    frames_to_bvh(out_frames, fe, path=args.out)
+    data = frames_to_bvh(out_frames, fe, path=args.out)
     print(f"wrote {args.out} (MSE {err:.5f})")
+
+    if args.plot_kernels:
+        from gesture2vec_tpu.cluster.analysis import plot_kernel_stickfigures
+        kernel = np.asarray(dae_vars["params"]["encoder"]["kernel"])
+        written = plot_kernel_stickfigures(kernel, fe, store.pose_mean,
+                                           store.pose_std,
+                                           args.plot_kernels)
+        print(f"wrote {len(written)} kernel plots -> {args.plot_kernels}")
+
+    if args.html_player:
+        from gesture2vec_tpu.io.bvh import parse_bvh as _parse
+        from gesture2vec_tpu.mocap.viz import save_html_player
+        if data is None:
+            data = _parse(args.out)
+        save_html_player(data, args.html_player,
+                         title=f"reconstruction of {args.bvh}")
+        print(f"wrote {args.html_player}")
 
 
 if __name__ == "__main__":

@@ -52,6 +52,83 @@ def encoder_kernel_poses(encoder_kernel: np.ndarray,
     return poses
 
 
+def plot_kernel_stickfigures(encoder_kernel: np.ndarray, fe,
+                             mean: np.ndarray, std: np.ndarray,
+                             out_dir: str, max_units: int = 16) -> list:
+    """Render each DAE encoder latent unit's weight vector as a stick
+    figure plus weight heatmaps - the reference's Plot_Kernel
+    (ref: inference_DAE.py:358-407: unnormalize each kernel row,
+    rotmat->euler->pipeline.inverse_transform->draw_stickfigure, plus
+    imshow of the full kernel and each row reshaped (15, 9)).
+    Headless: every figure is saved as a PNG under out_dir."""
+    import os
+
+    import matplotlib
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    from gesture2vec_tpu.mocap.viz import draw_stickfigure
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    k = np.asarray(encoder_kernel, np.float64)
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    im = ax.imshow(k, aspect="auto")
+    ax.set_title(f"Kernel w ({k.min():.3f},{k.max():.3f})")
+    fig.colorbar(im)
+    p = os.path.join(out_dir, "kernel_matrix.png")
+    fig.savefig(p, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    written.append(p)
+
+    poses = encoder_kernel_poses(k, mean, std)
+    n_joints = poses.shape[1] // 9
+    for i in range(min(poses.shape[0], max_units)):
+        data = fe.to_bvh(poses[i:i + 1])
+        ax = draw_stickfigure(data, 0)
+        ax.set_title(f"latent unit {i}")
+        fig = ax.figure
+        p = os.path.join(out_dir, f"kernel_{i:03d}_pose.png")
+        fig.savefig(p, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        written.append(p)
+
+        fig, ax2 = plt.subplots(figsize=(4, 4))
+        ax2.imshow(k[:, i].reshape(n_joints, 9))
+        ax2.set_title(f"unit {i} ({n_joints},9 style)")
+        p = os.path.join(out_dir, f"kernel_{i:03d}_heat.png")
+        fig.savefig(p, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        written.append(p)
+    return written
+
+
+def save_unity_latents(kernels: np.ndarray, latents: np.ndarray,
+                       indices: Sequence[int], components: int,
+                       path: str, seed: int = 0) -> str:
+    """The reference's Save4Unity latents.txt: a joint 2-D t-SNE of
+    encoder kernels + sample latents, written as
+      line 1: component count
+      next len(kernels) lines: "x,y" per kernel embedding
+      remaining lines: "i,x,y,cluster_index" per latent
+    (ref: inference_DAE.py:218-264; openTSNE replaced by the
+    sklearn-backed cluster.plots.tsne_embed)."""
+    from gesture2vec_tpu.cluster.plots import tsne_embed
+
+    combined = np.concatenate([np.asarray(kernels, np.float64),
+                               np.asarray(latents, np.float64)], axis=0)
+    emb = tsne_embed(combined, seed=seed)
+    tk, tl = emb[:len(kernels)], emb[len(kernels):]
+    with open(path, "w") as f:
+        f.write(f"{components}\n")
+        for row in tk:
+            f.write(f"{row[0]:.3f},{row[1]:.3f}\n")
+        for i, row in enumerate(tl):
+            f.write(f"{i},{row[0]:.3f},{row[1]:.3f},{indices[i]}\n")
+    return path
+
+
 def save_for_unity(positions: Dict[str, np.ndarray], path: str,
                    joints: Optional[List[str]] = None) -> None:
     """Write per-frame joint positions as 'joint:x,y,z;...' lines

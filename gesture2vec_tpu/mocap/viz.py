@@ -74,6 +74,90 @@ def foot_contact_idxs(data: BVHData, foot_joint: str,
     return peaks
 
 
+def save_html_player(data: BVHData, path: str, title: str = "mocap",
+                     values: Optional[np.ndarray] = None,
+                     plane: str = "xy", max_frames: int = 2000) -> str:
+    """Self-contained HTML stick-figure player - the notebook-free
+    equivalent of pymo's nb_play_mocap (ref: viz_tools.py:190-233,
+    which renders a JS canvas player inside Jupyter). Writes one .html
+    with the FK joint positions embedded as JSON and a canvas animation
+    with play/pause/scrub/speed controls; opens in any browser."""
+    import json
+
+    from gesture2vec_tpu.mocap.fk import positions_matrix
+
+    names = _topo_order(data)
+    pos = positions_matrix(data, values)[:max_frames]  # (T, J, 3)
+    a, b = {"x": 0, "y": 1, "z": 2}[plane[0]], \
+        {"x": 0, "y": 1, "z": 2}[plane[1]]
+    pts = np.stack([pos[:, :, a], pos[:, :, b]], axis=-1)  # (T, J, 2)
+    idx = {n: i for i, n in enumerate(names)}
+    bones = [[idx[data.skeleton[n].parent], idx[n]] for n in names
+             if data.skeleton[n].parent is not None]
+    payload = {"fps": float(data.framerate),
+               "frames": np.round(pts, 3).tolist(), "bones": bones}
+    html = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>{title}</title>
+<style>body{{font-family:sans-serif;margin:12px}}canvas{{border:1px solid #ccc}}</style>
+</head><body>
+<h3>{title}</h3>
+<canvas id="c" width="480" height="560"></canvas><br>
+<button id="play">pause</button>
+<input id="seek" type="range" min="0" value="0" style="width:300px">
+<select id="speed"><option>0.25</option><option>0.5</option>
+<option selected>1</option><option>2</option></select>
+<span id="info"></span>
+<script>
+const D = {json.dumps(payload)};
+const cv = document.getElementById('c'), cx = cv.getContext('2d');
+const seek = document.getElementById('seek');
+seek.max = D.frames.length - 1;
+let xs=[], ys=[];
+for (const f of D.frames) for (const p of f) {{ xs.push(p[0]); ys.push(p[1]); }}
+const x0=Math.min(...xs), x1=Math.max(...xs),
+      y0=Math.min(...ys), y1=Math.max(...ys);
+const s = Math.min(440/(x1-x0+1e-6), 520/(y1-y0+1e-6));
+function draw(t) {{
+  cx.clearRect(0,0,cv.width,cv.height);
+  const f = D.frames[t];
+  cx.strokeStyle='#222'; cx.lineWidth=2;
+  for (const [p,c] of D.bones) {{
+    cx.beginPath();
+    cx.moveTo(20+(f[p][0]-x0)*s, cv.height-20-(f[p][1]-y0)*s);
+    cx.lineTo(20+(f[c][0]-x0)*s, cv.height-20-(f[c][1]-y0)*s);
+    cx.stroke();
+  }}
+  cx.fillStyle='#c00';
+  for (const p of f) {{
+    cx.beginPath();
+    cx.arc(20+(p[0]-x0)*s, cv.height-20-(p[1]-y0)*s, 2.5, 0, 7);
+    cx.fill();
+  }}
+  document.getElementById('info').textContent =
+    `frame ${{t}}/${{D.frames.length-1}} @ ${{D.fps.toFixed(1)}} fps`;
+}}
+let t=0, acc=0, playing=true;
+document.getElementById('play').onclick = function() {{
+  playing = !playing; this.textContent = playing ? 'pause' : 'play';
+}};
+seek.oninput = () => {{ t = +seek.value; draw(t); }};
+setInterval(() => {{
+  if (!playing) return;
+  acc += +document.getElementById('speed').value;
+  const step = Math.floor(acc);
+  if (step > 0) {{
+    acc -= step;
+    t = (t + step) % D.frames.length;
+    seek.value = t; draw(t);
+  }}
+}}, 1000 / D.fps);
+draw(0);
+</script></body></html>"""
+    with open(path, "w") as f:
+        f.write(html)
+    return path
+
+
 def plot_loss_curves(history: dict, path: str, title: str = "loss") -> None:
     """Training loss plot artifact (ref: train_DAE.py:458-488)."""
     import matplotlib

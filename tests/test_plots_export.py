@@ -107,3 +107,63 @@ def test_encoder_kernel_poses_and_unity(tmp_path, rng):
     lines = open(out).read().splitlines()
     assert len(lines) == 10
     assert "Hips:" in lines[0]
+
+
+def test_html_player(tmp_path):
+    from gesture2vec_tpu.io.bvh import parse_bvh
+    from gesture2vec_tpu.mocap.viz import save_html_player
+    from tests.fixtures import make_synthetic_bvh
+
+    d = parse_bvh(make_synthetic_bvh(n_frames=12), from_text=True)
+    out = str(tmp_path / "player.html")
+    save_html_player(d, out, title="test clip")
+    html = open(out).read()
+    assert "<canvas" in html and "bones" in html and "test clip" in html
+    # frames embedded: 12 frames x joints x 2 coords
+    import json
+    import re
+    payload = json.loads(re.search(r"const D = (\{.*?\});", html,
+                                   re.S).group(1))
+    assert len(payload["frames"]) == 12
+    assert payload["fps"] == d.framerate
+    assert all(len(b) == 2 for b in payload["bones"])
+
+
+def test_plot_kernel_stickfigures(tmp_path, rng):
+    """Plot_Kernel equivalent (ref: inference_DAE.py:358-407): kernel
+    matrix heatmap + per-unit pose stickfigure + (J,9) heatmap PNGs."""
+    from gesture2vec_tpu.cluster.analysis import plot_kernel_stickfigures
+    from gesture2vec_tpu.io.bvh import parse_bvh
+    from gesture2vec_tpu.mocap.features import FeatureExtractor
+    from tests.fixtures import make_synthetic_bvh
+
+    fe = FeatureExtractor()
+    data = parse_bvh(make_synthetic_bvh(n_frames=40), from_text=True)
+    feats, _ = fe.process(data)
+    dim = feats.shape[1]
+    kernel = rng.normal(size=(dim, 4)) * 0.05
+    mean, std = feats.mean(0), feats.std(0) + 1e-3
+    written = plot_kernel_stickfigures(kernel, fe, mean, std,
+                                       str(tmp_path / "kernels"),
+                                       max_units=2)
+    # 1 matrix + 2 x (pose + heat)
+    assert len(written) == 5
+    assert all(os.path.getsize(p) > 1000 for p in written)
+
+
+def test_save_unity_latents(tmp_path, rng):
+    """Save4Unity latents.txt format (ref: inference_DAE.py:218-264)."""
+    from gesture2vec_tpu.cluster.analysis import save_unity_latents
+
+    kernels = rng.normal(size=(6, 16))
+    latents = rng.normal(size=(25, 16))
+    indices = rng.integers(0, 4, size=25)
+    out = str(tmp_path / "latents.txt")
+    save_unity_latents(kernels, latents, indices, components=6, path=out)
+    lines = open(out).read().splitlines()
+    assert lines[0] == "6"
+    assert len(lines) == 1 + 6 + 25
+    assert len(lines[1].split(",")) == 2          # kernel: x,y
+    last = lines[-1].split(",")
+    assert len(last) == 4                          # i,x,y,index
+    assert int(last[0]) == 24

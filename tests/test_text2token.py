@@ -78,3 +78,31 @@ def test_token_histogram_perplexity():
     assert abs(token_histogram_perplexity(uniform, 12) - 12.0) < 1e-6
     constant = np.zeros(100, np.int32)
     assert abs(token_histogram_perplexity(constant, 12) - 1.0) < 1e-6
+
+
+def test_eval_metrics_hand_computed():
+    """Pin the trainer eval metrics to hand-computed fixtures, the way
+    test_vq.py pins the VQ math (reference eval: CE over positions 1..
+    + token-histogram perplexity, ref: train_text2embedding.py:371-410,
+    train_seq2seq.py:520-530)."""
+    import jax.numpy as jnp
+
+    from gesture2vec_tpu.train.losses import token_cross_entropy
+
+    # skewed histogram: p = [0.5, 0.25, 0.25] over 4 classes
+    # H = 1.5 ln 2 -> perplexity = 2^1.5
+    toks = np.array([0, 0, 1, 2], np.int32)
+    assert abs(token_histogram_perplexity(toks, 4) - 2 ** 1.5) < 1e-9
+
+    # CE: position 0 ignored (the seed one-hot); two positions remain.
+    # logits chosen so softmax is exactly [e,1,1]/(e+2) at pos 1 (target
+    # hits the e term) and uniform at pos 2.
+    logits = np.array([[[99.0, 0.0, 0.0],     # pos 0: ignored
+                        [1.0, 0.0, 0.0],      # pos 1
+                        [0.0, 0.0, 0.0]]])    # pos 2: uniform
+    targets = np.array([[2, 0, 1]], np.int32)
+    e = np.e
+    expected = np.mean([-np.log(e / (e + 2)), -np.log(1 / 3)])
+    got = float(token_cross_entropy(jnp.asarray(logits),
+                                    jnp.asarray(targets)))
+    assert abs(got - expected) < 1e-6
