@@ -77,7 +77,7 @@ def bench_dae(batch_size, iters):
             F.dae_forward_flops(batch_size))
 
 
-def bench_seq_ae(batch_size, iters):
+def bench_seq_ae(batch_size, iters, compute_dtype="float32"):
     from gesture2vec_tpu.train import seq_ae_trainer
 
     cfg = load_config(dict(name="bench_b", model="seq2seq",
@@ -88,7 +88,8 @@ def bench_seq_ae(batch_size, iters):
                            learning_rate=5e-4, epochs=1,
                            batch_size=batch_size, random_seed=0,
                            loss_l1_weight=5, loss_cont_weight=0.1,
-                           loss_var_weight=0.5))
+                           loss_var_weight=0.5,
+                           compute_dtype=compute_dtype))
     model = seq_ae_trainer.make_seq_ae(cfg)
     opt = make_optimizer(cfg.learning_rate)
     state = seq_ae_trainer.init_state(cfg, model, jax.random.PRNGKey(0),
@@ -98,7 +99,8 @@ def bench_seq_ae(batch_size, iters):
         size=(batch_size, 20, 40)).astype(np.float32))
     args_ = (x, jax.random.PRNGKey(1), jnp.asarray(0.0))
     t = bench_steps(step, state, args_, iters)
-    _report("part b (VQ-VAE tokenizer)", batch_size, t, "windows/s",
+    tag = " bf16" if compute_dtype == "bfloat16" else ""
+    _report(f"part b (VQ-VAE tokenizer{tag})", batch_size, t, "windows/s",
             step, state, args_,
             F.seq_ae_forward_flops(batch_size))
 
@@ -147,6 +149,7 @@ def main():
           f"{len(jax.devices())}")
     bench_dae(args.batch, args.iters)
     bench_seq_ae(args.batch, args.iters)
+    bench_seq_ae(args.batch, args.iters, compute_dtype="bfloat16")
     bench_t2t(args.batch, args.iters)
 
 

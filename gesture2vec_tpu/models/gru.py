@@ -19,7 +19,7 @@ reproduce bit-comparable trajectories:
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,23 +36,38 @@ def _uniform_init(hidden_size: int):
     return init
 
 
+def _cast_gru(dtype, *arrays):
+    """Optional compute-dtype cast for the opt-in bf16 training mode.
+    dtype None keeps the fp32/HIGHEST default (token-identity safe)."""
+    if dtype is None:
+        return arrays
+    return tuple(a.astype(dtype) for a in arrays)
+
+
 def gru_layer(xs_tm: jnp.ndarray, h0: jnp.ndarray, w_ih: jnp.ndarray,
               w_hh: jnp.ndarray, b_ih: jnp.ndarray, b_hh: jnp.ndarray,
-              reverse: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+              reverse: bool = False,
+              dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One GRU layer over a full sequence.
 
     xs_tm: (T, B, in) time-major inputs. h0: (B, H). Returns
     (outputs (T, B, H), final hidden (B, H)).
+
+    dtype None (default): fp32 precision="highest" throughout -
+    gesture-token identity flows through these activations into the VQ
+    argmin, and the TPU default (bf16 passes) perturbs it by ~1e-2.
+    dtype=bfloat16: single-pass MXU matmuls for throughput-first
+    training (config.compute_dtype).
     """
     h_size = h0.shape[-1]
-    # hoist input projections out of the recurrence: one big MXU matmul.
-    # fp32 precision throughout: gesture-token identity flows through
-    # these activations into the VQ argmin, and the TPU default (bf16
-    # passes) perturbs it by ~1e-2.
-    x_proj = jnp.matmul(xs_tm, w_ih.T, precision="highest") + b_ih
+    prec = "highest" if dtype is None else None
+    xs_tm, h0, w_ih, w_hh, b_ih, b_hh = _cast_gru(
+        dtype, xs_tm, h0, w_ih, w_hh, b_ih, b_hh)
+    # hoist input projections out of the recurrence: one big MXU matmul
+    x_proj = jnp.matmul(xs_tm, w_ih.T, precision=prec) + b_ih
 
     def step(h, xp):
-        gh = jnp.matmul(h, w_hh.T, precision="highest") + b_hh
+        gh = jnp.matmul(h, w_hh.T, precision=prec) + b_hh
         r = jax.nn.sigmoid(xp[..., :h_size] + gh[..., :h_size])
         z = jax.nn.sigmoid(xp[..., h_size:2 * h_size] +
                            gh[..., h_size:2 * h_size])
@@ -75,6 +90,7 @@ class GRU(nn.Module):
     hidden_size: int
     n_layers: int = 1
     dropout: float = 0.0
+    dtype: Optional[Any] = None   # None=fp32/HIGHEST; jnp.bfloat16 opt-in
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, h0: Optional[jnp.ndarray] = None,
@@ -91,7 +107,8 @@ class GRU(nn.Module):
             w_hh = self.param(f"l{layer}_w_hh", init, (3 * H, H))
             b_ih = self.param(f"l{layer}_b_ih", init, (3 * H,))
             b_hh = self.param(f"l{layer}_b_hh", init, (3 * H,))
-            outs, h_last = gru_layer(outs, h0[layer], w_ih, w_hh, b_ih, b_hh)
+            outs, h_last = gru_layer(outs, h0[layer], w_ih, w_hh, b_ih,
+                                     b_hh, dtype=self.dtype)
             h_finals.append(h_last)
             if train and self.dropout > 0 and layer < self.n_layers - 1:
                 outs = nn.Dropout(self.dropout, deterministic=False)(outs)
@@ -112,6 +129,7 @@ class BiGRU(nn.Module):
     hidden_size: int
     n_layers: int = 1
     dropout: float = 0.0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, h0: Optional[jnp.ndarray] = None,
@@ -133,7 +151,8 @@ class BiGRU(nn.Module):
                 b_ih = self.param(f"l{layer}_b_ih{suffix}", init, (3 * H,))
                 b_hh = self.param(f"l{layer}_b_hh{suffix}", init, (3 * H,))
                 y, h_last = gru_layer(outs, h0[2 * layer + d], w_ih, w_hh,
-                                      b_ih, b_hh, reverse=reverse)
+                                      b_ih, b_hh, reverse=reverse,
+                                      dtype=self.dtype)
                 ys.append(y)
                 h_finals.append(h_last)
             outs = jnp.concatenate(ys, axis=-1)
@@ -231,12 +250,15 @@ class MaskedBiGRU(nn.Module):
 
 def gru_cell(x: jnp.ndarray, h: jnp.ndarray, w_ih: jnp.ndarray,
              w_hh: jnp.ndarray, b_ih: jnp.ndarray,
-             b_hh: jnp.ndarray) -> jnp.ndarray:
+             b_hh: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """Single GRU step (B, in) x (B, H) -> (B, H), used by autoregressive
     decoders whose per-step input depends on the previous output."""
     H = h.shape[-1]
-    gi = jnp.matmul(x, w_ih.T, precision="highest") + b_ih
-    gh = jnp.matmul(h, w_hh.T, precision="highest") + b_hh
+    prec = "highest" if dtype is None else None
+    x, h, w_ih, w_hh, b_ih, b_hh = _cast_gru(dtype, x, h, w_ih, w_hh,
+                                             b_ih, b_hh)
+    gi = jnp.matmul(x, w_ih.T, precision=prec) + b_ih
+    gh = jnp.matmul(h, w_hh.T, precision=prec) + b_hh
     r = jax.nn.sigmoid(gi[..., :H] + gh[..., :H])
     z = jax.nn.sigmoid(gi[..., H:2 * H] + gh[..., H:2 * H])
     n = jnp.tanh(gi[..., 2 * H:] + r * gh[..., 2 * H:])
@@ -250,6 +272,7 @@ class GRUCellStack(nn.Module):
     hidden_size: int
     n_layers: int = 1
     dropout: float = 0.0
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, h: jnp.ndarray,
@@ -264,7 +287,8 @@ class GRUCellStack(nn.Module):
             w_hh = self.param(f"l{layer}_w_hh", init, (3 * H, H))
             b_ih = self.param(f"l{layer}_b_ih", init, (3 * H,))
             b_hh = self.param(f"l{layer}_b_hh", init, (3 * H,))
-            outs = gru_cell(outs, h[layer], w_ih, w_hh, b_ih, b_hh)
+            outs = gru_cell(outs, h[layer], w_ih, w_hh, b_ih, b_hh,
+                            dtype=self.dtype)
             new_h.append(outs)
             if train and self.dropout > 0 and layer < self.n_layers - 1:
                 outs = nn.Dropout(self.dropout, deterministic=False)(outs)

@@ -78,6 +78,7 @@ class DecoderStep(nn.Module):
     use_attention: bool = False
     conditioned: bool = True
     step_dropout: float = 0.95
+    dtype: Optional[Any] = None   # bf16 opt-in (config.compute_dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, hidden: jnp.ndarray,
@@ -104,15 +105,20 @@ class DecoderStep(nn.Module):
             rnn_in = nn.Dropout(self.step_dropout, name="step_do")(
                 rnn_in, deterministic=False)
 
-        h = nn.Dense(self.hidden_size, name="pre_linear")(rnn_in)
-        h = nn.BatchNorm(use_running_average=not train, name="pre_bn")(h)
+        h = nn.Dense(self.hidden_size, name="pre_linear",
+                     dtype=self.dtype)(rnn_in)
+        h = nn.BatchNorm(use_running_average=not train, name="pre_bn",
+                         dtype=self.dtype)(h)
         h = nn.relu(h)
         out, new_hidden = GRUCellStack(hidden_size=self.hidden_size,
                                        n_layers=self.n_layers,
                                        dropout=self.dropout_p,
+                                       dtype=self.dtype,
                                        name="gru")(h, hidden, train=train)
-        out = nn.Dense(self.output_size, name="out_layer")(out)
-        return out, new_hidden, attn_weights
+        out = nn.Dense(self.output_size, name="out_layer",
+                       dtype=self.dtype)(out)
+        # losses/argmax-feedback read fp32 regardless of compute dtype
+        return out.astype(jnp.float32), new_hidden, attn_weights
 
 
 class SeqEncoder(nn.Module):
@@ -122,14 +128,17 @@ class SeqEncoder(nn.Module):
     hidden_size: int
     n_layers: int
     dropout: float
+    dtype: Optional[Any] = None   # bf16 opt-in (config.compute_dtype)
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, train: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """xs (T, B, D) -> (outputs (T, B, H), hidden (2L, B, H))."""
-        h = nn.Dense(self.hidden_size, name="in_layer")(xs)
+        h = nn.Dense(self.hidden_size, name="in_layer",
+                     dtype=self.dtype)(xs)
         outs, hidden = BiGRU(hidden_size=self.hidden_size,
                              n_layers=self.n_layers, dropout=self.dropout,
+                             dtype=self.dtype,
                              name="gru")(h, train=train)
         outs = outs[..., :self.hidden_size] + outs[..., self.hidden_size:]
         return outs, hidden
@@ -170,18 +179,29 @@ class SeqVQAutoencoder(nn.Module):
     conditioned: bool = True
     vq_flatten: str = "per_sample"
     eval_step_dropout: bool = False   # parity quirk (ref :570)
+    # "float32" (default, fp32/HIGHEST matmuls - token-identity exact) or
+    # "bfloat16": single-pass MXU matmuls in encoder/decoder for
+    # throughput-first training; the VQ distance/argmax path and the
+    # returned outputs stay fp32 either way
+    compute_dtype: str = "float32"
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     def setup(self):
         self.encoder = SeqEncoder(hidden_size=self.hidden_size,
                                   n_layers=self.n_layers,
-                                  dropout=self.dropout)
+                                  dropout=self.dropout,
+                                  dtype=self._dtype)
         self.in_do = nn.Dropout(self.dropout)
         self.decoder_step = DecoderStep(hidden_size=self.hidden_size,
                                         output_size=self.rep_dim,
                                         n_layers=self.n_layers,
                                         dropout_p=self.dropout,
                                         use_attention=self.use_attention,
-                                        conditioned=self.conditioned)
+                                        conditioned=self.conditioned,
+                                        dtype=self._dtype)
         if self.use_vq:
             self.vq_layer = VQGSSoft(num_codes=self.vq_components,
                                      dim=self.hidden_size * self.n_layers,
@@ -204,7 +224,9 @@ class SeqVQAutoencoder(nn.Module):
 
     def quantize(self, dec_hidden: jnp.ndarray) -> Tuple[VQOutput,
                                                          jnp.ndarray]:
-        flat = _flatten_hidden(dec_hidden, self.vq_flatten)
+        # token identity is fp32 regardless of the compute dtype
+        flat = _flatten_hidden(dec_hidden.astype(jnp.float32),
+                               self.vq_flatten)
         vq_out = self.vq_layer(flat)
         new_hidden = _unflatten_hidden(vq_out.quantized, dec_hidden.shape,
                                        self.vq_flatten)
@@ -239,6 +261,10 @@ class SeqVQAutoencoder(nn.Module):
         provides the seed frame and teacher-forced steps."""
         tgt = jnp.transpose(out_poses, (1, 0, 2))   # (T, B, D)
         apply_sd = train or self.eval_step_dropout
+        if self._dtype is not None:
+            # scan carries need a stable dtype: start the hidden in the
+            # compute dtype (GRU steps keep it there)
+            dec_hidden = dec_hidden.astype(self._dtype)
 
         step_mod = self.decoder_step
 

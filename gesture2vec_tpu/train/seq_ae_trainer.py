@@ -54,6 +54,7 @@ def make_seq_ae(config: Config, parity: bool = False) -> SeqVQAutoencoder:
         conditioned=config.autoencoder_conditioned,
         vq_flatten="torch_view" if parity else "per_sample",
         eval_step_dropout=config.eval_dropout_quirk and parity,
+        compute_dtype=config.compute_dtype,
     )
 
 

@@ -7,6 +7,15 @@ is imported anywhere.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent compilation cache: the suite compiles the same programs
+# every session (and the CLI smoke test in every subprocess); caching
+# them on disk roughly halves suite wall-clock after the first run.
+# Subprocess CLI runs inherit this via the environment.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,6 +28,12 @@ import jax
 # the environment's axon site hook re-forces JAX_PLATFORMS=axon; the
 # config update after import takes precedence.
 jax.config.update("jax_platforms", "cpu")
+# the site hook also imports jax at interpreter startup - BEFORE this
+# file runs - so the cache env vars above only reach subprocesses (the
+# CLI smoke test); the in-process cache needs explicit config updates.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

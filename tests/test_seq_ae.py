@@ -129,3 +129,46 @@ def test_plot_every_writes_codebook_tsne(rng, tmp_path):
                  plot_every=1)
     pngs = [f for f in os.listdir(tmp_path) if f.startswith("codebook")]
     assert len(pngs) == 2
+
+
+def test_bf16_compute_mode_trains(rng):
+    """compute_dtype=bfloat16: encoder/decoder matmuls run single-pass
+    bf16, the VQ path and outputs stay fp32, params stay fp32, and
+    training still converges."""
+    import jax
+    import jax.numpy as jnp
+
+    from gesture2vec_tpu.train.config import load_config
+    from gesture2vec_tpu.train.seq_ae_trainer import (init_state,
+                                                      make_seq_ae,
+                                                      make_train_step,
+                                                      train_seq_ae)
+    from gesture2vec_tpu.train.optim import make_optimizer
+
+    base = dict(name="bf16", model="seq2seq", hidden_size=16, n_layers=2,
+                dropout_prob=0.1, epochs=2, batch_size=16,
+                learning_rate=0.002, rep_learning_dim=12, n_poses=8,
+                n_pre_poses=1, autoencoder_vq=True,
+                autoencoder_vq_components=16, autoencoder_att=False,
+                autoencoder_conditioned=True, random_seed=0,
+                compute_dtype="bfloat16")
+    cfg = load_config(base)
+    model = make_seq_ae(cfg)
+    st = init_state(cfg, model, jax.random.PRNGKey(0),
+                    make_optimizer(1e-3))
+    # params stay fp32
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(st.params))
+    x = jnp.asarray(rng.normal(size=(4, 8, 12)).astype(np.float32))
+    res = model.apply({"params": st.params,
+                       "batch_stats": st.batch_stats}, x, x, train=False)
+    assert res["outputs"].dtype == jnp.float32
+    assert res["vq"].encodings.dtype == jnp.float32
+
+    base2 = np.random.default_rng(1).normal(
+        size=(64, 1, 12)).astype(np.float32)
+    ts = np.linspace(0, 1, 8)[None, :, None].astype(np.float32)
+    w = (base2 + np.sin(2 * np.pi * ts + base2)).astype(np.float32)
+    _, hist = train_seq_ae(cfg, w, w[:16])
+    assert np.isfinite(hist["train_loss"]).all()
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
