@@ -322,6 +322,11 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
 
 @checkpoints.register_model_kind("autoencoder_vq")
 def _build_seq_ae(config: Config, payload: dict):
+    # registry loads serve inference/analysis: force fp32 compute even
+    # for checkpoints trained with compute_dtype=bfloat16 - measured
+    # 2.3x SLOWER at inference (per-step casts in the sequential scan,
+    # benchmarks/README.md) and tokens must be fp32-exact anyway
+    config = config.replace(compute_dtype="float32")
     model = make_seq_ae(config, parity=bool(payload["extra"].get("parity",
                                                                  False)))
     variables = {"params": payload["params"],
