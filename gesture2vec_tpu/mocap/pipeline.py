@@ -411,19 +411,371 @@ class Numpyfy(Transform):
 
     def state_dict(self):
         # store template columns + a single-frame snapshot of source BVH
-        t = self.template
-        from gesture2vec_tpu.io.bvh import write_bvh
-        snap = t.source.clone()
-        snap.values = snap.values[:1] if snap.values.shape[0] else snap.values
-        return {"columns": t.columns, "framerate": t.framerate,
-                "bvh_header": write_bvh(snap)}
+        return _track_state(self.template)
 
     def load_state_dict(self, state):
-        from gesture2vec_tpu.io.bvh import parse_bvh
-        src = parse_bvh(state["bvh_header"], from_text=True)
-        self.template = Track(source=src, columns=list(state["columns"]),
-                              values=np.zeros((0, len(state["columns"]))),
-                              framerate=float(state["framerate"]))
+        self.template = _track_from_state(state)
+
+
+class ToPositions(Transform):
+    """Euler rotation channels -> world-space joint positions via batched
+    forward kinematics (ref: pymo/preprocessing.py:86-168
+    MocapParameterizer('position')).
+
+    Output columns are <joint>_{X,Y,Z}position for every skeleton joint
+    (including end-site Nubs) in skeleton order; all non-position columns
+    are dropped, like the reference. The root's static OFFSET is excluded
+    (the reference seeds the root's world position from its position
+    channels only, ref :142-144). Inverse is unsupported, matching the
+    reference (positions->rotations is not implemented there either).
+    """
+
+    def transform(self, tracks: List[Track]) -> List[Track]:
+        from gesture2vec_tpu.mocap.fk import forward_kinematics, _topo_order
+
+        out = []
+        for tr in tracks:
+            data = tr.to_bvh()
+            pos = forward_kinematics(data)
+            root_off = np.asarray(data.skeleton[data.root_name].offsets,
+                                  dtype=np.float64)
+            cols: List[str] = []
+            vals: List[np.ndarray] = []
+            for joint in _topo_order(data):
+                p = pos[joint] - root_off
+                for k, ax in enumerate("XYZ"):
+                    cols.append(f"{joint}_{ax}position")
+                    vals.append(p[:, k])
+            out.append(tr.replace(columns=cols,
+                                  values=np.stack(vals, axis=1)))
+        return out
+
+    def inverse_transform(self, tracks):
+        raise NotImplementedError(
+            "positions -> rotations is not supported (matches the "
+            "reference MocapParameterizer('position'))")
+
+
+class Slicer(Transform):
+    """Slice each track into fixed windows with fractional overlap and
+    pool them into one (n_windows, window_size, C) array
+    (ref: pymo/preprocessing.py:425-477). overlap is a fraction of the
+    window; stride = window_size - int(overlap * window_size). fit stores
+    an empty column template so inverse_transform can rebuild Tracks from
+    arrays, like the reference's org_mocap_ clone.
+    """
+
+    def __init__(self, window_size: int, overlap: float = 0.5):
+        self.window_size = int(window_size)
+        self.overlap = float(overlap)
+        self.template: Optional[Track] = None
+
+    def fit(self, tracks: List[Track]) -> "Slicer":
+        self.template = tracks[0]
+        return self
+
+    def transform(self, tracks: List[Track]) -> np.ndarray:
+        ws = self.window_size
+        ov = int(self.overlap * ws)
+        stride = ws - ov
+        wins = []
+        for tr in tracks:
+            n = (tr.values.shape[0] - ov) // stride
+            for i in range(max(0, n)):
+                wins.append(tr.values[i * stride:i * stride + ws])
+        return np.array(wins)
+
+    def inverse_transform(self, arrays) -> List[Track]:
+        assert self.template is not None, "Slicer not fitted"
+        return [self.template.replace(values=np.asarray(a, dtype=np.float64))
+                for a in arrays]
+
+    def state_dict(self):
+        return _track_state(self.template)
+
+    def load_state_dict(self, state):
+        self.template = _track_from_state(state)
+
+
+class RootDeltas(Transform):
+    """RootTransformer('abdolute_translation_deltas')
+    (ref: pymo/preprocessing.py:478-615): the root's X/Z positions become
+    per-frame deltas <root>_dXposition/<root>_dZposition appended at the
+    end of the column list, with the first delta duplicated from the
+    second (ref :525-526). With position_smoothing > 0 the smoothed
+    trajectory is differenced and the residual x - smooth(x) stays in the
+    position columns (ref :510-517); otherwise the position columns are
+    dropped. inverse_transform integrates the deltas from start_pos:
+    position[i] = start + sum(delta[1..i]) — delta[0] never contributes
+    (ref :574-594) — and re-appends X/Z at the END of the columns (the
+    reference assigns to dropped DataFrame columns, which appends).
+    """
+
+    def __init__(self, position_smoothing: float = 0.0):
+        self.position_smoothing = float(position_smoothing)
+
+    def _root_cols(self, tr: Track):
+        root = tr.source.root_name
+        return f"{root}_Xposition", f"{root}_Zposition", \
+            f"{root}_dXposition", f"{root}_dZposition"
+
+    def transform(self, tracks: List[Track]) -> List[Track]:
+        out = []
+        for tr in tracks:
+            xp, zp, dxp, dzp = self._root_cols(tr)
+            cidx = {c: i for i, c in enumerate(tr.columns)}
+            x = tr.values[:, cidx[xp]].copy()
+            z = tr.values[:, cidx[zp]].copy()
+            if self.position_smoothing > 0:
+                from scipy.ndimage import gaussian_filter1d
+                x_sm = gaussian_filter1d(x, self.position_smoothing,
+                                         axis=0, mode="nearest")
+                z_sm = gaussian_filter1d(z, self.position_smoothing,
+                                         axis=0, mode="nearest")
+                dx, dz = _diff_first_dup(x_sm), _diff_first_dup(z_sm)
+                cols = list(tr.columns) + [dxp, dzp]
+                vals = tr.values.copy()
+                vals[:, cidx[xp]] = x - x_sm
+                vals[:, cidx[zp]] = z - z_sm
+                vals = np.column_stack([vals, dx, dz])
+            else:
+                dx, dz = _diff_first_dup(x), _diff_first_dup(z)
+                keep = [i for i, c in enumerate(tr.columns)
+                        if c not in (xp, zp)]
+                cols = [tr.columns[i] for i in keep] + [dxp, dzp]
+                vals = np.column_stack([tr.values[:, keep], dx, dz])
+            out.append(tr.replace(columns=cols, values=vals))
+        return out
+
+    def inverse_transform(self, tracks: List[Track],
+                          start_pos=None) -> List[Track]:
+        startx, startz = start_pos if start_pos is not None else (0.0, 0.0)
+        out = []
+        for tr in tracks:
+            xp, zp, dxp, dzp = self._root_cols(tr)
+            cidx = {c: i for i, c in enumerate(tr.columns)}
+            dx = tr.values[:, cidx[dxp]]
+            dz = tr.values[:, cidx[dzp]]
+            recx = startx + np.concatenate([[0.0], np.cumsum(dx[1:])])
+            recz = startz + np.concatenate([[0.0], np.cumsum(dz[1:])])
+            if self.position_smoothing > 0:
+                vals = tr.values.copy()
+                vals[:, cidx[xp]] += recx
+                vals[:, cidx[zp]] += recz
+                keep = [i for i, c in enumerate(tr.columns)
+                        if c not in (dxp, dzp)]
+                out.append(tr.replace(
+                    columns=[tr.columns[i] for i in keep],
+                    values=vals[:, keep]))
+            else:
+                keep = [i for i, c in enumerate(tr.columns)
+                        if c not in (dxp, dzp)]
+                cols = [tr.columns[i] for i in keep] + [xp, zp]
+                vals = np.column_stack([tr.values[:, keep], recx, recz])
+                out.append(tr.replace(columns=cols, values=vals))
+        return out
+
+
+class RootCentricPositionNormalizer(Transform):
+    """Subtract the root's floor-projected position (X, 0, Z) from every
+    joint's world position (ref: pymo/preprocessing.py:675-755).
+
+    Reference quirks preserved: "non-root" means the joint name does not
+    CONTAIN the root name as a substring (ref :697), so joints named
+    after the root are dropped from the output entirely; the output holds
+    only position triples, non-root joints first then the root's own
+    (unchanged) triple at the end; and inverse_transform adds the
+    projected root position back to EVERY joint including the root
+    itself, doubling the root's X/Z (ref :735-741). Set
+    parity_root_double=False for the repaired inverse that restores the
+    root exactly.
+    """
+
+    def __init__(self, parity_root_double: bool = True):
+        self.parity_root_double = parity_root_double
+
+    def transform(self, tracks: List[Track]) -> List[Track]:
+        out = []
+        for tr in tracks:
+            root = tr.source.root_name
+            cidx = {c: i for i, c in enumerate(tr.columns)}
+            proj = np.stack([tr.values[:, cidx[f"{root}_Xposition"]],
+                             np.zeros(tr.values.shape[0]),
+                             tr.values[:, cidx[f"{root}_Zposition"]]],
+                            axis=1)
+            cols: List[str] = []
+            vals: List[np.ndarray] = []
+            joints = [j for j in tr.source.skeleton if root not in j]
+            for joint in joints:
+                for k, ax in enumerate("XYZ"):
+                    c = f"{joint}_{ax}position"
+                    if c in cidx:
+                        cols.append(c)
+                        vals.append(tr.values[:, cidx[c]] - proj[:, k])
+            for ax in "XYZ":
+                c = f"{root}_{ax}position"
+                cols.append(c)
+                vals.append(tr.values[:, cidx[c]].copy())
+            out.append(tr.replace(columns=cols,
+                                  values=np.stack(vals, axis=1)))
+        return out
+
+    def inverse_transform(self, tracks: List[Track]) -> List[Track]:
+        out = []
+        for tr in tracks:
+            root = tr.source.root_name
+            cidx = {c: i for i, c in enumerate(tr.columns)}
+            proj = np.stack([tr.values[:, cidx[f"{root}_Xposition"]],
+                             np.zeros(tr.values.shape[0]),
+                             tr.values[:, cidx[f"{root}_Zposition"]]],
+                            axis=1)
+            cols: List[str] = []
+            vals: List[np.ndarray] = []
+            for joint in tr.source.skeleton:
+                add = proj if (self.parity_root_double or joint != root) \
+                    else np.zeros_like(proj)
+                for k, ax in enumerate("XYZ"):
+                    c = f"{joint}_{ax}position"
+                    if c in cidx:
+                        cols.append(c)
+                        vals.append(tr.values[:, cidx[c]] + add[:, k])
+            out.append(tr.replace(columns=cols,
+                                  values=np.stack(vals, axis=1)))
+        return out
+
+
+class ListStandardScaler(Transform):
+    """Per-column z-normalization with statistics pooled over every frame
+    of every track (ref: pymo/preprocessing.py:799-846). Accepts Tracks
+    or plain arrays (the reference's is_DataFrame flag is auto-detected).
+    """
+
+    def __init__(self):
+        self.data_mean: Optional[np.ndarray] = None
+        self.data_std: Optional[np.ndarray] = None
+
+    def fit(self, items) -> "ListStandardScaler":
+        flat = np.concatenate([_item_values(it) for it in items], axis=0)
+        self.data_mean = flat.mean(axis=0)
+        self.data_std = flat.std(axis=0)
+        return self
+
+    def transform(self, items):
+        return [_item_apply(it, lambda v: (v - self.data_mean) /
+                            self.data_std) for it in items]
+
+    def inverse_transform(self, items):
+        return [_item_apply(it, lambda v: v * self.data_std +
+                            self.data_mean) for it in items]
+
+    def state_dict(self):
+        return {"mean": self.data_mean.tolist(),
+                "std": self.data_std.tolist()}
+
+    def load_state_dict(self, state):
+        self.data_mean = np.asarray(state["mean"], dtype=np.float64)
+        self.data_std = np.asarray(state["std"], dtype=np.float64)
+
+
+class ListMinMaxScaler(Transform):
+    """Per-column min-max scaling to [0, 1] with statistics pooled over
+    every frame of every track (ref: pymo/preprocessing.py:849-897).
+    """
+
+    def __init__(self):
+        self.data_min: Optional[np.ndarray] = None
+        self.data_max: Optional[np.ndarray] = None
+
+    def fit(self, items) -> "ListMinMaxScaler":
+        flat = np.concatenate([_item_values(it) for it in items], axis=0)
+        self.data_min = flat.min(axis=0)
+        self.data_max = flat.max(axis=0)
+        return self
+
+    def transform(self, items):
+        span = self.data_max - self.data_min
+        return [_item_apply(it, lambda v: (v - self.data_min) / span)
+                for it in items]
+
+    def inverse_transform(self, items):
+        span = self.data_max - self.data_min
+        return [_item_apply(it, lambda v: v * span + self.data_min)
+                for it in items]
+
+    def state_dict(self):
+        return {"min": self.data_min.tolist(),
+                "max": self.data_max.tolist()}
+
+    def load_state_dict(self, state):
+        self.data_min = np.asarray(state["min"], dtype=np.float64)
+        self.data_max = np.asarray(state["max"], dtype=np.float64)
+
+
+class ReverseTime(Transform):
+    """Append (or substitute) time-reversed copies of every track — a
+    data-augmentation transform (ref: pymo/preprocessing.py:936-961).
+    Inverse is identity, like the reference.
+    """
+
+    def __init__(self, append: bool = True):
+        self.append = append
+
+    def transform(self, tracks: List[Track]) -> List[Track]:
+        out = list(tracks) if self.append else []
+        for tr in tracks:
+            out.append(tr.replace(values=tr.values[::-1].copy()))
+        return out
+
+
+class Flattener(Transform):
+    """Concatenate a list of arrays along the frame axis
+    (ref: pymo/preprocessing.py:757-765)."""
+
+    def transform(self, items):
+        return np.concatenate(items, axis=0)
+
+
+def _diff_first_dup(x: np.ndarray) -> np.ndarray:
+    """Frame-to-frame diff with the first entry duplicated from the
+    second (pandas .diff() leaves NaN at 0; the reference overwrites it
+    with dx[1], ref: pymo/preprocessing.py:525-526)."""
+    d = np.empty_like(x)
+    if x.shape[0] > 1:
+        d[1:] = x[1:] - x[:-1]
+        d[0] = d[1]
+    else:
+        d[:] = 0.0
+    return d
+
+
+def _item_values(item) -> np.ndarray:
+    return item.values if isinstance(item, Track) else np.asarray(item)
+
+
+def _item_apply(item, fn):
+    if isinstance(item, Track):
+        return item.replace(values=fn(item.values))
+    return fn(np.asarray(item))
+
+
+def _track_state(t: Optional[Track]) -> Dict:
+    if t is None:
+        return {}
+    from gesture2vec_tpu.io.bvh import write_bvh
+    snap = t.source.clone()
+    snap.values = snap.values[:1] if snap.values.shape[0] else snap.values
+    return {"columns": t.columns, "framerate": t.framerate,
+            "bvh_header": write_bvh(snap)}
+
+
+def _track_from_state(state: Dict) -> Optional[Track]:
+    if not state:
+        return None
+    from gesture2vec_tpu.io.bvh import parse_bvh
+    src = parse_bvh(state["bvh_header"], from_text=True)
+    return Track(source=src, columns=list(state["columns"]),
+                 values=np.zeros((0, len(state["columns"]))),
+                 framerate=float(state["framerate"]))
 
 
 class MotionPipeline:
@@ -466,7 +818,10 @@ class MotionPipeline:
             meta = json.load(f)
         registry = {c.__name__: c for c in
                     (Downsample, RootCentric, Mirror, JointSelect,
-                     ConstantsRemover, Numpyfy, RootNormalizer, ToExpmap)}
+                     ConstantsRemover, Numpyfy, RootNormalizer, ToExpmap,
+                     ToPositions, Slicer, RootDeltas,
+                     RootCentricPositionNormalizer, ListStandardScaler,
+                     ListMinMaxScaler, ReverseTime, Flattener)}
         steps = []
         for name, clsname, kwargs in meta["steps"]:
             t = registry[clsname](**kwargs)
@@ -485,4 +840,12 @@ def _ctor_args(t: Transform) -> Dict:
         return {"joints": t.joints, "include_root": t.include_root}
     if isinstance(t, ConstantsRemover):
         return {"eps": t.eps}
+    if isinstance(t, Slicer):
+        return {"window_size": t.window_size, "overlap": t.overlap}
+    if isinstance(t, RootDeltas):
+        return {"position_smoothing": t.position_smoothing}
+    if isinstance(t, RootCentricPositionNormalizer):
+        return {"parity_root_double": t.parity_root_double}
+    if isinstance(t, ReverseTime):
+        return {"append": t.append}
     return {}
