@@ -57,13 +57,14 @@ def bench_steps(step_fn, state, args, iters, warmup=5):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_dae(batch_size, iters):
+def bench_dae(batch_size, iters, unroll=1):
     from gesture2vec_tpu.train import dae_trainer
 
     cfg = load_config(dict(name="bench_dae", model="DAE", hidden_size=40,
                            input_motion_dim=135, dropout_prob=0.2,
                            learning_rate=5e-4, epochs=1,
-                           batch_size=batch_size, random_seed=0))
+                           batch_size=batch_size, random_seed=0,
+                           scan_unroll=unroll))
     model = dae_trainer.make_frame_model(cfg)
     opt = make_optimizer(cfg.learning_rate)
     state = dae_trainer.init_state(cfg, model, jax.random.PRNGKey(0), opt)
@@ -77,7 +78,8 @@ def bench_dae(batch_size, iters):
             F.dae_forward_flops(batch_size))
 
 
-def bench_seq_ae(batch_size, iters, compute_dtype="float32"):
+def bench_seq_ae(batch_size, iters, compute_dtype="float32",
+                 unroll=1):
     from gesture2vec_tpu.train import seq_ae_trainer
 
     cfg = load_config(dict(name="bench_b", model="seq2seq",
@@ -89,7 +91,8 @@ def bench_seq_ae(batch_size, iters, compute_dtype="float32"):
                            batch_size=batch_size, random_seed=0,
                            loss_l1_weight=5, loss_cont_weight=0.1,
                            loss_var_weight=0.5,
-                           compute_dtype=compute_dtype))
+                           compute_dtype=compute_dtype,
+                           scan_unroll=unroll))
     model = seq_ae_trainer.make_seq_ae(cfg)
     opt = make_optimizer(cfg.learning_rate)
     state = seq_ae_trainer.init_state(cfg, model, jax.random.PRNGKey(0),
@@ -105,7 +108,7 @@ def bench_seq_ae(batch_size, iters, compute_dtype="float32"):
             F.seq_ae_forward_flops(batch_size))
 
 
-def bench_t2t(batch_size, iters, max_words=32):
+def bench_t2t(batch_size, iters, max_words=32, unroll=1):
     from gesture2vec_tpu.train import text2token_trainer
 
     cfg = load_config(dict(name="bench_d", model="seq2seq",
@@ -114,7 +117,8 @@ def bench_t2t(batch_size, iters, max_words=32):
                            sentence_frame_length=80,
                            autoencoder_vq_components=512,
                            learning_rate=5e-4, epochs=1,
-                           batch_size=batch_size, random_seed=0))
+                           batch_size=batch_size, random_seed=0,
+                           scan_unroll=unroll))
     model = text2token_trainer.make_text2token(cfg, n_words=8000)
     opt = make_optimizer(cfg.learning_rate)
     state = text2token_trainer.init_state(model, jax.random.PRNGKey(0),
@@ -142,15 +146,27 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="GRU/decoder scan unroll factor (A/B knob)")
+    ap.add_argument("--parts", default="a,b,b16,d",
+                    help="comma list from {a,b,b16,d}")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.unroll != 1:
+        print(f"scan unroll: {args.unroll}")
     print(f"backend: {jax.default_backend()}  devices: "
           f"{len(jax.devices())}")
-    bench_dae(args.batch, args.iters)
-    bench_seq_ae(args.batch, args.iters)
-    bench_seq_ae(args.batch, args.iters, compute_dtype="bfloat16")
-    bench_t2t(args.batch, args.iters)
+    parts = set(args.parts.split(","))
+    if "a" in parts:
+        bench_dae(args.batch, args.iters, unroll=args.unroll)
+    if "b" in parts:
+        bench_seq_ae(args.batch, args.iters, unroll=args.unroll)
+    if "b16" in parts:
+        bench_seq_ae(args.batch, args.iters, compute_dtype="bfloat16",
+                     unroll=args.unroll)
+    if "d" in parts:
+        bench_t2t(args.batch, args.iters, unroll=args.unroll)
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from gesture2vec_tpu.models.gru import make_decoder_scan
 from gesture2vec_tpu.models.seq_ae import DecoderStep
 from gesture2vec_tpu.models.text2token import TextEncoderRNN
 
@@ -68,16 +69,7 @@ class Seq2SeqNet(nn.Module):
                                      enc_mask=enc_mask)
             return (out, new_hidden), out
 
-        if train:
-            scan = nn.scan(body, variable_broadcast="params",
-                           variable_carry="batch_stats",
-                           split_rngs={"params": False, "dropout": True},
-                           in_axes=0, out_axes=0)
-        else:
-            scan = nn.scan(body,
-                           variable_broadcast=("params", "batch_stats"),
-                           split_rngs={"params": False, "dropout": True},
-                           in_axes=0, out_axes=0)
+        scan = make_decoder_scan(body, train)
         ts = jnp.arange(1, self.n_frames)
         (_, _), outs = scan(step_mod, (tgt[0], dec_hidden), ts)
         full = jnp.concatenate([tgt[:1], outs], axis=0)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gesture2vec_tpu.models.gru import GRU, GRUCellStack
+from gesture2vec_tpu.models.gru import GRU, GRUCellStack, make_decoder_scan
 
 
 class _C2GStep(nn.Module):
@@ -68,18 +68,7 @@ class Cluster2Gesture(nn.Module):
             nxt = enc_hidden if self.parity_frozen_hidden else new_hidden
             return (out, nxt), out
 
-        if train:
-            scan = nn.scan(body, variable_broadcast="params",
-                           variable_carry="batch_stats",
-                           split_rngs={"params": False, "dropout": True},
-                           in_axes=0, out_axes=0,
-                           length=self.n_frames - 1)
-        else:
-            scan = nn.scan(body,
-                           variable_broadcast=("params", "batch_stats"),
-                           split_rngs={"params": False, "dropout": True},
-                           in_axes=0, out_axes=0,
-                           length=self.n_frames - 1)
+        scan = make_decoder_scan(body, train, length=self.n_frames - 1)
         x0 = jnp.zeros((cluster_ids.shape[0], self.output_size))
         (_, _), outs = scan(self.step, (x0, enc_hidden), None)
         zeros0 = jnp.zeros((1,) + outs.shape[1:], outs.dtype)

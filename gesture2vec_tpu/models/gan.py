@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from gesture2vec_tpu.models.gru import GRU
+from gesture2vec_tpu.models.gru import GRU, make_decoder_scan
 from gesture2vec_tpu.models.seq_ae import DecoderStep
 from gesture2vec_tpu.models.text2token import TextEncoderRNN
 
@@ -70,18 +70,7 @@ class T2GGenerator(nn.Module):
                                      enc_mask=enc_mask)
             return (out, new_hidden), out
 
-        if train:
-            scan = nn.scan(body, variable_broadcast="params",
-                           variable_carry="batch_stats",
-                           split_rngs={"params": False, "dropout": True},
-                           in_axes=0, out_axes=0,
-                           length=self.n_frames - 1)
-        else:
-            scan = nn.scan(body,
-                           variable_broadcast=("params", "batch_stats"),
-                           split_rngs={"params": False, "dropout": True},
-                           in_axes=0, out_axes=0,
-                           length=self.n_frames - 1)
+        scan = make_decoder_scan(body, train, length=self.n_frames - 1)
         (_, _), outs = scan(step_mod, (seed_pose, dec_hidden), None)
         full = jnp.concatenate([seed_pose[None], outs], axis=0)
         return jnp.transpose(full, (1, 0, 2))

@@ -26,6 +26,38 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+_SCAN_UNROLL = 1
+
+
+def set_scan_unroll(n: int) -> None:
+    """Unroll factor for every GRU/decoder lax.scan (trace-time knob; set
+    before jit). >1 trades compile time and code size for fewer
+    while-loop iterations — worth measuring per hardware, since on a
+    dispatch-floor-bound link the loop overhead may not be visible."""
+    global _SCAN_UNROLL
+    _SCAN_UNROLL = max(1, int(n))
+
+
+def scan_unroll() -> int:
+    return _SCAN_UNROLL
+
+
+def make_decoder_scan(body, train: bool, length: Optional[int] = None):
+    """nn.scan config shared by every autoregressive decoder rollout
+    (seq-AE, text2token, audio2token, baseline, c2g, GAN): params
+    broadcast, per-step dropout rngs, batch_stats carried in train mode,
+    and the global scan-unroll knob applied."""
+    kw = dict(split_rngs={"params": False, "dropout": True},
+              in_axes=0, out_axes=0, unroll=_SCAN_UNROLL)
+    if length is not None:
+        kw["length"] = length
+    if train:
+        return nn.scan(body, variable_broadcast="params",
+                       variable_carry="batch_stats", **kw)
+    return nn.scan(body, variable_broadcast=("params", "batch_stats"),
+                   **kw)
+
+
 def _uniform_init(hidden_size: int):
     """torch.nn.GRU default init: U(-1/sqrt(H), 1/sqrt(H))."""
     bound = 1.0 / jnp.sqrt(hidden_size)
@@ -75,7 +107,8 @@ def gru_layer(xs_tm: jnp.ndarray, h0: jnp.ndarray, w_ih: jnp.ndarray,
         h_new = (1.0 - z) * n + z * h
         return h_new, h_new
 
-    h_last, ys = jax.lax.scan(step, h0, x_proj, reverse=reverse)
+    h_last, ys = jax.lax.scan(step, h0, x_proj, reverse=reverse,
+                              unroll=_SCAN_UNROLL)
     return ys, h_last
 
 
@@ -206,7 +239,7 @@ def masked_gru_layer(xs_tm: jnp.ndarray, lengths: jnp.ndarray,
         return (h_keep, t + 1), y
 
     (h_last, _), ys = jax.lax.scan(step, (h0, jnp.zeros((), jnp.int32)),
-                                   x_proj)
+                                   x_proj, unroll=_SCAN_UNROLL)
     if reverse:
         ys = _reverse_padded(ys, lengths)
     return ys, h_last

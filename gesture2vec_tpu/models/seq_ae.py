@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from gesture2vec_tpu.models.gru import BiGRU, GRUCellStack
+from gesture2vec_tpu.models.gru import BiGRU, GRUCellStack, make_decoder_scan
 from gesture2vec_tpu.models.vq import VQGSSoft, VQOutput
 
 
@@ -279,16 +279,7 @@ class SeqVQAutoencoder(nn.Module):
                                      apply_step_dropout=apply_sd)
             return (out, new_hidden), out
 
-        if train:
-            scan = nn.scan(body, variable_broadcast="params",
-                           variable_carry="batch_stats",
-                           split_rngs={"params": False, "dropout": True},
-                           in_axes=0, out_axes=0)
-        else:
-            scan = nn.scan(body,
-                           variable_broadcast=("params", "batch_stats"),
-                           split_rngs={"params": False, "dropout": True},
-                           in_axes=0, out_axes=0)
+        scan = make_decoder_scan(body, train)
         ts = jnp.arange(1, self.n_frames)
         (_, _), outs = scan(step_mod, (tgt[0], dec_hidden), ts)
         full = jnp.concatenate([tgt[:1], outs], axis=0)   # outputs[0]=seed

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from gesture2vec_tpu.models.gru import GRUCellStack, MaskedBiGRU
+from gesture2vec_tpu.models.gru import (
+    GRUCellStack, MaskedBiGRU, make_decoder_scan)
 from gesture2vec_tpu.models.seq_ae import Attn
 from gesture2vec_tpu.models.tcn import TextEncoderTCN
 
@@ -194,16 +195,7 @@ class Text2Token(nn.Module):
             best = jnp.argmax(logits, axis=-1)
             return (best, new_hidden), (logits, attn)
 
-        if train:
-            scan = nn.scan(body, variable_broadcast="params",
-                           variable_carry="batch_stats",
-                           split_rngs={"params": False, "dropout": True},
-                           in_axes=0, out_axes=0)
-        else:
-            scan = nn.scan(body,
-                           variable_broadcast=("params", "batch_stats"),
-                           split_rngs={"params": False, "dropout": True},
-                           in_axes=0, out_axes=0)
+        scan = make_decoder_scan(body, train)
         ts = jnp.arange(1, self.n_steps)
         (_, _), (logits_seq, attns) = scan(step_mod, (seed, dec_hidden), ts)
         logits = jnp.concatenate([onehot0[None], logits_seq], axis=0)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from gesture2vec_tpu.models.gru import set_scan_unroll
 from gesture2vec_tpu.models.audio2token import Audio2Token
 from gesture2vec_tpu.train import checkpoints
 from gesture2vec_tpu.train.config import Config
@@ -51,6 +52,7 @@ def init_state(model: Audio2Token, rng: jax.Array,
                optimizer: optax.GradientTransformation,
                mel_shape: Tuple[int, int, int]) -> A2TTrainState:
     """mel_shape: (seconds, n_mels, frames) of one window."""
+    set_scan_unroll(config.scan_unroll)
     mel = jnp.zeros((2,) + tuple(mel_shape), jnp.float32)
     tgt = jnp.zeros((2, model.n_steps), jnp.int32)
     variables = model.init({"params": rng,

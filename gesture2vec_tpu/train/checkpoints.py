@@ -11,9 +11,15 @@ Here the payload is a msgpack-serialized pytree:
      "params": <flax params>, "extra": {batch_stats, vq_state, ...}}
 
 and the registry is a plain dict of builders - no circular imports.
-Optimizer state is intentionally not saved, matching the reference.
 Filename convention mirrors the reference:
 "{name}_checkpoint_{epoch:03d}.bin" (ref: scripts/train.py:64).
+
+Beyond the reference (which never saves optimizer state,
+ref: utils/train_utils.py:98-113): trainers additionally store the
+optax optimizer state and the threaded PRNG key in `extra` (config
+save_optimizer, default on), so `resume_from` continues a run
+BIT-EXACTLY - same Adam moments, same dropout stream - instead of the
+reference's params-only warm restart.
 """
 from __future__ import annotations
 
@@ -50,6 +56,30 @@ def _to_serializable(tree):
     if hasattr(tree, "dtype"):
         return np.asarray(tree)
     return tree
+
+
+def resume_extra(state, rng, config: Config) -> Dict[str, Any]:
+    """The exact-resume payload: optimizer state (as a plain state dict)
+    + the current PRNG key. Empty when config.save_optimizer is off."""
+    if not config.save_optimizer:
+        return {}
+    return {"opt_state": serialization.to_state_dict(state.opt_state),
+            "rng": np.asarray(rng)}
+
+
+def restore_resume_extra(state, rng, extra: Dict[str, Any]):
+    """Inverse of resume_extra: returns (state, rng) with the optimizer
+    state and PRNG key restored when the checkpoint carries them (older
+    or save_optimizer=false checkpoints fall back to a fresh optimizer,
+    the reference's own resume semantics)."""
+    import jax.numpy as jnp
+
+    if extra.get("opt_state") is not None:
+        state = state._replace(opt_state=serialization.from_state_dict(
+            state.opt_state, extra["opt_state"]))
+    if extra.get("rng") is not None:
+        rng = jnp.asarray(np.asarray(extra["rng"], dtype=np.uint32))
+    return state, rng
 
 
 def save_checkpoint(path: str, *, config: Config, epoch: int,

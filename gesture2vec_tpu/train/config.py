@@ -28,7 +28,8 @@ _BOOL_FLAGS = {
     "autoencoder_fixed_weight", "autoencoder_conditioned", "use_derivative",
     "autoencoder_vae", "autoencoder_freeze_encoder", "autoencoder_vq",
     "text2_embedding_discrete", "use_similarity", "Modality_Audio",
-    "Modality_Text", "Modality_Gesture",
+    "Modality_Text", "Modality_Gesture", "eval_dropout_quirk",
+    "save_optimizer",
 }
 
 
@@ -110,6 +111,12 @@ class Config:
     # TPU-native additions (not in the reference)
     mesh_shape: Optional[Dict[str, int]] = None   # e.g. {"dp": 8}
     compute_dtype: str = "float32"                # or "bfloat16"
+    scan_unroll: int = 1   # GRU/decoder scan unroll: identical numerics,
+    # within noise on the tunnel-attached chip (benchmarks/README.md);
+    # a tuning surface for direct-attached hardware
+    save_optimizer: bool = True  # store optax state + PRNG key in
+    # checkpoints so resume_from continues bit-exactly (the reference
+    # never saves optimizer state, ref: utils/train_utils.py:98-113)
     eval_dropout_quirk: bool = True  # reproduce the reference's eval-time
     # 0.95 decoder dropout (ref: Autoencoder_VQVAE_model.py:570)
 

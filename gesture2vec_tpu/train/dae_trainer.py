@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from gesture2vec_tpu.models.gru import set_scan_unroll
 from gesture2vec_tpu.models.dae import DAE, VAEFrame, VQFrame
 from gesture2vec_tpu.models.vq import VQEmaState
 from gesture2vec_tpu.train import checkpoints
@@ -39,6 +40,7 @@ class DAETrainState(NamedTuple):
 def make_frame_model(config: Config):
     """Model selection mirroring the reference's init_model flags
     (ref: train_DAE.py:65-117)."""
+    set_scan_unroll(config.scan_unroll)
     motion_dim = config.input_motion_dim
     latent = config.hidden_size
     if config.autoencoder_vq:
@@ -197,9 +199,11 @@ def train_dae(config: Config, train_frames: np.ndarray,
     """Full Part-a training loop (ref: train_DAE.py:119-371).
 
     resume_from: checkpoint path; restores params/batch_stats/vq_state
-    and continues from the stored epoch (optimizer state restarts, like
-    the reference's load_pretrained resume,
-    ref: train_autoencoder_VQVAE.py:164-178)."""
+    and continues from the stored epoch. When the checkpoint carries
+    them (config.save_optimizer, the default) the optimizer state and
+    PRNG key are restored too, making the resume bit-exact; otherwise
+    the optimizer restarts like the reference's load_pretrained resume
+    (ref: train_autoencoder_VQVAE.py:164-178)."""
     seed = max(config.random_seed, 0)
     rng = jax.random.PRNGKey(seed)
     model = make_frame_model(config)
@@ -214,6 +218,8 @@ def train_dae(config: Config, train_frames: np.ndarray,
             vq_state=(VQEmaState(**payload["extra"]["vq_state"])
                       if payload["extra"].get("vq_state") else
                       state.vq_state))
+        state, rng = checkpoints.restore_resume_extra(
+            state, rng, payload["extra"])
         start_epoch = int(payload["epoch"])
         logging.info("resumed from %s at epoch %d", resume_from,
                      start_epoch)
@@ -294,7 +300,8 @@ def train_dae(config: Config, train_frames: np.ndarray,
                          or epoch + 1 == config.epochs):
             path = checkpoints.checkpoint_filename(
                 save_dir, f"{config.name}_H{config.hidden_size}", epoch + 1)
-            extra = {"batch_stats": state.batch_stats}
+            extra = {"batch_stats": state.batch_stats,
+                     **checkpoints.resume_extra(state, rng, config)}
             if state.vq_state is not None:
                 extra["vq_state"] = state.vq_state._asdict()
             checkpoints.save_checkpoint(

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from gesture2vec_tpu.models.gru import set_scan_unroll
 from gesture2vec_tpu.models.gan import T2GDiscriminator, T2GGenerator
 
 
@@ -132,6 +133,7 @@ def make_gan_step(g: T2GGenerator, d: T2GDiscriminator, g_optimizer,
 def build_gan(config, n_words: int, pose_dim: int,
               embedding_weights=None
               ) -> Tuple[T2GGenerator, T2GDiscriminator]:
+    set_scan_unroll(config.scan_unroll)
     g = T2GGenerator(n_words=n_words, pose_dim=pose_dim,
                      n_frames=config.n_poses,
                      hidden_size=config.hidden_size,

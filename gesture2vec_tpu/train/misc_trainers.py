@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from gesture2vec_tpu.models.gru import set_scan_unroll
 from gesture2vec_tpu.models.baseline import Seq2SeqNet
 from gesture2vec_tpu.models.c2g import Cluster2Gesture
 from gesture2vec_tpu.train import checkpoints
@@ -63,6 +64,7 @@ def _loop(config: Config, state, train_step, eval_step, batches_fn,
 def make_baseline(config: Config, n_words: int, pose_dim: int,
                   embedding_weights: Optional[np.ndarray] = None
                   ) -> Seq2SeqNet:
+    set_scan_unroll(config.scan_unroll)
     return Seq2SeqNet(n_words=n_words, pose_dim=pose_dim,
                       n_frames=config.n_poses,
                       hidden_size=config.hidden_size,
@@ -160,6 +162,7 @@ def train_baseline(config: Config, data: Dict[str, np.ndarray],
 
 # --------------------------------------------------------------------- c2g
 def make_c2g(config: Config, output_size: int) -> Cluster2Gesture:
+    set_scan_unroll(config.scan_unroll)
     return Cluster2Gesture(n_clusters=config.autoencoder_vq_components,
                            output_size=output_size,
                            hidden_size=config.hidden_size,

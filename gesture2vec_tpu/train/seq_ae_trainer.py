@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from gesture2vec_tpu.models.gru import set_scan_unroll
 from gesture2vec_tpu.models.seq_ae import SeqVQAutoencoder
 from gesture2vec_tpu.train import checkpoints
 from gesture2vec_tpu.train.config import Config
@@ -36,6 +37,7 @@ class SeqAETrainState(NamedTuple):
 def make_seq_ae(config: Config, parity: bool = False) -> SeqVQAutoencoder:
     """Model construction mirroring the reference init
     (ref: train_autoencoder_VQVAE.py:81-106 + model __init__)."""
+    set_scan_unroll(config.scan_unroll)
     rep_dim = config.rep_learning_dim
     if config.use_derivative:
         rep_dim *= 2  # ref: train_autoencoder_VQVAE.py:740-741
@@ -212,6 +214,8 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
         state = state._replace(
             params=payload["params"],
             batch_stats=payload["extra"].get("batch_stats", {}))
+        state, rng = checkpoints.restore_resume_extra(
+            state, rng, payload["extra"])
         start_epoch = int(payload["epoch"])
         logging.info("resumed from %s at epoch %d", resume_from,
                      start_epoch)
@@ -313,7 +317,8 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
                 path, config=config, epoch=epoch + 1, params=state.params,
                 pose_dim=model.rep_dim,
                 extra={"batch_stats": state.batch_stats,
-                       "parity": parity},
+                       "parity": parity,
+                       **checkpoints.resume_extra(state, rng, config)},
                 kind="autoencoder_vq" if model.use_vq else "autoencoder")
             logging.info("saved checkpoint %s", path)
 
@@ -325,8 +330,10 @@ def _build_seq_ae(config: Config, payload: dict):
     # registry loads serve inference/analysis: force fp32 compute even
     # for checkpoints trained with compute_dtype=bfloat16 - measured
     # 2.3x SLOWER at inference (per-step casts in the sequential scan,
-    # benchmarks/README.md) and tokens must be fp32-exact anyway
-    config = config.replace(compute_dtype="float32")
+    # benchmarks/README.md) and tokens must be fp32-exact anyway.
+    # scan_unroll is likewise a training-throughput knob (numerics
+    # identical); serving keeps the measured default.
+    config = config.replace(compute_dtype="float32", scan_unroll=1)
     model = make_seq_ae(config, parity=bool(payload["extra"].get("parity",
                                                                  False)))
     variables = {"params": payload["params"],

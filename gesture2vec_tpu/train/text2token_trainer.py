@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from gesture2vec_tpu.models.gru import set_scan_unroll
 from gesture2vec_tpu.models.text2token import Text2Token
 from gesture2vec_tpu.train import checkpoints
 from gesture2vec_tpu.train.config import Config
@@ -38,6 +39,7 @@ def make_text2token(config: Config, n_words: int,
                     ) -> Text2Token:
     """pose_dim := vq components when discrete
     (ref: text2embedding_model.py:543-544)."""
+    set_scan_unroll(config.scan_unroll)
     n_steps = config.sentence_frame_length // config.n_poses
     return Text2Token(
         n_words=n_words,
@@ -121,14 +123,29 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
                      embedding_weights: Optional[np.ndarray] = None,
                      lang_model_state: Optional[dict] = None,
                      save_dir: Optional[str] = None, save_every: int = 20,
-                     log_every: int = 50
+                     log_every: int = 50,
+                     resume_from: Optional[str] = None
                      ) -> Tuple[T2TTrainState, Dict[str, list]]:
+    """resume_from mirrors the reference's Part-d checkpoint resume
+    (ref: train_text2embedding.py:166-177), extended to bit-exact
+    optimizer/PRNG restoration when the checkpoint carries them."""
     seed = max(config.random_seed, 0)
     rng = jax.random.PRNGKey(seed)
     model = make_text2token(config, n_words, embedding_weights)
     optimizer = make_optimizer(config.learning_rate)
     state = init_state(model, rng, optimizer,
                        max_words=data["word_ids"].shape[1])
+    start_epoch = 0
+    if resume_from:
+        payload = checkpoints.load_checkpoint(resume_from)
+        state = state._replace(
+            params=payload["params"],
+            batch_stats=payload["extra"].get("batch_stats", {}))
+        state, rng = checkpoints.restore_resume_extra(
+            state, rng, payload["extra"])
+        start_epoch = int(payload["epoch"])
+        logging.info("resumed from %s at epoch %d", resume_from,
+                     start_epoch)
     # multi-chip: batch over dp; the vocab embedding table row-shards
     # over tp via parallel.mesh.param_spec (SURVEY.md §2.8)
     from gesture2vec_tpu.parallel.mesh import batch_placer, prepare_state
@@ -144,7 +161,7 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
                                 "val_acc": []}
     meter = AverageMeter("loss", ":.4f")
 
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         perm = np.random.default_rng(seed + epoch).permutation(n)
         meter.reset()
         t0 = time.time()
@@ -195,7 +212,9 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
                 pose_dim=config.autoencoder_vq_components,
                 lang_model=lang_model_state,
                 extra={"batch_stats": state.batch_stats,
-                       "n_words": n_words}, kind="text2embedding")
+                       "n_words": n_words,
+                       **checkpoints.resume_extra(state, rng, config)},
+                kind="text2embedding")
             logging.info("saved checkpoint %s", path)
 
     return state, history

@@ -2,6 +2,7 @@
 import json
 import os
 
+import jax
 import numpy as np
 
 from gesture2vec_tpu.cli.tools import human_study_clips, unityfy
@@ -60,3 +61,58 @@ def test_human_study_clips(tmp_path):
     assert d.n_frames == 360
     words0 = open(out[0].replace(".bvh", ".txt")).read().split()
     assert len(words0) > 0
+
+
+def test_seq_ae_bit_exact_resume(rng, tmp_path):
+    """With save_optimizer (default on), resume continues the exact run:
+    a 2+2-epoch resumed training must equal a straight 4-epoch one
+    (same Adam moments, same dropout stream, same final params)."""
+    from gesture2vec_tpu.train.seq_ae_trainer import train_seq_ae
+
+    win = rng.normal(size=(64, 10, 16)).astype(np.float32)
+    base = dict(name="rex", model="seq2seq", hidden_size=16, n_layers=2,
+                dropout_prob=0.2, batch_size=16, learning_rate=0.002,
+                rep_learning_dim=16, n_poses=10, n_pre_poses=1,
+                autoencoder_vq=True, autoencoder_vq_components=8,
+                random_seed=3)
+
+    straight, _ = train_seq_ae(load_config(dict(base, epochs=4)),
+                               win, win[:16],
+                               save_dir=str(tmp_path / "a"), save_every=4)
+
+    train_seq_ae(load_config(dict(base, epochs=2)), win, win[:16],
+                 save_dir=str(tmp_path / "b"), save_every=2)
+    ckpt = checkpoints.checkpoint_filename(str(tmp_path / "b"), "rex", 2)
+    payload = checkpoints.load_checkpoint(ckpt)
+    assert payload["extra"].get("opt_state") is not None
+    assert payload["extra"].get("rng") is not None
+    resumed, _ = train_seq_ae(load_config(dict(base, epochs=4)),
+                              win, win[:16],
+                              save_dir=str(tmp_path / "b"), save_every=4,
+                              resume_from=ckpt)
+
+    flat_s = jax.tree_util.tree_leaves(straight.params)
+    flat_r = jax.tree_util.tree_leaves(resumed.params)
+    for a, b in zip(flat_s, flat_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_without_optimizer_state_still_works(rng, tmp_path):
+    """save_optimizer=false checkpoints resume with a fresh optimizer -
+    the reference's own warm-restart semantics."""
+    from gesture2vec_tpu.train.seq_ae_trainer import train_seq_ae
+
+    win = rng.normal(size=(32, 10, 16)).astype(np.float32)
+    base = dict(name="rwo", model="seq2seq", hidden_size=16, n_layers=1,
+                dropout_prob=0.0, batch_size=16, learning_rate=0.002,
+                rep_learning_dim=16, n_poses=10, n_pre_poses=1,
+                autoencoder_vq=True, autoencoder_vq_components=8,
+                random_seed=0, save_optimizer=False)
+    train_seq_ae(load_config(dict(base, epochs=1)), win, win[:16],
+                 save_dir=str(tmp_path), save_every=1)
+    ckpt = checkpoints.checkpoint_filename(str(tmp_path), "rwo", 1)
+    payload = checkpoints.load_checkpoint(ckpt)
+    assert payload["extra"].get("opt_state") is None
+    state, hist = train_seq_ae(load_config(dict(base, epochs=2)),
+                               win, win[:16], resume_from=ckpt)
+    assert len(hist["train_loss"]) == 1

@@ -172,3 +172,26 @@ def test_bf16_compute_mode_trains(rng):
     _, hist = train_seq_ae(cfg, w, w[:16])
     assert np.isfinite(hist["train_loss"]).all()
     assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+
+def test_scan_unroll_identical_numerics(rng):
+    """scan_unroll is a speed-only knob: identical params must produce
+    identical outputs and VQ tokens at any unroll factor."""
+    from gesture2vec_tpu.models.gru import set_scan_unroll
+
+    x = jnp.asarray(_windows(rng, n=8))
+    try:
+        model1 = make_seq_ae(_config())          # sets unroll 1
+        variables = model1.init({"params": jax.random.PRNGKey(0),
+                                 "dropout": jax.random.PRNGKey(1)}, x, x,
+                                train=False)
+        res1 = model1.apply(variables, x, x, train=False)
+        model4 = make_seq_ae(_config(scan_unroll=4))
+        res4 = model4.apply(variables, x, x, train=False)
+        np.testing.assert_array_equal(
+            np.argmax(res1["vq"].encodings, -1),
+            np.argmax(res4["vq"].encodings, -1))
+        np.testing.assert_allclose(res1["outputs"], res4["outputs"],
+                                   atol=1e-6)
+    finally:
+        set_scan_unroll(1)
