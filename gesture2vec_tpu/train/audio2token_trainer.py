@@ -38,6 +38,7 @@ class A2TTrainState(NamedTuple):
 
 
 def make_audio2token(config: Config) -> Audio2Token:
+    set_scan_unroll(config.scan_unroll)
     n_steps = config.sentence_frame_length // config.n_poses
     return Audio2Token(n_tokens=config.autoencoder_vq_components,
                        hidden_size=config.hidden_size,
@@ -52,7 +53,6 @@ def init_state(model: Audio2Token, rng: jax.Array,
                optimizer: optax.GradientTransformation,
                mel_shape: Tuple[int, int, int]) -> A2TTrainState:
     """mel_shape: (seconds, n_mels, frames) of one window."""
-    set_scan_unroll(config.scan_unroll)
     mel = jnp.zeros((2,) + tuple(mel_shape), jnp.float32)
     tgt = jnp.zeros((2, model.n_steps), jnp.int32)
     variables = model.init({"params": rng,

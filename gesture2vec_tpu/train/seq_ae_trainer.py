@@ -160,9 +160,11 @@ def make_ssl_train_step(config: Config, model: SeqVQAutoencoder,
             signed = jnp.where(pair_label > 0.5, -cos, cos)
             sim_loss = jnp.mean(signed)
             loss = rec + config.loss_label_weight * sim_loss
+            perp = jnp.zeros(())
             if model.use_vq:
                 loss = loss + res["vq"].loss / 400.0
-            return loss, {"rec": rec, "sim": sim_loss,
+                perp = res["vq"].perplexity
+            return loss, {"rec": rec, "sim": sim_loss, "perplexity": perp,
                           "batch_stats": mut["batch_stats"]}
 
         (loss, aux), grads = jax.value_and_grad(
@@ -174,7 +176,8 @@ def make_ssl_train_step(config: Config, model: SeqVQAutoencoder,
                                     batch_stats=aux["batch_stats"],
                                     step=state.step + 1)
         return new_state, {"loss": loss, "rec": aux["rec"],
-                           "sim": aux["sim"]}
+                           "sim": aux["sim"],
+                           "perplexity": aux["perplexity"]}
 
     return jax.jit(step, donate_argnums=0)
 
@@ -232,6 +235,23 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
             opt_state=shard_params(state.opt_state, mesh),
             batch_stats=shard_params(state.batch_stats, mesh))
         logging.info("training over mesh %s", config.mesh_shape)
+    # semi-supervised variant: human similarity labels drive a pairwise
+    # cosine term on the sequence latents (ref: train_Autoencoder.py with
+    # use_similarity + lmdb_data_loader.py:676-850). Pairs are sampled on
+    # the host each step like the reference (3 per iteration, ref :732).
+    ssl_pairs = None
+    if config.use_similarity and config.similarity_labels:
+        from gesture2vec_tpu.data.similarity import (read_gesture_labels,
+                                                     sample_pairs)
+        if mesh is not None:
+            raise ValueError("use_similarity training is single-device "
+                             "(the reference has no distributed variant); "
+                             "unset mesh_shape")
+        ssl_pairs = read_gesture_labels(config.similarity_labels)
+        ssl_step = make_ssl_train_step(config, model, optimizer,
+                                       config.epochs)
+        logging.info("SSL mode: %d labeled pairs from %s",
+                     len(ssl_pairs), config.similarity_labels)
     train_step = make_train_step(config, model, optimizer, config.epochs)
     eval_step = make_eval_step(config, model)
 
@@ -262,8 +282,18 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
         losses, perps = [], []
         for b, batch in enumerate(batches):
             rng, srng = jax.random.split(rng)
-            state, metrics = train_step(state, batch, srng,
-                                        jnp.asarray(epoch, jnp.float32))
+            if ssl_pairs is not None:
+                pa, pb, pl = sample_pairs(
+                    ssl_pairs, 3,
+                    np.random.default_rng(seed + epoch * 65536 + b), n)
+                state, metrics = ssl_step(
+                    state, batch, jnp.asarray(train_windows[pa]),
+                    jnp.asarray(train_windows[pb]), jnp.asarray(pl),
+                    srng, jnp.asarray(epoch, jnp.float32))
+            else:
+                state, metrics = train_step(state, batch, srng,
+                                            jnp.asarray(epoch,
+                                                        jnp.float32))
             losses.append(metrics["loss"])
             perps.append(metrics["perplexity"])
             if (b + 1) % log_every == 0:

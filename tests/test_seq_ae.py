@@ -195,3 +195,31 @@ def test_scan_unroll_identical_numerics(rng):
                                    atol=1e-6)
     finally:
         set_scan_unroll(1)
+
+
+def test_ssl_training_via_config(rng, tmp_path):
+    """use_similarity + similarity_labels drives the SSL step inside
+    train_seq_ae (ref: train_Autoencoder.py semi-supervised variant)."""
+    from gesture2vec_tpu.train.seq_ae_trainer import train_seq_ae
+
+    labels = tmp_path / "gesture_labels.txt"
+    lines = []
+    r = np.random.default_rng(0)
+    for k in range(30):
+        left, mid, right = r.integers(0, 48, size=3)
+        lines.append(f"ann,{left},{mid},{right},"
+                     f"{['left', 'right', 'neither'][k % 3]},0.0")
+    labels.write_text("\n".join(lines))
+
+    win = rng.normal(size=(48, 10, 16)).astype(np.float32)
+    cfg = _config(epochs=2, batch_size=16, rep_learning_dim=16,
+                  n_poses=10, hidden_size=16,
+                  use_similarity=True, similarity_labels=str(labels),
+                  loss_label_weight=0.1)
+    state, hist = train_seq_ae(cfg, win, win[:16])
+    assert np.isfinite(hist["train_loss"][-1])
+    assert hist["train_loss"][-1] < hist["train_loss"][0] * 1.5
+
+    # mesh + SSL is rejected (single-device only, like the reference)
+    with pytest.raises(ValueError):
+        train_seq_ae(cfg.replace(mesh_shape={"dp": 2}), win, win[:16])
