@@ -32,6 +32,10 @@ def main() -> None:
     parser.add_argument("--autoencoder-checkpoint", default=None,
                         help="frozen Part-b checkpoint (part d)")
     parser.add_argument("--save-dir", default=None)
+    parser.add_argument("--resume", default=None, metavar="CKPT",
+                        help="checkpoint to resume training from "
+                             "(parts a, b, d, audio; bit-exact when the "
+                             "checkpoint carries optimizer state)")
     parser.add_argument("--mesh", default=None,
                         help="device mesh, e.g. 'dp=8' or 'dp=4,tp=2'")
     parser.add_argument("--plot-every", type=int, default=0,
@@ -91,7 +95,7 @@ def main() -> None:
         from gesture2vec_tpu.train.dae_trainer import train_dae
         _, hist = train_dae(cfg, all_frames(train_store),
                             all_frames(val_store, mean, std),
-                            save_dir=save_dir)
+                            save_dir=save_dir, resume_from=args.resume)
         _plot(hist)
         return
 
@@ -164,7 +168,8 @@ def main() -> None:
             pose_windows(val_store, cfg.n_poses,
                          cfg.subdivision_stride, mean, std))
         _, hist = train_seq_ae(cfg, tw, vw, save_dir=save_dir,
-                               plot_every=args.plot_every)
+                               plot_every=args.plot_every,
+                               resume_from=args.resume)
         _plot(hist)
         return
 
@@ -217,7 +222,8 @@ def main() -> None:
         from gesture2vec_tpu.train.audio2token_trainer import \
             train_audio2token
         _, hist = train_audio2token(cfg, sent, sent_val,
-                                    save_dir=save_dir)
+                                    save_dir=save_dir,
+                                    resume_from=args.resume)
         _plot(hist)
         return
 
@@ -225,7 +231,7 @@ def main() -> None:
     _, hist = train_text2token(cfg, sent, sent_val, vocab.n_words,
                                embedding_weights=vocab.word_embedding_weights,
                                lang_model_state=vocab.state_dict(),
-                               save_dir=save_dir)
+                               save_dir=save_dir, resume_from=args.resume)
     _plot(hist)
 
 

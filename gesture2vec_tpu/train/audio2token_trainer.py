@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -102,7 +102,8 @@ def make_eval_step(model: Audio2Token):
 def train_audio2token(config: Config, data: Dict[str, np.ndarray],
                       val_data: Dict[str, np.ndarray],
                       save_dir=None, save_every: int = 20,
-                      log_every: int = 50
+                      log_every: int = 50,
+                      resume_from: Optional[str] = None
                       ) -> Tuple[A2TTrainState, Dict[str, list]]:
     """data: {mel (N, S, n_mels, frames), tokens (N, n_steps)}."""
     seed = max(config.random_seed, 0)
@@ -110,6 +111,17 @@ def train_audio2token(config: Config, data: Dict[str, np.ndarray],
     model = make_audio2token(config)
     optimizer = make_optimizer(config.learning_rate)
     state = init_state(model, rng, optimizer, data["mel"].shape[1:])
+    start_epoch = 0
+    if resume_from:
+        payload = checkpoints.load_checkpoint(resume_from)
+        state = state._replace(
+            params=payload["params"],
+            batch_stats=payload["extra"].get("batch_stats", {}))
+        state, rng = checkpoints.restore_resume_extra(
+            state, rng, payload["extra"])
+        start_epoch = int(payload["epoch"])
+        logging.info("resumed from %s at epoch %d", resume_from,
+                     start_epoch)
     from gesture2vec_tpu.parallel.mesh import batch_placer, prepare_state
     mesh, state = prepare_state(state, config.mesh_shape)
     place = batch_placer(mesh)
@@ -123,7 +135,7 @@ def train_audio2token(config: Config, data: Dict[str, np.ndarray],
                                 "val_acc": []}
     meter = AverageMeter("loss", ":.4f")
 
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         perm = np.random.default_rng(seed + epoch).permutation(n)
         meter.reset()
         t0 = time.time()
@@ -169,7 +181,8 @@ def train_audio2token(config: Config, data: Dict[str, np.ndarray],
                 path, config=config, epoch=epoch + 1, params=state.params,
                 pose_dim=config.autoencoder_vq_components,
                 extra={"batch_stats": state.batch_stats,
-                       "mel_shape": list(data["mel"].shape[1:])},
+                       "mel_shape": list(data["mel"].shape[1:]),
+                       **checkpoints.resume_extra(state, rng, config)},
                 kind="audio2token")
             logging.info("saved checkpoint %s", path)
 
