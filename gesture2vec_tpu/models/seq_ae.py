@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gesture2vec_tpu.models.gru import BiGRU, GRUCellStack, make_decoder_scan
-from gesture2vec_tpu.models.vq import VQGSSoft, VQOutput
+from gesture2vec_tpu.models.vq import VQGSSoft, VQOutput, VQResidual
 
 
 class Attn(nn.Module):
@@ -174,6 +174,8 @@ class SeqVQAutoencoder(nn.Module):
     use_vq: bool = True
     vq_components: int = 512
     commitment_cost: float = 0.25
+    vq_variant: str = "gssoft"   # "gssoft" (reference parity) | "rvq"
+    rvq_stages: int = 2          # residual stages when vq_variant="rvq"
     use_vae: bool = False
     use_attention: bool = False
     conditioned: bool = True
@@ -203,9 +205,16 @@ class SeqVQAutoencoder(nn.Module):
                                         conditioned=self.conditioned,
                                         dtype=self._dtype)
         if self.use_vq:
-            self.vq_layer = VQGSSoft(num_codes=self.vq_components,
-                                     dim=self.hidden_size * self.n_layers,
-                                     commitment_cost=self.commitment_cost)
+            d = self.hidden_size * self.n_layers
+            if self.vq_variant == "rvq":
+                self.vq_layer = VQResidual(
+                    num_codes=self.vq_components, dim=d,
+                    stages=self.rvq_stages,
+                    commitment_cost=self.commitment_cost)
+            else:
+                self.vq_layer = VQGSSoft(
+                    num_codes=self.vq_components, dim=d,
+                    commitment_cost=self.commitment_cost)
         if self.use_vae:
             d = self.hidden_size * self.n_layers
             self.vae_mean = nn.Dense(d)

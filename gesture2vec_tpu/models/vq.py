@@ -193,6 +193,57 @@ class VQGSSoft(nn.Module):
         return jnp.argmax(probs, axis=-1)
 
 
+class VQResidual(nn.Module):
+    """Residual VQ, an opt-in quantizer beyond the reference (see
+    PAPERS.md: RVQ pose representations, MoMask): stage 0 quantizes the
+    input; each later stage quantizes what the previous stages left
+    over, with its own codebook; the bottleneck becomes the sum of the
+    stage codes.
+
+    Pipeline compatibility: stage 0's index remains THE gesture token.
+    Its codebook is stored under the same param name ("codebook") every
+    consumer reads (t-SNE plots, decode_codebook, exemplar retrieval,
+    Part-d targets), and `encodings`/`perplexity` are stage-0 only, so
+    the discrete token pipeline is unchanged while reconstruction
+    tightens with each residual stage
+    (tests/test_vq.py::test_rvq_refines_reconstruction).
+    """
+
+    num_codes: int
+    dim: int
+    stages: int = 2
+    commitment_cost: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> VQOutput:
+        flat = x.reshape(-1, self.dim)
+        resid = flat
+        total_q = jnp.zeros_like(flat)
+        loss = jnp.zeros(())
+        out0 = None
+        for s in range(self.stages):
+            name = "codebook" if s == 0 else f"codebook_r{s}"
+            cb = self.param(name, nn.initializers.normal(1.0),
+                            (self.num_codes, self.dim))
+            d = codebook_distances(resid, cb)
+            _, onehot = _hard_assign(d)
+            q = jnp.matmul(onehot, cb, precision="highest")
+            e_latent = jnp.mean((jax.lax.stop_gradient(q) - resid) ** 2)
+            q_latent = jnp.mean((q - jax.lax.stop_gradient(resid)) ** 2)
+            loss = loss + q_latent + self.commitment_cost * e_latent
+            total_q = total_q + q
+            if s == 0:
+                out0 = onehot
+            # later stages see the residual of the *quantized* path so
+            # every stage's commitment term is a function of x
+            resid = resid - jax.lax.stop_gradient(q)
+        st = (flat + jax.lax.stop_gradient(total_q - flat)).reshape(x.shape)
+        return VQOutput(loss, st, perplexity_of(out0), out0)
+
+    def tokens(self, probs: jnp.ndarray) -> jnp.ndarray:
+        return jnp.argmax(probs, axis=-1)
+
+
 def vq_gumbel(x: jnp.ndarray, codebook: jnp.ndarray, rng: jax.Array, *,
               temperature: float = 0.5, train: bool = True) -> VQOutput:
     """Relaxed one-hot (Gumbel-softmax) VQ

@@ -117,6 +117,10 @@ class Config:
     save_optimizer: bool = True  # store optax state + PRNG key in
     # checkpoints so resume_from continues bit-exactly (the reference
     # never saves optimizer state, ref: utils/train_utils.py:98-113)
+    autoencoder_vq_variant: str = "gssoft"  # "gssoft" (reference
+    # parity) | "rvq" (residual VQ: tighter reconstruction at the same
+    # token granularity; stage 0 stays THE gesture token)
+    rvq_stages: int = 2
     eval_dropout_quirk: bool = True  # reproduce the reference's eval-time
     # 0.95 decoder dropout (ref: Autoencoder_VQVAE_model.py:570)
 

@@ -54,6 +54,8 @@ def make_seq_ae(config: Config, parity: bool = False) -> SeqVQAutoencoder:
         use_vae=config.autoencoder_vae,
         use_attention=config.autoencoder_att,
         conditioned=config.autoencoder_conditioned,
+        vq_variant=config.autoencoder_vq_variant,
+        rvq_stages=config.rvq_stages,
         vq_flatten="torch_view" if parity else "per_sample",
         eval_step_dropout=config.eval_dropout_quirk and parity,
         compute_dtype=config.compute_dtype,

@@ -128,3 +128,22 @@ def test_mesh_matches_single_device(rng):
                                       "mesh_shape": {"dp": 8}}), w, w[:16])
     np.testing.assert_allclose(h1["train_loss"], h2["train_loss"],
                                rtol=1e-4)
+
+
+def test_rvq_mesh_matches_single_device(rng):
+    """The RVQ variant's residual codebooks ride the same tp row-shard
+    rule (substring "codebook"); dp identity must hold for it too."""
+    w = _windows(rng, n=32)
+    base = dict(name="mrvq", model="seq2seq", hidden_size=12, n_layers=2,
+                dropout_prob=0.0, epochs=1, batch_size=16,
+                learning_rate=0.002, rep_learning_dim=12, n_poses=8,
+                n_pre_poses=1, autoencoder_vq=True,
+                autoencoder_vq_components=8,
+                autoencoder_vq_variant="rvq", rvq_stages=2,
+                random_seed=0)
+    _, h1 = train_seq_ae(load_config(base), w, w[:16])
+    _, h2 = train_seq_ae(load_config({**base,
+                                      "mesh_shape": {"dp": 4, "tp": 2}}),
+                         w, w[:16])
+    np.testing.assert_allclose(h1["train_loss"], h2["train_loss"],
+                               rtol=1e-4)

@@ -223,3 +223,27 @@ def test_ssl_training_via_config(rng, tmp_path):
     # mesh + SSL is rejected (single-device only, like the reference)
     with pytest.raises(ValueError):
         train_seq_ae(cfg.replace(mesh_shape={"dp": 2}), win, win[:16])
+
+
+def test_rvq_variant_trains_and_serves(rng, tmp_path):
+    """autoencoder_vq_variant=rvq: trains, tokenizes, checkpoints, and
+    every codebook consumer still finds the stage-0 "codebook" param."""
+    win = rng.normal(size=(64, 10, 16)).astype(np.float32)
+    cfg = _config(epochs=2, batch_size=16, rep_learning_dim=16,
+                  n_poses=10, hidden_size=16, name="rvq",
+                  autoencoder_vq_variant="rvq", rvq_stages=2)
+    state, hist = train_seq_ae(cfg, win, win[:16],
+                               save_dir=str(tmp_path), save_every=2)
+    assert np.isfinite(hist["train_loss"][-1])
+    assert "codebook" in state.params["vq_layer"]
+    assert "codebook_r1" in state.params["vq_layer"]
+
+    ckpt = checkpoints.checkpoint_filename(str(tmp_path), "rvq", 2)
+    model, variables, _ = checkpoints.load_checkpoint_and_model(
+        ckpt, "autoencoder_vq")
+    assert model.vq_variant == "rvq"
+    x = jnp.asarray(win[:4])
+    res = model.apply(variables, x, x, train=False)
+    toks = np.argmax(np.asarray(res["vq"].encodings), axis=-1)
+    assert toks.shape == (4,)
+    assert (toks >= 0).all() and (toks < 16).all()

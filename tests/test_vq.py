@@ -135,3 +135,43 @@ def test_vqgssoft_module_shapes(rng):
     assert float(out.perplexity) > 1.0
     tokens = np.argmax(np.asarray(out.encodings), axis=1)
     assert tokens.shape == (10,)
+
+
+def test_rvq_refines_reconstruction():
+    """Residual stages must tighten the bottleneck: after identical
+    training, a 2-stage RVQ reconstructs the same inputs with lower
+    error than a single stage."""
+    import optax
+
+    from gesture2vec_tpu.models.vq import VQResidual
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(256, 16)).astype(np.float32))
+
+    def fit(stages):
+        model = VQResidual(num_codes=8, dim=16, stages=stages)
+        params = model.init(jax.random.PRNGKey(0), x)
+        opt = optax.adam(3e-2)
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, opt_state):
+            def loss_fn(p):
+                return model.apply(p, x).loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        for _ in range(200):
+            params, opt_state, _ = step(params, opt_state)
+        out = model.apply(params, x)
+        return float(jnp.mean((out.quantized - x) ** 2)), out, params
+
+    err1, _, _ = fit(1)
+    err2, out2, params2 = fit(2)
+    assert err2 < err1 * 0.9, (err1, err2)
+    # stage-0 API surface: one-hot encodings over num_codes, the shared
+    # "codebook" param name every consumer reads
+    assert out2.encodings.shape == (256, 8)
+    assert "codebook" in params2["params"]
+    assert "codebook_r1" in params2["params"]
