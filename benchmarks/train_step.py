@@ -25,16 +25,25 @@ from gesture2vec_tpu.utils import flops as F
 
 
 def _report(label, batch, t, unit, step_fn, state, args, fwd_analytic):
-    """One result line with FLOPs and MFU (vs v5e bf16 peak)."""
+    """One result line with FLOPs and MFU (vs v5e bf16 peak).
+
+    MFU denominator: the ANALYTIC step count, 3x the analytic forward
+    (backward ~= 2x forward; the Adam update adds no matmuls). XLA's
+    cost model is printed alongside but counts each lax.scan/while BODY
+    ONCE, so at the production scan_unroll=1 it undercounts these
+    recurrent steps severalfold (tests/test_flops.py pins this down);
+    it stays useful as a sanity lower bound.
+    """
     try:
-        step_flops = F.xla_flops(step_fn, state, *args)
+        xla_step = F.xla_flops(step_fn, state, *args)
     except Exception:                       # cost model unavailable
-        step_flops = 0.0
+        xla_step = 0.0
+    step_flops = 3.0 * fwd_analytic
     util = F.mfu(step_flops, t)
     print(f"{label} batch {batch}: {t*1e3:7.2f} ms/step "
           f"{batch/t:10.0f} {unit}  "
-          f"{step_flops/1e9:8.3f} GFLOP/step (XLA, fwd+bwd+opt; "
-          f"fwd analytic {fwd_analytic/1e9:.3f})  "
+          f"{step_flops/1e9:8.3f} GFLOP/step (analytic 3x fwd; "
+          f"XLA scan-body-once lower bound {xla_step/1e9:.3f})  "
           f"MFU {util*100:5.2f}% of v5e bf16 peak")
 
 

@@ -103,7 +103,11 @@ def text2token_forward_flops(batch: int, max_words: int = 32,
         f = 0.0
         in_ch = embed
         for _ in range(n_layers):
-            f += 2.0 * batch * max_words * kernel * in_ch * hidden * 2
+            # conv1 maps in_ch -> hidden; conv2 maps hidden -> hidden
+            # (models/tcn.py TemporalBlock) — they differ in input width
+            # on block 0, so count them separately.
+            f += 2.0 * batch * max_words * kernel * in_ch * hidden
+            f += 2.0 * batch * max_words * kernel * hidden * hidden
             if in_ch != hidden:
                 f += dense_flops(batch * max_words, in_ch, hidden)
             in_ch = hidden

@@ -1,0 +1,129 @@
+"""FLOP-accounting sanity: the analytic forward counts in
+utils/flops.py are the denominators behind every MFU claim in
+benchmarks/README.md, so (a) pin their values at the benchmark shapes
+as goldens, and (b) cross-check them against XLA's own cost model for
+the real compiled forwards.
+
+Two XLA cost-model facts these tests document (discovered round 2):
+  - a lax.scan/while BODY IS COUNTED ONCE regardless of trip count, so
+    the models must be lowered with full scan unroll for the count to
+    cover the whole sequence (numerics are unroll-invariant);
+  - with attention off, XLA dead-code-eliminates the top encoder GRU
+    layer (its outputs feed only the unused attention context; the
+    reference keeps dec_hidden = encoder_hidden[:n_layers], i.e. the
+    LOWER layers — Autoencoder_VQVAE_model.py:971-973), so the executed
+    flops are legitimately below the reference-faithful analytic count.
+The analytic count is therefore asserted to sit in [0.8x, 2.0x] of the
+unrolled XLA count: tight enough to catch structural drift (a missing
+stage, a wrong layer count), while the goldens catch any formula edit.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gesture2vec_tpu.train.config import load_config
+from gesture2vec_tpu.train.optim import make_optimizer
+from gesture2vec_tpu.utils import flops as F
+
+
+def test_analytic_goldens_at_benchmark_shapes():
+    # benchmarks/train_step.py shapes; update in lockstep with
+    # benchmarks/README.md if a formula is deliberately changed.
+    assert F.dae_forward_flops(128) == pytest.approx(2_764_800.0)
+    assert F.seq_ae_forward_flops(128) == pytest.approx(8_822_937_600.0)
+    assert F.text2token_forward_flops(128, max_words=32, n_steps=4) \
+        == pytest.approx(6_274_816_000.0)
+
+
+def _band(analytic, xla):
+    assert 0.8 * xla <= analytic <= 2.0 * xla, (analytic, xla)
+
+
+def test_dae_analytic_vs_xla():
+    from gesture2vec_tpu.train.dae_trainer import (init_state,
+                                                   make_frame_model)
+    cfg = load_config(dict(name="f", model="DAE", hidden_size=40,
+                           epochs=1, batch_size=8, input_motion_dim=135,
+                           random_seed=0))
+    model = make_frame_model(cfg)
+    opt = make_optimizer(1e-3)
+    params = init_state(cfg, model, jax.random.PRNGKey(0), opt).params
+    x = jnp.zeros((128, 135), jnp.float32)
+    xla = F.xla_flops(
+        jax.jit(lambda p, x: model.apply({"params": p}, x, train=False)),
+        params, x)
+    _band(F.dae_forward_flops(128), xla)
+
+
+def test_seq_ae_analytic_vs_xla():
+    from gesture2vec_tpu.train.seq_ae_trainer import (init_state,
+                                                      make_seq_ae)
+    cfg = load_config(dict(name="s", model="seq2seq", hidden_size=200,
+                           n_layers=2, dropout_prob=0.2, epochs=1,
+                           batch_size=8, rep_learning_dim=40, n_poses=20,
+                           n_pre_poses=1, autoencoder_vq=True,
+                           autoencoder_vq_components=512, random_seed=0,
+                           scan_unroll=64))  # full unroll, see module doc
+    model = make_seq_ae(cfg)
+    opt = make_optimizer(1e-3)
+    st = init_state(cfg, model, jax.random.PRNGKey(0), opt)
+    x = jnp.zeros((128, 20, 40), jnp.float32)
+
+    def fwd(p, bs, x):
+        return model.apply({"params": p, "batch_stats": bs}, x, x,
+                           train=False)
+    xla = F.xla_flops(jax.jit(fwd), st.params, st.batch_stats, x)
+    _band(F.seq_ae_forward_flops(128), xla)
+
+
+def test_text2token_analytic_vs_xla():
+    from gesture2vec_tpu.train.text2token_trainer import (init_state,
+                                                          make_text2token)
+    cfg = load_config(dict(name="t", model="seq2seq", hidden_size=200,
+                           n_layers=2, dropout_prob=0.2, epochs=1,
+                           batch_size=8, n_poses=20, n_pre_poses=1,
+                           wordembed_dim=300, sentence_frame_length=80,
+                           autoencoder_vq_components=512, random_seed=0,
+                           autoencoder_att=True,
+                           scan_unroll=64))  # full unroll, see module doc
+    model = make_text2token(cfg, n_words=8000)
+    opt = make_optimizer(1e-3)
+    st = init_state(model, jax.random.PRNGKey(0), opt, max_words=32)
+    rng = np.random.default_rng(0)
+    words = jnp.asarray(
+        rng.integers(4, 8000, size=(128, 32)).astype(np.int32))
+    lens = jnp.full((128,), 32, jnp.int32)
+    tgt = jnp.zeros((128, model.n_steps), jnp.int32)
+
+    def fwd(p, bs, w, l, t):
+        return model.apply({"params": p, "batch_stats": bs}, w, l, t,
+                           train=False)
+    xla = F.xla_flops(jax.jit(fwd), st.params, st.batch_stats, words,
+                      lens, tgt)
+    _band(F.text2token_forward_flops(128, max_words=32,
+                                     n_steps=model.n_steps), xla)
+
+
+def test_scan_body_counted_once():
+    """Document the cost-model behavior the module docstring relies on:
+    the same BiGRU lowered rolled vs unrolled differs substantially in
+    XLA's flop estimate while computing the identical function. For the
+    bare BiGRU the gap is only the per-step hidden matmuls (the input
+    projections are hoisted out of the scan by design, models/gru.py);
+    for the full models, whose decoder scans carry the whole step
+    (pre_linear + GRU stack + attention + out), the rolled undercount
+    is severalfold."""
+    from gesture2vec_tpu.models.gru import BiGRU, set_scan_unroll
+    xs = jnp.zeros((20, 128, 200))
+    try:
+        set_scan_unroll(1)
+        m = BiGRU(hidden_size=200, n_layers=2)
+        v = m.init(jax.random.PRNGKey(0), xs)
+        rolled = F.xla_flops(jax.jit(lambda p, x: m.apply(p, x)), v, xs)
+        set_scan_unroll(64)
+        unrolled = F.xla_flops(jax.jit(lambda p, x: m.apply(p, x)), v, xs)
+    finally:
+        set_scan_unroll(1)
+    assert unrolled > 1.3 * rolled, (rolled, unrolled)
+    _band(F.gru_flops(128, 20, 200, 200, 2, bidirectional=True), unrolled)
