@@ -83,7 +83,13 @@ def plot_kernel_stickfigures(encoder_kernel: np.ndarray, fe,
     written.append(p)
 
     poses = encoder_kernel_poses(k, mean, std)
-    n_joints = poses.shape[1] // 9
+    # per-joint feature width: 9 (Trinity rotmat), 12 (TWH pos+rotmat),
+    # 3 (expmap). A width that fits none of these skips the per-unit
+    # heatmaps rather than crashing mid-loop (the stickfigures and the
+    # kernel matrix are still written).
+    feat_w = next((w for w in (9, 12, 3) if poses.shape[1] % w == 0),
+                  None)
+    n_joints = poses.shape[1] // feat_w if feat_w else 0
     for i in range(min(poses.shape[0], max_units)):
         data = fe.to_bvh(poses[i:i + 1])
         ax = draw_stickfigure(data, 0)
@@ -94,9 +100,11 @@ def plot_kernel_stickfigures(encoder_kernel: np.ndarray, fe,
         plt.close(fig)
         written.append(p)
 
+        if feat_w is None:
+            continue
         fig, ax2 = plt.subplots(figsize=(4, 4))
-        ax2.imshow(k[:, i].reshape(n_joints, 9))
-        ax2.set_title(f"unit {i} ({n_joints},9 style)")
+        ax2.imshow(k[:, i].reshape(n_joints, feat_w))
+        ax2.set_title(f"unit {i} ({n_joints},{feat_w} style)")
         p = os.path.join(out_dir, f"kernel_{i:03d}_heat.png")
         fig.savefig(p, dpi=100, bbox_inches="tight")
         plt.close(fig)

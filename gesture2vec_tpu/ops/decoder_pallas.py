@@ -67,7 +67,16 @@ def _decoder_kernel(x0_ref, h_ref, wpre_ref, bns_ref, bnb_ref,
     jax.lax.fori_loop(0, T, body, x0_ref[:])
 
 
-BLOCK = 256  # chunks decoded per grid step (VMEM-bounded, see supported)
+BLOCK = 256  # max chunks decoded per grid step (VMEM-bounded, see supported)
+
+
+def _pick_block(B: int) -> int:
+    """Per-grid-step chunk count: the smallest sublane-aligned (8-row)
+    tile covering B, capped at BLOCK. B=1 serving then rolls out 8 rows
+    per step instead of a fully padded 256 — the tunnel's dispatch floor
+    hides the difference here, but on direct-attached chips the padded
+    matmuls are pure waste."""
+    return min(BLOCK, max(8, ((B + 7) // 8) * 8))
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "interpret"))
@@ -92,10 +101,11 @@ def fused_chunk_decode(x0: jnp.ndarray, h0: jnp.ndarray, params: dict,
 
     B, D = x0.shape
     H = h0.shape[-1]
-    # pad the chunk axis to a BLOCK multiple; padded rows are decoded
+    # pad the chunk axis to a block multiple; padded rows are decoded
     # with zero seeds/hiddens and sliced away below
-    n_blocks = max((B + BLOCK - 1) // BLOCK, 1)
-    Bp = n_blocks * BLOCK
+    block = _pick_block(B)
+    n_blocks = max((B + block - 1) // block, 1)
+    Bp = n_blocks * block
     if Bp != B:
         x0 = jnp.pad(x0, ((0, Bp - B), (0, 0)))
         h0 = jnp.pad(h0, ((0, 0), (0, Bp - B), (0, 0)))
@@ -134,14 +144,14 @@ def fused_chunk_decode(x0: jnp.ndarray, h0: jnp.ndarray, params: dict,
     ys = pl.pallas_call(
         _decoder_kernel,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec((BLOCK, D), lambda b: (b, 0),
+        in_specs=[pl.BlockSpec((block, D), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((2, BLOCK, H), lambda b: (0, b, 0),
+                  pl.BlockSpec((2, block, H), lambda b: (0, b, 0),
                                memory_space=pltpu.VMEM)] + bcast,
-        out_specs=pl.BlockSpec((n_steps, BLOCK, D), lambda b: (0, b, 0),
+        out_specs=pl.BlockSpec((n_steps, block, D), lambda b: (0, b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_steps, Bp, D), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, BLOCK, H), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, block, H), jnp.float32)],
         interpret=interpret,
     )(*ins)
     return ys[:, :B] if Bp != B else ys

@@ -13,7 +13,6 @@ batches dp-sharded, params replicated.
 from __future__ import annotations
 
 import logging
-import time
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -27,7 +26,7 @@ from gesture2vec_tpu.train import checkpoints
 from gesture2vec_tpu.train.config import Config
 from gesture2vec_tpu.train.losses import token_cross_entropy
 from gesture2vec_tpu.train.optim import make_optimizer
-from gesture2vec_tpu.utils.meters import AverageMeter
+from gesture2vec_tpu.train.token_loop import run_token_training
 
 
 class A2TTrainState(NamedTuple):
@@ -130,63 +129,24 @@ def train_audio2token(config: Config, data: Dict[str, np.ndarray],
     train_step = make_train_step(model, optimizer)
     eval_step = make_eval_step(model)
 
-    n, bs = data["mel"].shape[0], config.batch_size
-    history: Dict[str, list] = {"train_loss": [], "val_loss": [],
-                                "val_acc": []}
-    meter = AverageMeter("loss", ":.4f")
+    def save(st, save_rng, epoch1):
+        if not save_dir:
+            return
+        path = checkpoints.checkpoint_filename(save_dir, config.name,
+                                               epoch1)
+        checkpoints.save_checkpoint(
+            path, config=config, epoch=epoch1, params=st.params,
+            pose_dim=config.autoencoder_vq_components,
+            extra={"batch_stats": st.batch_stats,
+                   "mel_shape": list(data["mel"].shape[1:]),
+                   **checkpoints.resume_extra(st, save_rng, config)},
+            kind="audio2token")
+        logging.info("saved checkpoint %s", path)
 
-    for epoch in range(start_epoch, config.epochs):
-        perm = np.random.default_rng(seed + epoch).permutation(n)
-        meter.reset()
-        t0 = time.time()
-        losses = []
-        for b in range(max(n // bs, 1)):
-            take = perm[b * bs:(b + 1) * bs]
-            if take.size < bs:
-                break
-            rng, srng = jax.random.split(rng)
-            state, metrics = train_step(state, place(data["mel"][take]),
-                                        place(data["tokens"][take]), srng)
-            losses.append(metrics["loss"])
-            if (b + 1) % log_every == 0:
-                block = float(jnp.mean(jnp.stack(losses[-log_every:])))
-                meter.update(block, bs * log_every)
-                sps = (b + 1) * bs / (time.time() - t0)
-                logging.info("EP %d (%d) %s, %.0f samples/s", epoch,
-                             b + 1, meter, sps)
-        epoch_loss = (float(jnp.mean(jnp.stack(losses)))
-                      if losses else float("nan"))
-        meter.avg = epoch_loss
-        history["train_loss"].append(epoch_loss)
-
-        vl, va = [], []
-        m = val_data["mel"].shape[0]
-        for s in range(0, m - bs + 1, bs):
-            loss, acc, _ = eval_step(state,
-                                     place(val_data["mel"][s:s + bs]),
-                                     place(val_data["tokens"][s:s + bs]))
-            vl.append(float(loss))
-            va.append(float(acc))
-        history["val_loss"].append(float(np.mean(vl)) if vl else float("nan"))
-        history["val_acc"].append(float(np.mean(va)) if va else float("nan"))
-        logging.info("EP %d done: train %.4f val %.4f acc %.3f", epoch,
-                     meter.avg, history["val_loss"][-1],
-                     history["val_acc"][-1])
-
-        if save_dir and ((epoch + 1) % save_every == 0
-                         or epoch + 1 == config.epochs):
-            path = checkpoints.checkpoint_filename(save_dir, config.name,
-                                                   epoch + 1)
-            checkpoints.save_checkpoint(
-                path, config=config, epoch=epoch + 1, params=state.params,
-                pose_dim=config.autoencoder_vq_components,
-                extra={"batch_stats": state.batch_stats,
-                       "mel_shape": list(data["mel"].shape[1:]),
-                       **checkpoints.resume_extra(state, rng, config)},
-                kind="audio2token")
-            logging.info("saved checkpoint %s", path)
-
-    return state, history
+    return run_token_training(
+        config, state, rng, start_epoch, ("mel", "tokens"), data,
+        val_data, train_step, eval_step, place, save, save_every,
+        log_every)
 
 
 @checkpoints.register_model_kind("audio2token")

@@ -227,15 +227,10 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
 
     # multi-chip: shard params (codebook rows over tp, rest replicated)
     # and batches (over dp); jit's partitioner inserts the collectives
-    mesh = None
-    if config.mesh_shape:
-        from gesture2vec_tpu.parallel.mesh import (make_mesh, shard_batch,
-                                                   shard_params)
-        mesh = make_mesh(config.mesh_shape)
-        state = state._replace(
-            params=shard_params(state.params, mesh),
-            opt_state=shard_params(state.opt_state, mesh),
-            batch_stats=shard_params(state.batch_stats, mesh))
+    from gesture2vec_tpu.parallel.mesh import batch_placer, prepare_state
+    mesh, state = prepare_state(state, config.mesh_shape)
+    place = batch_placer(mesh)
+    if mesh is not None:
         logging.info("training over mesh %s", config.mesh_shape)
     # semi-supervised variant: human similarity labels drive a pairwise
     # cosine term on the sequence latents (ref: train_Autoencoder.py with
@@ -269,16 +264,9 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
         perp_m.reset()
         t0 = time.time()
         from gesture2vec_tpu.utils.prefetch import prefetch
-        if mesh is not None:
-            from gesture2vec_tpu.parallel.mesh import shard_batch
-            batches = prefetch(
-                (train_windows[perm[b * bs:(b + 1) * bs]]
-                 for b in range(n // bs)), to_device=False)
-            batches = (shard_batch(jnp.asarray(x), mesh) for x in batches)
-        else:
-            batches = prefetch(
-                (train_windows[perm[b * bs:(b + 1) * bs]]
-                 for b in range(n // bs)))
+        batches = prefetch(
+            (train_windows[perm[b * bs:(b + 1) * bs]]
+             for b in range(n // bs)), place=place)
         # losses/perplexities stay on device between log points (a
         # float() per step would host-sync every step)
         losses, perps = [], []
@@ -322,7 +310,7 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
         rng, vrng = jax.random.split(rng)
         for s in range(0, val_windows.shape[0] - bs + 1, bs):
             val_losses.append(float(eval_step(
-                state, jnp.asarray(val_windows[s:s + bs]), vrng)))
+                state, place(val_windows[s:s + bs]), vrng)))
         val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
         history["val_loss"].append(val_loss)
         logging.info("EP %d done: train %.5f val %.5f perp %.1f", epoch,

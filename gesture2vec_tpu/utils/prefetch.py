@@ -18,8 +18,13 @@ _SENTINEL = object()
 
 
 def prefetch(batches: Iterable[Any], depth: int = 2,
-             to_device: bool = True) -> Iterator[Any]:
+             to_device: bool = True,
+             place: Any = None) -> Iterator[Any]:
     """Wrap a batch iterable with background preparation + transfer.
+
+    place: optional callable applied to each batch in the worker thread
+    instead of the default device_put — pass parallel.mesh.batch_placer
+    so dp-sharded placement also happens behind device compute.
 
     The worker polls a stop event between puts so an abandoned consumer
     (exception mid-epoch, generator GC'd) releases the thread and its
@@ -32,7 +37,9 @@ def prefetch(batches: Iterable[Any], depth: int = 2,
     def worker():
         try:
             for b in batches:
-                if to_device:
+                if place is not None:
+                    b = place(b)
+                elif to_device:
                     b = jax.tree_util.tree_map(jax.device_put, b)
                 while not stop.is_set():
                     try:

@@ -92,6 +92,18 @@ def test_fused_chunk_decoder_matches_scan(rng):
     assert supported(200, 40, 19)
 
 
+def test_decoder_block_sizing():
+    """Small batches get a sublane-aligned small tile, not a padded 256
+    (B=1 serving would otherwise pay a 256-row rollout)."""
+    from gesture2vec_tpu.ops.decoder_pallas import BLOCK, _pick_block
+    assert _pick_block(1) == 8
+    assert _pick_block(8) == 8
+    assert _pick_block(9) == 16
+    assert _pick_block(150) == 152
+    assert _pick_block(256) == BLOCK
+    assert _pick_block(1800) == BLOCK
+
+
 def test_fused_chunk_decoder_blocks_large_batch(rng):
     """B far above one BLOCK tiles over the grid and still matches the
     scan decoder (regression for the unblocked-VMEM-overflow gating

@@ -151,6 +151,31 @@ def test_plot_kernel_stickfigures(tmp_path, rng):
     assert all(os.path.getsize(p) > 1000 for p in written)
 
 
+def test_plot_kernel_stickfigures_non_rotmat_width(tmp_path, rng):
+    """A DAE over 12-feats-per-joint (TWH posrot) features whose width
+    is not a multiple of 9 must not crash the heatmap reshape: the
+    per-joint width is auto-detected (9/12/3)."""
+    from gesture2vec_tpu.cluster.analysis import plot_kernel_stickfigures
+    from gesture2vec_tpu.io.bvh import parse_bvh
+    from tests.fixtures import make_synthetic_bvh
+
+    data = parse_bvh(make_synthetic_bvh(n_frames=4), from_text=True)
+
+    class _StubFE:  # to_bvh independent of the feature layout under test
+        def to_bvh(self, feats):
+            return data
+
+    dim = 12 * 16  # 192: divisible by 12 and 3, NOT by 9
+    kernel = rng.normal(size=(dim, 3)) * 0.05
+    mean, std = np.zeros(dim), np.ones(dim)
+    written = plot_kernel_stickfigures(kernel, _StubFE(), mean, std,
+                                       str(tmp_path / "kernels12"),
+                                       max_units=2)
+    assert len(written) == 5
+    heat = [p for p in written if p.endswith("_heat.png")]
+    assert len(heat) == 2
+
+
 def test_save_unity_latents(tmp_path, rng):
     """Save4Unity latents.txt format (ref: inference_DAE.py:218-264)."""
     from gesture2vec_tpu.cluster.analysis import save_unity_latents
