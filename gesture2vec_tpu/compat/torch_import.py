@@ -182,6 +182,45 @@ def convert_tcn_encoder_state(sd: Dict[str, Any], n_layers: int = 2
             "decoder": _dense(sd, "decoder")}
 
 
+def convert_audio_encoder_state(sd: Dict[str, Any], n_layers: int = 2
+                                ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """EncoderRNN_With_Audio (Audio_Features branch) state dict ->
+    (params, batch_stats) for models.audio.AudioContextEncoder.
+
+    Reference key names (ref: Helper_models.py:179-317, WavEncoder2
+    :116-172): audio_encoder.encoder.{0,3,6} convs interleaved with
+    .{2,5,8} BatchNorm1d, audio_encoder.encoder_fc.{0,1}, gru.*.
+    The fc weight's input axis is re-permuted because torch flattens the
+    conv output channel-major ((C, T) -> c*T+t) while our channels-last
+    layout flattens time-major (t*C+c).
+    """
+    wav_p: Dict[str, Any] = {}
+    wav_s: Dict[str, Any] = {}
+    for i, (conv_idx, bn_idx) in enumerate(((0, 2), (3, 5), (6, 8))):
+        w = np.asarray(sd[f"audio_encoder.encoder.{conv_idx}.weight"])
+        wav_p[f"conv{i}"] = {
+            "kernel": np.ascontiguousarray(w.transpose(2, 1, 0)),
+            "bias": np.asarray(sd[f"audio_encoder.encoder.{conv_idx}.bias"]),
+        }
+        bn_p, bn_s = _batchnorm(sd, f"audio_encoder.encoder.{bn_idx}")
+        wav_p[f"bn{i}"] = bn_p
+        wav_s[f"bn{i}"] = bn_s
+    w_fc = np.asarray(sd["audio_encoder.encoder_fc.0.weight"])  # (H, C*T)
+    out_dim, flat = w_fc.shape
+    n_ch = wav_p["conv2"]["kernel"].shape[-1]
+    t_len = flat // n_ch
+    w_perm = w_fc.reshape(out_dim, n_ch, t_len).transpose(0, 2, 1) \
+        .reshape(out_dim, flat)
+    wav_p["fc"] = {"kernel": _t(w_perm),
+                   "bias": np.asarray(sd["audio_encoder.encoder_fc.0.bias"])}
+    fc_bn_p, fc_bn_s = _batchnorm(sd, "audio_encoder.encoder_fc.1")
+    wav_p["fc_bn"] = fc_bn_p
+    wav_s["fc_bn"] = fc_bn_s
+    params = {"wav_encoder": wav_p,
+              "gru": _gru_params(sd, "gru", n_layers, bidirectional=True)}
+    return params, {"wav_encoder": wav_s}
+
+
 def merge_params(base: Dict[str, Any], update: Dict[str, Any]
                  ) -> Dict[str, Any]:
     """Deep-merge a (possibly partial) converted param tree over

@@ -9,6 +9,15 @@ Rebuild of the reference audio stack (ref: scripts/model/Helper_models.py):
                          Audio_Features=True branch (:235-244, 281-317):
                          the GRU consumes ONLY the per-chunk audio
                          features (the text path is dead in that branch).
+
+Repaired reference defect: the reference rearranges the per-chunk
+features with a RAW torch.reshape((B*S, F) -> (S, B, F)) (ref :300) -
+for B>1 that interleaves batch and sequence elements across rows, so
+batched audio encoding mixes different clips' chunks. Here the
+rearrangement is a true (B, S, F) -> (S, B, F) transpose; parity vs the
+literal module holds at B=1 (its only exercised shape) and the defect
+itself is pinned by tests/test_torch_parity.py::
+test_audio_encoder_batch_reshape_defect_literal.
 """
 from __future__ import annotations
 

@@ -18,6 +18,7 @@ Determinism notes:
 """
 import argparse
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -252,3 +253,85 @@ def test_import_checkpoint_roundtrip_literal(ref_mods, rng, tmp_path):
     vq_out, _ = pmodel.apply(variables, enc_hid, method=pmodel.quantize)
     tokens = np.argmax(np.asarray(vq_out.encodings), axis=1)
     np.testing.assert_array_equal(tokens, ref_tokens)
+
+
+def test_audio_encoder_parity_literal(ref_mods, rng):
+    """AudioContextEncoder vs the LITERAL EncoderRNN_With_Audio
+    (Audio_Features=True branch, ref: Helper_models.py:179-317) at B=1:
+    identical outputs and hidden after weight conversion.
+
+    B=1 because the reference's (B*S, feat) -> (S, B, feat) is a RAW
+    torch.reshape (ref :300), not a transpose - for B>1 it interleaves
+    batch and sequence elements (see the defect test below); parity is
+    therefore only well-defined single-stream, which is also the only
+    way the reference ever ran it.
+    """
+    from gesture2vec_tpu.compat.torch_import import (
+        convert_audio_encoder_state)
+    from gesture2vec_tpu.models.audio import AudioContextEncoder
+
+    torch.manual_seed(7)
+    ref = ref_mods["Helper_models"].EncoderRNN_With_Audio(
+        input_size=100, embed_size=300, hidden_size=200, n_layers=2,
+        dropout=0.5).eval()
+    # non-trivial BN running stats so the stats mapping is exercised
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.4)
+
+    S = 4
+    mel = rng.normal(size=(1, S, 128, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_outs, ref_hidden = ref(
+            torch.zeros(S, 1, dtype=torch.long), [S],
+            torch.from_numpy(mel))
+
+    model = AudioContextEncoder(hidden_size=200, n_layers=2)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(mel))
+    params, stats = convert_audio_encoder_state(_sd(ref))
+    variables = {"params": merge_params(init["params"], params),
+                 "batch_stats": merge_params(init["batch_stats"], stats)}
+    outs, hidden = model.apply(variables, jnp.asarray(mel))
+
+    np.testing.assert_allclose(np.asarray(outs), ref_outs.numpy(),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hidden), ref_hidden.numpy(),
+                               atol=2e-5)
+
+
+def test_audio_encoder_batch_reshape_defect_literal(ref_mods, rng):
+    """Document the reference defect repaired in models/audio.py: at
+    B>1 the literal EncoderRNN_With_Audio scrambles batch rows (raw
+    reshape (B*S, F) -> (S, B, F), ref: Helper_models.py:300), so its
+    batched output does NOT match its own single-row outputs; ours
+    does."""
+    from gesture2vec_tpu.compat.torch_import import (
+        convert_audio_encoder_state)
+    from gesture2vec_tpu.models.audio import AudioContextEncoder
+
+    torch.manual_seed(8)
+    ref = ref_mods["Helper_models"].EncoderRNN_With_Audio(
+        input_size=100, embed_size=300, hidden_size=200, n_layers=2,
+        dropout=0.5).eval()
+    S = 3
+    mel = rng.normal(size=(2, S, 128, 32)).astype(np.float32)
+    with torch.no_grad():
+        batched, _ = ref(torch.zeros(S, 2, dtype=torch.long), [S, S],
+                         torch.from_numpy(mel))
+        row0, _ = ref(torch.zeros(S, 1, dtype=torch.long), [S],
+                      torch.from_numpy(mel[:1]))
+    # the literal reference scrambles: batched row 0 != single row 0
+    assert float(np.abs(batched[:, :1].numpy()
+                        - row0.numpy()).max()) > 1e-3
+
+    model = AudioContextEncoder(hidden_size=200, n_layers=2)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(mel))
+    params, stats = convert_audio_encoder_state(_sd(ref))
+    variables = {"params": merge_params(init["params"], params),
+                 "batch_stats": merge_params(init["batch_stats"], stats)}
+    ours_batched, _ = model.apply(variables, jnp.asarray(mel))
+    ours_row0, _ = model.apply(variables, jnp.asarray(mel[:1]))
+    np.testing.assert_allclose(np.asarray(ours_batched[:, :1]),
+                               np.asarray(ours_row0), atol=1e-5)
