@@ -182,6 +182,53 @@ def convert_tcn_encoder_state(sd: Dict[str, Any], n_layers: int = 2
             "decoder": _dense(sd, "decoder")}
 
 
+def convert_baseline_state(sd: Dict[str, Any], n_layers: int = 2
+                           ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Seq2SeqNet baseline (ref: seq2seq_net.py:220-256) state dict ->
+    (params, batch_stats) for models.baseline.Seq2SeqNet. Key names:
+    encoder.{embedding,gru}.*, decoder.decoder.{pre_linear,attn,gru,out}.*
+    (continuous poses: no decoder token embedding)."""
+    params: Dict[str, Any] = {
+        "encoder": {
+            "embedding_table": np.asarray(sd["encoder.embedding.weight"]),
+            "gru": _gru_params(sd, "encoder.gru", n_layers,
+                               bidirectional=True),
+        },
+    }
+    bn_params, bn_stats = _batchnorm(sd, "decoder.decoder.pre_linear.1")
+    params["decoder_step"] = {
+        "pre_linear": _dense(sd, "decoder.decoder.pre_linear.0"),
+        "pre_bn": bn_params,
+        "attn": {"attn": _dense(sd, "decoder.decoder.attn.attn"),
+                 "v": np.asarray(sd["decoder.decoder.attn.v"])},
+        "gru": _gru_params(sd, "decoder.decoder.gru", n_layers,
+                           bidirectional=False),
+        "out_layer": _dense(sd, "decoder.decoder.out"),
+    }
+    return params, {"decoder_step": {"pre_bn": bn_stats}}
+
+
+def convert_c2g_state(sd: Dict[str, Any], n_layers: int = 1
+                      ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """cluster2gesture_model (ref: seq2seq_with_cluster_model.py:8-70)
+    state dict -> (params, batch_stats) for models.c2g.Cluster2Gesture.
+    Key names: embedding.weight, pre_gru.*, pre_linear.{0,1}.*, gru.*,
+    out_layer.*."""
+    bn_params, bn_stats = _batchnorm(sd, "pre_linear.1")
+    params = {
+        "embedding": {"embedding": np.asarray(sd["embedding.weight"])},
+        "pre_gru": _gru_params(sd, "pre_gru", n_layers,
+                               bidirectional=False),
+        "step": {
+            "pre_linear": _dense(sd, "pre_linear.0"),
+            "pre_bn": bn_params,
+            "gru": _gru_params(sd, "gru", n_layers, bidirectional=False),
+            "out_layer": _dense(sd, "out_layer"),
+        },
+    }
+    return params, {"step": {"pre_bn": bn_stats}}
+
+
 def convert_audio_encoder_state(sd: Dict[str, Any], n_layers: int = 2
                                 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """EncoderRNN_With_Audio (Audio_Features branch) state dict ->

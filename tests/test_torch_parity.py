@@ -335,3 +335,105 @@ def test_audio_encoder_batch_reshape_defect_literal(ref_mods, rng):
     ours_row0, _ = model.apply(variables, jnp.asarray(mel[:1]))
     np.testing.assert_allclose(np.asarray(ours_batched[:, :1]),
                                np.asarray(ours_row0), atol=1e-5)
+
+
+def test_baseline_seq2seq_parity_literal(ref_mods, rng):
+    """Seq2SeqNet baseline (ref: seq2seq_net.py:220-256) vs
+    models.baseline.Seq2SeqNet: identical pose trajectories after
+    weight conversion (eval mode, teacher-forced first n_pre_poses)."""
+    import importlib
+    import sys
+    from gesture2vec_tpu.compat.torch_import import convert_baseline_state
+    from gesture2vec_tpu.models.baseline import Seq2SeqNet
+    from tests.reference_loader import REF_SCRIPTS
+
+    added = REF_SCRIPTS not in sys.path
+    if added:
+        sys.path.insert(0, REF_SCRIPTS)
+    try:
+        s2s = importlib.import_module("model.seq2seq_net")
+    finally:
+        if added:
+            sys.path.remove(REF_SCRIPTS)
+
+    n_words, n_frames, pose_dim, n_pre, maxw = 40, 8, 12, 3, 10
+    torch.manual_seed(11)
+    emb = rng.normal(size=(n_words, 16)).astype(np.float32)
+    args = argparse.Namespace(hidden_size=HID, n_layers=L,
+                              dropout_prob=0.2, n_pre_poses=n_pre)
+    ref = s2s.Seq2SeqNet(args, pose_dim, n_frames, n_words, 16,
+                         emb).eval()
+
+    lengths = np.sort(rng.integers(3, maxw, size=6))[::-1].copy()
+    lengths[0] = maxw
+    ids = np.zeros((6, maxw), np.int64)
+    for i, ln in enumerate(lengths):
+        ids[i, :ln] = rng.integers(4, n_words, size=ln)
+    poses = rng.normal(size=(6, n_frames, pose_dim)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(ids).long(),
+                      torch.from_numpy(lengths),
+                      torch.from_numpy(poses), None).numpy()
+
+    params, batch_stats = convert_baseline_state(_sd(ref), n_layers=L)
+    model = Seq2SeqNet(n_words=n_words, pose_dim=pose_dim,
+                       n_frames=n_frames, hidden_size=HID, n_layers=L,
+                       n_pre_poses=n_pre, dropout=0.0, word_embed_size=16)
+    init = model.init({"params": jax.random.PRNGKey(0)},
+                      jnp.asarray(ids.astype(np.int32)),
+                      jnp.asarray(lengths.astype(np.int32)),
+                      jnp.asarray(poses), train=False)
+    variables = {"params": merge_params(init["params"], params),
+                 "batch_stats": merge_params(init.get("batch_stats", {}),
+                                             batch_stats)}
+    out = model.apply(variables, jnp.asarray(ids.astype(np.int32)),
+                      jnp.asarray(lengths.astype(np.int32)),
+                      jnp.asarray(poses), train=False)["outputs"]
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5)
+
+
+def test_c2g_parity_literal(ref_mods, rng):
+    """cluster2gesture_model (ref: seq2seq_with_cluster_model.py:8-70)
+    vs Cluster2Gesture in parity_frozen_hidden mode (reproducing the
+    reference's decode_hidden/decoder_hidden typo, ref :56-61):
+    identical frame trajectories after weight conversion."""
+    import importlib
+    import sys
+    from gesture2vec_tpu.compat.torch_import import convert_c2g_state
+    from gesture2vec_tpu.models.c2g import Cluster2Gesture
+    from tests.reference_loader import REF_SCRIPTS
+
+    added = REF_SCRIPTS not in sys.path
+    if added:
+        sys.path.insert(0, REF_SCRIPTS)
+    try:
+        c2g = importlib.import_module("model.seq2seq_with_cluster_model")
+    finally:
+        if added:
+            sys.path.remove(REF_SCRIPTS)
+
+    n_clusters, out_dim, n_frames = 20, 24, 10
+    torch.manual_seed(13)
+    args = argparse.Namespace(n_poses=n_frames)
+    ref = c2g.cluster2gesture_model(args, n_clusters, HID, HID, out_dim,
+                                    n_layers=1, dropout=0.3).eval()
+    ids = rng.integers(0, n_clusters, size=6).astype(np.int64)
+    out_poses = np.zeros((6, n_frames, out_dim), np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(ids),
+                      torch.from_numpy(out_poses)).numpy()
+
+    params, batch_stats = convert_c2g_state(_sd(ref), n_layers=1)
+    model = Cluster2Gesture(n_clusters=n_clusters, output_size=out_dim,
+                            hidden_size=HID, n_frames=n_frames,
+                            n_layers=1, dropout=0.0,
+                            parity_frozen_hidden=True)
+    init = model.init({"params": jax.random.PRNGKey(0)},
+                      jnp.asarray(ids.astype(np.int32)), train=False)
+    variables = {"params": merge_params(init["params"], params),
+                 "batch_stats": merge_params(init.get("batch_stats", {}),
+                                             batch_stats)}
+    out = model.apply(variables, jnp.asarray(ids.astype(np.int32)),
+                      train=False)
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5)
