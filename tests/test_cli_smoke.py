@@ -43,18 +43,18 @@ def test_full_cli_workflow(workdir):
                train_data_path="corpus/store/train",
                val_data_path="corpus/store/val",
                model_save_path="out/dae", hidden_size=16,
-               dropout_prob=0.2, input_motion_dim=135, epochs=2,
+               dropout_prob=0.2, input_motion_dim=135, epochs=1,
                batch_size=32, learning_rate=0.005, random_seed=0)
     _run(["gesture2vec_tpu.cli.train", "-c", "dae.yml", "--part", "a",
           "--platform", "cpu"], root)
-    dae_ckpt = "out/dae/dae_H16_checkpoint_002.bin"
+    dae_ckpt = "out/dae/dae_H16_checkpoint_001.bin"
     assert os.path.exists(os.path.join(root, dae_ckpt))
 
     _write_cfg(os.path.join(root, "vq.yml"), name="vq", model="seq2seq",
                train_data_path="corpus/store/train",
                val_data_path="corpus/store/val",
                model_save_path="out/vq", hidden_size=24, n_layers=2,
-               dropout_prob=0.1, epochs=2, batch_size=16,
+               dropout_prob=0.1, epochs=1, batch_size=16,
                learning_rate=0.002, random_seed=0, n_poses=10,
                n_pre_poses=1, subdivision_stride=5, autoencoder_vq=True,
                autoencoder_vq_components=16,
@@ -63,14 +63,14 @@ def test_full_cli_workflow(workdir):
                loss_l1_weight=5, loss_cont_weight=0.1, loss_var_weight=0.5)
     _run(["gesture2vec_tpu.cli.train", "-c", "vq.yml", "--part", "b",
           "--rep-checkpoint", dae_ckpt, "--platform", "cpu"], root)
-    vq_ckpt = "out/vq/vq_checkpoint_002.bin"
+    vq_ckpt = "out/vq/vq_checkpoint_001.bin"
     assert os.path.exists(os.path.join(root, vq_ckpt))
 
     _write_cfg(os.path.join(root, "t2t.yml"), name="t2t", model="seq2seq",
                train_data_path="corpus/store/train",
                val_data_path="corpus/store/val",
                model_save_path="out/t2t", hidden_size=24, n_layers=2,
-               dropout_prob=0.1, epochs=2, batch_size=8,
+               dropout_prob=0.1, epochs=1, batch_size=8,
                learning_rate=0.003, random_seed=0, wordembed_dim=24,
                n_poses=10, n_pre_poses=1, sentence_frame_length=40,
                subdivision_stride_sentence=20,
@@ -80,7 +80,7 @@ def test_full_cli_workflow(workdir):
     _run(["gesture2vec_tpu.cli.train", "-c", "t2t.yml", "--part", "d",
           "--rep-checkpoint", dae_ckpt, "--autoencoder-checkpoint",
           vq_ckpt, "--platform", "cpu"], root)
-    t2t_ckpt = "out/t2t/t2t_checkpoint_002.bin"
+    t2t_ckpt = "out/t2t/t2t_checkpoint_001.bin"
     assert os.path.exists(os.path.join(root, t2t_ckpt))
 
     # baseline text->pose regressor (ref: scripts/train.py +
@@ -89,14 +89,14 @@ def test_full_cli_workflow(workdir):
                model="seq2seq", train_data_path="corpus/store/train",
                val_data_path="corpus/store/val",
                model_save_path="out/baseline", hidden_size=24, n_layers=2,
-               dropout_prob=0.0, epochs=2, batch_size=8,
+               dropout_prob=0.0, epochs=1, batch_size=8,
                learning_rate=0.0005, random_seed=0, wordembed_dim=24,
                n_poses=20, n_pre_poses=1, subdivision_stride=20,
                motion_resampling_framerate=20, loss_l1_weight=5,
                loss_cont_weight=0.1, loss_var_weight=0.5)
     _run(["gesture2vec_tpu.cli.train", "-c", "seq2seq.yml", "--part",
           "baseline", "--platform", "cpu"], root)
-    base_ckpt = "out/baseline/baseline_checkpoint_002.bin"
+    base_ckpt = "out/baseline/baseline_checkpoint_001.bin"
     assert os.path.exists(os.path.join(root, base_ckpt))
     _run(["gesture2vec_tpu.cli.tools", "baseline-infer", base_ckpt,
           "corpus/Transcripts/Recording_001.json", "--store",
@@ -110,7 +110,7 @@ def test_full_cli_workflow(workdir):
                train_data_path="corpus/store/train",
                val_data_path="corpus/store/val",
                model_save_path="out/a2t", hidden_size=24, n_layers=2,
-               dropout_prob=0.1, epochs=2, batch_size=8,
+               dropout_prob=0.1, epochs=1, batch_size=8,
                learning_rate=0.003, random_seed=0, n_poses=10,
                n_pre_poses=1, sentence_frame_length=40,
                subdivision_stride_sentence=20,
@@ -119,7 +119,7 @@ def test_full_cli_workflow(workdir):
     _run(["gesture2vec_tpu.cli.train", "-c", "a2t.yml", "--part", "audio",
           "--rep-checkpoint", dae_ckpt, "--autoencoder-checkpoint",
           vq_ckpt, "--platform", "cpu"], root)
-    a2t_ckpt = "out/a2t/a2t_checkpoint_002.bin"
+    a2t_ckpt = "out/a2t/a2t_checkpoint_001.bin"
     assert os.path.exists(os.path.join(root, a2t_ckpt))
 
     _run(["gesture2vec_tpu.cli.infer_audio", a2t_ckpt,
