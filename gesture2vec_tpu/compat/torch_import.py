@@ -65,6 +65,28 @@ def convert_dae_state(sd: Dict[str, Any]) -> Dict[str, Any]:
             "decoder": _dense(sd, "decoder.0")}
 
 
+def convert_vq_frame_state(sd: Dict[str, Any]
+                           ) -> Tuple[Dict[str, Any], Dict[str, Any],
+                                      Dict[str, np.ndarray]]:
+    """VQ_Frame (ref: DAE_model.py:118-274) state dict ->
+    (params, batch_stats, vq_state_arrays). The EMA quantizer's
+    codebook/cluster-size/accumulator live outside the param tree here
+    (explicit VQEmaState); returned as plain arrays for the caller."""
+    bn_params, bn_stats = _batchnorm(sd, "bachnorm")
+    params = {"encoder": _dense(sd, "encoder.0"),
+              "bn": bn_params,
+              "decoder": _dense(sd, "decoder.0")}
+    for ours, theirs in (("fc_mean", "VAE_fc_mean"),
+                         ("fc_std", "VAE_fc_std"),
+                         ("fc_decoder", "VAE_fc_decoder")):
+        if f"{theirs}.weight" in sd:
+            params[ours] = _dense(sd, theirs)
+    vq = {"codebook": np.asarray(sd["vq_layer._embedding.weight"]),
+          "cluster_size": np.asarray(sd["vq_layer._ema_cluster_size"]),
+          "ema_w": np.asarray(sd["vq_layer._ema_w"])}
+    return params, {"bn": bn_stats}, vq
+
+
 def convert_seq_ae_state(sd: Dict[str, Any], n_layers: int = 2
                          ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Autoencoder_VQVAE state dict -> (params, batch_stats).

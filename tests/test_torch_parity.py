@@ -437,3 +437,48 @@ def test_c2g_parity_literal(ref_mods, rng):
     out = model.apply(variables, jnp.asarray(ids.astype(np.int32)),
                       train=False)
     np.testing.assert_allclose(np.asarray(out), ref_out, atol=5e-5)
+
+
+def test_vq_frame_parity_literal(ref_mods, rng):
+    """VQ_Frame (ref: DAE_model.py:118-274, non-VAE, EMA quantizer) vs
+    models.dae.VQFrame in eval mode: identical reconstruction, VQ loss,
+    perplexity, latent, and token assignments."""
+    from gesture2vec_tpu.compat.torch_import import convert_vq_frame_state
+    from gesture2vec_tpu.models.dae import VQFrame
+    from gesture2vec_tpu.models.vq import VQEmaState
+
+    torch.manual_seed(17)
+    motion_dim, latent_dim, K = 30, 12, 16
+    ref = ref_mods["DAE_model"].VQ_Frame(motion_dim, latent_dim,
+                                         vae=False,
+                                         vq_components=K).eval()
+    with torch.no_grad():  # non-trivial BN stats
+        ref.bachnorm.running_mean.uniform_(-0.2, 0.2)
+        ref.bachnorm.running_var.uniform_(0.8, 1.3)
+
+    x = rng.normal(size=(40, motion_dim)).astype(np.float32)
+    with torch.no_grad():
+        ref_out, ref_loss, ref_perp = ref(torch.from_numpy(x))
+        ref_inf, ref_latent, ref_enc = ref(torch.from_numpy(x),
+                                           Inference=True)
+
+    params, batch_stats, vq = convert_vq_frame_state(_sd(ref))
+    model = VQFrame(motion_dim=motion_dim, latent_dim=latent_dim,
+                    vq_components=K)
+    state = VQEmaState(codebook=jnp.asarray(vq["codebook"]),
+                       cluster_size=jnp.asarray(vq["cluster_size"]),
+                       ema_w=jnp.asarray(vq["ema_w"]))
+    res, _ = model.apply({"params": params, "batch_stats": batch_stats},
+                         jnp.asarray(x), state, train=False)
+
+    np.testing.assert_allclose(np.asarray(res["output"]),
+                               ref_out.squeeze(2).numpy(), atol=1e-5)
+    np.testing.assert_allclose(float(res["vq"].loss), float(ref_loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(res["vq"].perplexity),
+                               float(ref_perp), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res["latent"]),
+                               ref_latent.numpy(), atol=1e-5)
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(res["vq"].encodings), 1),
+        ref_enc.argmax(1).numpy())

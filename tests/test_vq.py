@@ -175,3 +175,75 @@ def test_rvq_refines_reconstruction():
     assert out2.encodings.shape == (256, 8)
     assert "codebook" in params2["params"]
     assert "codebook_r1" in params2["params"]
+
+
+# ---------------------------------------------------------------- literal
+def _ref_dae_model():
+    from tests.reference_loader import (load_reference_models,
+                                        reference_available)
+    if not reference_available():
+        import pytest as _pytest
+        _pytest.skip("reference tree not present")
+    return load_reference_models()["DAE_model"]
+
+
+def test_vq_payam_parity_literal(rng):
+    """vq_st vs the LITERAL VQ_Payam (ref: DAE_model.py:277-348):
+    identical loss, quantized output, perplexity, and assignments."""
+    from gesture2vec_tpu.models.vq import vq_st
+
+    mod = _ref_dae_model()
+    torch.manual_seed(3)
+    K, D = 32, 20
+    ref = mod.VQ_Payam(K, D, 0.25)
+    x = rng.normal(size=(64, D)).astype(np.float32)
+    with torch.no_grad():
+        ref_loss, ref_q, ref_perp, ref_enc = ref(torch.from_numpy(x))
+
+    codebook = ref._embedding.weight.detach().numpy()
+    out = vq_st(jnp.asarray(x), jnp.asarray(codebook), 0.25)
+    np.testing.assert_allclose(float(out.loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.quantized), ref_q.numpy(),
+                               atol=1e-6)
+    np.testing.assert_allclose(float(out.perplexity), float(ref_perp),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.argmax(np.asarray(out.encodings), 1),
+                                  ref_enc.argmax(1).numpy())
+
+
+def test_vq_payam_ema_parity_literal(rng):
+    """vq_ema vs the LITERAL VQ_Payam_EMA (ref: DAE_model.py:351-482) over
+    two chained TRAIN steps: identical losses, quantized outputs, and
+    identical post-update codebook / cluster sizes / EMA accumulators."""
+    from gesture2vec_tpu.models.vq import VQEmaState, vq_ema
+
+    mod = _ref_dae_model()
+    torch.manual_seed(5)
+    K, D, decay = 16, 12, 0.85
+    ref = mod.VQ_Payam_EMA(K, D, 0.25, decay).train()
+
+    state = VQEmaState(
+        codebook=jnp.asarray(ref._embedding.weight.detach().numpy()),
+        cluster_size=jnp.asarray(ref._ema_cluster_size.numpy()),
+        ema_w=jnp.asarray(ref._ema_w.detach().numpy()))
+
+    for step in range(2):
+        x = rng.normal(size=(48, D)).astype(np.float32)
+        with torch.no_grad():
+            ref_loss, ref_q, ref_perp, _ = ref(torch.from_numpy(x))
+        out, state = vq_ema(jnp.asarray(x), state, commitment_cost=0.25,
+                            decay=decay, train=True)
+        np.testing.assert_allclose(float(out.loss), float(ref_loss),
+                                   rtol=1e-5, err_msg=f"step {step}")
+        np.testing.assert_allclose(np.asarray(out.quantized),
+                                   ref_q.numpy(), atol=1e-5)
+        np.testing.assert_allclose(float(out.perplexity), float(ref_perp),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(state.codebook),
+                                   ref._embedding.weight.detach().numpy(),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(state.cluster_size),
+                                   ref._ema_cluster_size.numpy(),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(state.ema_w),
+                                   ref._ema_w.detach().numpy(), atol=1e-5)
