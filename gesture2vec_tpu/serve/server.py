@@ -1,0 +1,200 @@
+"""HTTP serving endpoint with transparent micro-batching.
+
+The reference has no serving story — one transcript per Python process
+(ref: inference_text2embedding.py:837-951). On a TPU chip the lever for
+short-request throughput is fusing concurrent requests into ONE device
+program: single-stream 60 s transcripts measure ~7.2k frames/s while a
+16-transcript batch reaches ~19.8k aggregate on the same chip
+(benchmarks/README.md "Batched serving"). This module provides that as
+a server: requests queue for up to `batch_window_ms`, the collector
+drains up to `max_batch` of them, and one GestureGenerator.generate /
+generate_batch call serves the whole group.
+
+Endpoints (stdlib http.server, thread-per-connection):
+  GET  /healthz   -> JSON {ok, requests, batches, batched_requests}
+  POST /generate  -> request JSON:
+                       {"words": [[word, start_s, end_s], ...],
+                        "duration_s": <float, optional>,
+                        "format": "bvh" | "json"}
+                     response: BVH text (format=bvh, default when an
+                     exporter is configured) or JSON with the motion
+                     array and gesture tokens.
+"""
+from __future__ import annotations
+
+import base64
+import json
+import logging
+import queue
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclass
+class _Pending:
+    words: List[List]
+    duration_s: float
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[Tuple[np.ndarray, np.ndarray]] = None
+    error: Optional[str] = None
+
+
+class BatchingWorker:
+    """Collects concurrent generation requests into one device program.
+
+    The collector thread blocks for the first request, then waits up to
+    batch_window_s for more (bounded by max_batch) before dispatching.
+    A single waiting request skips generate_batch and runs the
+    single-stream path (identical output, one less vmap)."""
+
+    def __init__(self, generator, max_batch: int = 16,
+                 batch_window_s: float = 0.05, mesh=None):
+        self.generator = generator
+        self.max_batch = max_batch
+        self.batch_window_s = batch_window_s
+        self.mesh = mesh
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
+        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def submit(self, words: List[List], duration_s: float,
+               timeout_s: float = 120.0) -> Tuple[np.ndarray, np.ndarray]:
+        req = _Pending(words=words, duration_s=duration_s)
+        self._q.put(req)
+        if not req.done.wait(timeout_s):
+            raise TimeoutError("generation timed out")
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.result
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ------------------------------------------------------------ internal
+    def _drain(self, first: _Pending) -> List[_Pending]:
+        batch = [first]
+        deadline = self.batch_window_s
+        import time
+        t0 = time.monotonic()
+        while len(batch) < self.max_batch:
+            remaining = deadline - (time.monotonic() - t0)
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._q.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            batch = self._drain(first)
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            try:
+                if len(batch) == 1:
+                    batch[0].result = self.generator.generate(
+                        batch[0].words, batch[0].duration_s)
+                else:
+                    self.stats["batched_requests"] += len(batch)
+                    results = self.generator.generate_batch(
+                        [r.words for r in batch],
+                        [r.duration_s for r in batch], mesh=self.mesh)
+                    for r, res in zip(batch, results):
+                        r.result = res
+            except Exception as e:  # surface per-request, keep serving
+                logging.exception("generation batch failed")
+                for r in batch:
+                    r.error = f"{type(e).__name__}: {e}"
+            for r in batch:
+                r.done.set()
+
+
+def make_handler(worker: BatchingWorker,
+                 export_bvh: Optional[Callable[[np.ndarray], str]] = None):
+    """export_bvh: frames -> BVH text (None disables format=bvh)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through logging
+            logging.debug("serve: " + fmt, *args)
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, code: int, obj: Dict[str, Any]) -> None:
+            self._send(code, json.dumps(obj).encode(),
+                       "application/json")
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send_json(200, {"ok": True, **worker.stats})
+            else:
+                self._send_json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._send_json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                words = payload["words"]
+                duration = float(payload.get(
+                    "duration_s", words[-1][2] if words else 6.0))
+                fmt = payload.get("format",
+                                  "bvh" if export_bvh else "json")
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._send_json(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                frames, tokens = worker.submit(words, duration)
+            except TimeoutError:
+                self._send_json(503, {"error": "generation timed out"})
+                return
+            except RuntimeError as e:
+                self._send_json(500, {"error": str(e)})
+                return
+            if fmt == "bvh":
+                if export_bvh is None:
+                    self._send_json(400,
+                                    {"error": "no exporter configured"})
+                    return
+                self._send(200, export_bvh(frames).encode(), "text/plain")
+            else:
+                self._send_json(200, {
+                    "frames_shape": list(frames.shape),
+                    "frames_b64": base64.b64encode(
+                        np.asarray(frames, np.float32).tobytes()).decode(),
+                    "dtype": "float32",
+                    "tokens": np.asarray(tokens).reshape(-1).tolist(),
+                })
+
+    return Handler
+
+
+def serve(generator, host: str = "127.0.0.1", port: int = 8008,
+          export_bvh: Optional[Callable[[np.ndarray], str]] = None,
+          max_batch: int = 16, batch_window_s: float = 0.05,
+          mesh=None) -> ThreadingHTTPServer:
+    """Build and return the server (caller runs serve_forever())."""
+    worker = BatchingWorker(generator, max_batch=max_batch,
+                            batch_window_s=batch_window_s, mesh=mesh)
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(worker, export_bvh))
+    httpd.worker = worker  # for stats/close
+    return httpd

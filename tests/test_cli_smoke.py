@@ -159,3 +159,56 @@ def test_full_cli_workflow(workdir):
     for rec in ("Recording_001", "Recording_002"):
         p = os.path.join(root, "batch", f"gen_{rec}.bvh")
         assert os.path.getsize(p) > 10000, p
+
+
+def test_serve_cli(workdir):
+    """g2v-serve end-to-end: spawn the server CLI on the checkpoints the
+    workflow test trained, POST a transcript, get BVH text back."""
+    import re
+    import time
+    import urllib.request
+
+    root = str(workdir)
+    t2t_ckpt = os.path.join(root, "out/t2t/t2t_checkpoint_001.bin")
+    if not os.path.exists(t2t_ckpt):
+        pytest.skip("workflow checkpoints not present (run order)")
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "gesture2vec_tpu.cli.serve",
+         "out/t2t/t2t_checkpoint_001.bin", "out/dae/dae_H16_checkpoint_001.bin",
+         "out/vq/vq_checkpoint_001.bin", "--store", "corpus/store/train",
+         "--pipeline", "corpus/store/data_pipe.json", "--mode", "decode",
+         "--port", "0", "--batch-window-ms", "10", "--platform", "cpu"],
+        cwd=root, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True)
+    try:
+        # the CLI logs "serving on http://host:port" once ready
+        port = None
+        deadline = time.time() + 120
+        while time.time() < deadline and port is None:
+            line = proc.stderr.readline()
+            if not line:
+                time.sleep(0.1)
+                continue
+            m = re.search(r"serving on http://[\d.]+:(\d+)", line)
+            if m:
+                port = int(m.group(1))
+        assert port, "server did not report its port"
+
+        with open(os.path.join(
+                root, "corpus/Transcripts/Recording_001.json")) as f:
+            sub = json.load(f)
+        words = [[w["word"], float(w["start_time"].rstrip("s")),
+                  float(w["end_time"].rstrip("s"))] for w in sub]
+        body = json.dumps({"words": words[:12], "duration_s": 4.0}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=180) as r:
+            assert r.status == 200
+            text = r.read().decode()
+        assert text.startswith("HIERARCHY")
+        assert "MOTION" in text
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)

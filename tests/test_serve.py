@@ -1,0 +1,170 @@
+"""Serving layer: micro-batching worker + HTTP endpoint.
+
+The reference has no serving path; serve/server.py adds one whose
+core claim is that concurrent requests fuse into ONE device program
+(GestureGenerator.generate_batch). These tests pin that behavior with
+tiny untrained models (output quality is irrelevant; shapes/tokens and
+the batching accounting are what matter).
+"""
+import base64
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from gesture2vec_tpu.train.config import load_config
+from gesture2vec_tpu.train.optim import make_optimizer
+
+HID, REP, K, DIM, NF, SENT = 32, 16, 16, 27, 10, 40
+
+
+@pytest.fixture(scope="module")
+def tiny_gen():
+    from gesture2vec_tpu.infer.text2gesture import GestureGenerator
+    from gesture2vec_tpu.text.vocab import Vocab
+    from gesture2vec_tpu.train.dae_trainer import (init_state as dae_init,
+                                                   make_frame_model)
+    from gesture2vec_tpu.train.seq_ae_trainer import (init_state as sq_init,
+                                                      make_seq_ae)
+    from gesture2vec_tpu.train.text2token_trainer import (
+        init_state as t2t_init, make_text2token)
+
+    opt = make_optimizer(1e-3)
+    dae_cfg = load_config(dict(name="d", model="DAE", hidden_size=REP,
+                               epochs=1, batch_size=8,
+                               input_motion_dim=DIM, random_seed=0))
+    dae = make_frame_model(dae_cfg)
+    dae_vars = {"params": dae_init(dae_cfg, dae, jax.random.PRNGKey(0),
+                                   opt).params}
+    sq_cfg = load_config(dict(name="s", model="seq2seq", hidden_size=HID,
+                              n_layers=2, dropout_prob=0.1, epochs=1,
+                              batch_size=8, rep_learning_dim=REP,
+                              n_poses=NF, n_pre_poses=1,
+                              autoencoder_vq=True,
+                              autoencoder_vq_components=K, random_seed=0))
+    seq = make_seq_ae(sq_cfg)
+    sst = sq_init(sq_cfg, seq, jax.random.PRNGKey(1), opt)
+    t2t_cfg = load_config(dict(name="t", model="seq2seq", hidden_size=HID,
+                               n_layers=2, dropout_prob=0.1, epochs=1,
+                               batch_size=8, sentence_frame_length=SENT,
+                               n_poses=NF, n_pre_poses=1,
+                               autoencoder_vq=True,
+                               autoencoder_vq_components=K,
+                               autoencoder_att=True, wordembed_dim=16,
+                               random_seed=0))
+    t2t = make_text2token(t2t_cfg, 50)
+    tst = t2t_init(t2t, jax.random.PRNGKey(2), opt, max_words=8)
+    vocab = Vocab("serve")
+    for i in range(20):
+        vocab.index_word(f"w{i}")
+    return GestureGenerator(
+        t2t_model=t2t, t2t_variables={"params": tst.params,
+                                      "batch_stats": tst.batch_stats},
+        seq_model=seq, seq_variables={"params": sst.params,
+                                      "batch_stats": sst.batch_stats},
+        dae_model=dae, dae_variables=dae_vars, vocab=vocab,
+        pose_mean=np.zeros(DIM, np.float32),
+        pose_std=np.ones(DIM, np.float32), n_frames=NF,
+        sentence_frame_length=SENT, fps=20, max_words=8,
+        mode="decode", seed=0)
+
+
+def _words(n=4):
+    return [[f"w{i}", 0.2 * i, 0.2 * i + 0.15] for i in range(n)]
+
+
+def test_worker_fuses_concurrent_requests(tiny_gen):
+    from gesture2vec_tpu.serve.server import BatchingWorker
+
+    w = BatchingWorker(tiny_gen, max_batch=8, batch_window_s=1.0)
+    try:
+        results = [None] * 3
+        def call(i):
+            results[i] = w.submit(_words(), duration_s=2.0)
+        ts = [threading.Thread(target=call, args=(i,)) for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        for frames, tokens in results:
+            assert frames.shape == (SENT, DIM)
+            assert tokens.shape[-1] >= 1
+        # 3 concurrent requests -> one fused device program
+        assert w.stats["requests"] == 3
+        assert w.stats["batches"] == 1
+        assert w.stats["batched_requests"] == 3
+        # batched output == single-stream output for the same request
+        single, _ = tiny_gen.generate(_words(), 2.0)
+        np.testing.assert_allclose(results[0][0], single, atol=1e-5)
+    finally:
+        w.close()
+
+
+def test_http_generate_json_and_healthz(tiny_gen):
+    from gesture2vec_tpu.serve.server import serve
+
+    httpd = serve(tiny_gen, port=0, batch_window_s=0.02)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"words": _words(), "duration_s": 2.0,
+                           "format": "json"}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            out = json.loads(r.read())
+        frames = np.frombuffer(base64.b64decode(out["frames_b64"]),
+                               np.float32).reshape(out["frames_shape"])
+        assert frames.shape == (SENT, DIM)
+        assert len(out["tokens"]) >= 1
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["requests"] >= 1
+
+        # bvh without an exporter -> 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"words": _words(),
+                             "format": "bvh"}).encode())
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
+
+        # malformed body -> 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate", data=b"{not json")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.worker.close()
+
+
+def test_http_bvh_export(tiny_gen):
+    from gesture2vec_tpu.serve.server import serve
+
+    httpd = serve(tiny_gen, port=0,
+                  export_bvh=lambda frames: f"HIERARCHY\n# {frames.shape}")
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"words": _words(),
+                             "duration_s": 2.0}).encode())
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            text = r.read().decode()
+        assert text.startswith("HIERARCHY")
+    finally:
+        httpd.shutdown()
+        httpd.worker.close()
