@@ -46,71 +46,29 @@ def main() -> None:
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
-    if args.mesh and args.platform == "cpu":
-        # virtual host devices so cpu smoke-runs can exercise the mesh
-        import os
-        need = 1
-        for kv in args.mesh.split(","):
-            need *= int(kv.split("=")[1])
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                f"{flags} --xla_force_host_platform_device_count={need}"
-            ).strip()
+    from gesture2vec_tpu.cli._common import (build_generator,
+                                             ensure_virtual_devices,
+                                             load_bvh_exporter, parse_mesh)
+    ensure_virtual_devices(args.mesh, args.platform)
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
 
-    from gesture2vec_tpu.cluster.latent_dataset import load_latent_dataset
     from gesture2vec_tpu.data.store import ClipStore
-    from gesture2vec_tpu.infer.exporter import frames_to_bvh
-    from gesture2vec_tpu.infer.text2gesture import GestureGenerator
     from gesture2vec_tpu.io.subtitles import read_subtitles
-    from gesture2vec_tpu.mocap.features import FeatureExtractor
-    from gesture2vec_tpu.text.vocab import build_vocab
-    from gesture2vec_tpu.train import checkpoints
 
     logging.basicConfig(level=logging.INFO)
     store = ClipStore(args.store)
-
-    t2t_model, t2t_vars, t2t_payload = \
-        checkpoints.load_checkpoint_and_model(args.t2t_checkpoint,
-                                              "text2embedding")
-    dae_model, dae_vars, _ = checkpoints.load_checkpoint_and_model(
-        args.rep_checkpoint, "DAE")
-    seq_model, seq_vars, _ = checkpoints.load_checkpoint_and_model(
-        args.autoencoder_checkpoint, "autoencoder_vq")
-    cfg = t2t_payload["config"]
-
-    if t2t_payload.get("lang_model"):
-        from gesture2vec_tpu.text.vocab import Vocab
-        vocab = Vocab.from_state_dict(t2t_payload["lang_model"])
-    else:
-        vocab = build_vocab("corpus",
-                            [[w[0] for w in c["words"]] for c in store],
-                            cfg.wordembed_path, cfg.wordembed_dim)
-
-    bank = (load_latent_dataset(args.latent_bank)
-            if args.latent_bank else None)
-    gen = GestureGenerator(
-        t2t_model=t2t_model, t2t_variables=t2t_vars,
-        seq_model=seq_model, seq_variables=seq_vars,
-        dae_model=dae_model, dae_variables=dae_vars, vocab=vocab,
-        pose_mean=store.pose_mean, pose_std=store.pose_std,
-        n_frames=cfg.n_poses,
-        sentence_frame_length=cfg.sentence_frame_length,
-        fps=cfg.motion_resampling_framerate, mode=args.mode,
-        latent_bank=bank, seed=args.seed)
+    gen, cfg = build_generator(args.t2t_checkpoint, args.rep_checkpoint,
+                               args.autoencoder_checkpoint, store,
+                               mode=args.mode,
+                               latent_bank_path=args.latent_bank,
+                               seed=args.seed)
+    to_bvh = load_bvh_exporter(args.dataset, args.pipeline,
+                               args.twh_variant)
 
     def _export(frames, out_path):
-        if args.dataset == "twh":
-            from gesture2vec_tpu.infer.exporter import frames_to_bvh_twh
-            from gesture2vec_tpu.mocap.features import TWHFeatureExtractor
-            fe = TWHFeatureExtractor.load(args.pipeline, args.twh_variant)
-            frames_to_bvh_twh(frames, fe, path=out_path)
-        else:
-            fe = FeatureExtractor.load(args.pipeline)
-            frames_to_bvh(frames, fe, path=out_path)
+        to_bvh(frames, path=out_path)
         print(f"wrote {out_path}")
 
     if len(args.transcript) > 1:
@@ -118,13 +76,7 @@ def main() -> None:
         # optionally sharded over a dp mesh
         import os
 
-        from gesture2vec_tpu.parallel.mesh import make_mesh
-        mesh = None
-        if args.mesh:
-            shape = {k: int(v)
-                     for k, v in (kv.split("=")
-                                  for kv in args.mesh.split(","))}
-            mesh = make_mesh(shape)
+        mesh = parse_mesh(args.mesh)
         all_words = [read_subtitles(t) for t in args.transcript]
         durs = [args.duration or (w[-1][2] if w else 6.0)
                 for w in all_words]
@@ -150,12 +102,14 @@ def main() -> None:
                  "(%.0f frames/s)", frames.shape[0], len(tokens), dt,
                  frames.shape[0] / dt)
 
-    if args.plot_attention and t2t_model.use_attention:
+    if args.plot_attention and gen.t2t_model.use_attention:
         import jax.numpy as jnp
         import numpy as np
 
         from gesture2vec_tpu.cluster.plots import plot_attention
 
+        t2t_model, t2t_vars, vocab = (gen.t2t_model, gen.t2t_variables,
+                                      gen.vocab)
         window_words = [w[0] for w in words][:cfg.extras.get(
             "max_words", 48)]
         ids = np.zeros((1, 48), np.int32)

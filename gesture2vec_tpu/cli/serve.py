@@ -39,67 +39,32 @@ def main() -> None:
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
+    from gesture2vec_tpu.cli._common import (build_generator,
+                                             ensure_virtual_devices,
+                                             load_bvh_exporter, parse_mesh)
+    ensure_virtual_devices(args.mesh, args.platform)
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
 
-    from gesture2vec_tpu.cluster.latent_dataset import load_latent_dataset
     from gesture2vec_tpu.data.store import ClipStore
-    from gesture2vec_tpu.infer.exporter import frames_to_bvh
-    from gesture2vec_tpu.infer.text2gesture import GestureGenerator
+    from gesture2vec_tpu.io.bvh import write_bvh
     from gesture2vec_tpu.serve.server import serve
-    from gesture2vec_tpu.text.vocab import Vocab, build_vocab
-    from gesture2vec_tpu.train import checkpoints
 
     logging.basicConfig(level=logging.INFO)
     store = ClipStore(args.store)
-    t2t_model, t2t_vars, t2t_payload = \
-        checkpoints.load_checkpoint_and_model(args.t2t_checkpoint,
-                                              "text2embedding")
-    dae_model, dae_vars, _ = checkpoints.load_checkpoint_and_model(
-        args.rep_checkpoint, "DAE")
-    seq_model, seq_vars, _ = checkpoints.load_checkpoint_and_model(
-        args.autoencoder_checkpoint, "autoencoder_vq")
-    cfg = t2t_payload["config"]
-    if t2t_payload.get("lang_model"):
-        vocab = Vocab.from_state_dict(t2t_payload["lang_model"])
-    else:
-        vocab = build_vocab("corpus",
-                            [[w[0] for w in c["words"]] for c in store],
-                            cfg.wordembed_path, cfg.wordembed_dim)
-    bank = (load_latent_dataset(args.latent_bank)
-            if args.latent_bank else None)
-    gen = GestureGenerator(
-        t2t_model=t2t_model, t2t_variables=t2t_vars,
-        seq_model=seq_model, seq_variables=seq_vars,
-        dae_model=dae_model, dae_variables=dae_vars, vocab=vocab,
-        pose_mean=store.pose_mean, pose_std=store.pose_std,
-        n_frames=cfg.n_poses,
-        sentence_frame_length=cfg.sentence_frame_length,
-        fps=cfg.motion_resampling_framerate, mode=args.mode,
-        latent_bank=bank, seed=args.seed)
+    gen, _ = build_generator(args.t2t_checkpoint, args.rep_checkpoint,
+                             args.autoencoder_checkpoint, store,
+                             mode=args.mode,
+                             latent_bank_path=args.latent_bank,
+                             seed=args.seed)
+    to_bvh = load_bvh_exporter(args.dataset, args.pipeline,
+                               args.twh_variant)
 
-    from gesture2vec_tpu.io.bvh import write_bvh
-    if args.dataset == "twh":
-        from gesture2vec_tpu.infer.exporter import frames_to_bvh_twh
-        from gesture2vec_tpu.mocap.features import TWHFeatureExtractor
-        fe = TWHFeatureExtractor.load(args.pipeline, args.twh_variant)
+    def export_bvh(frames):
+        return write_bvh(to_bvh(frames, path=None))
 
-        def export_bvh(frames):
-            return write_bvh(frames_to_bvh_twh(frames, fe, path=None))
-    else:
-        from gesture2vec_tpu.mocap.features import FeatureExtractor
-        fe = FeatureExtractor.load(args.pipeline)
-
-        def export_bvh(frames):
-            return write_bvh(frames_to_bvh(frames, fe, path=None))
-
-    mesh = None
-    if args.mesh:
-        from gesture2vec_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh({k: int(v)
-                          for k, v in (kv.split("=")
-                                       for kv in args.mesh.split(","))})
+    mesh = parse_mesh(args.mesh)
 
     httpd = serve(gen, host=args.host, port=args.port,
                   export_bvh=export_bvh, max_batch=args.max_batch,

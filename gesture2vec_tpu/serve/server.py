@@ -39,8 +39,13 @@ class _Pending:
     words: List[List]
     duration_s: float
     done: threading.Event = field(default_factory=threading.Event)
+    cancelled: threading.Event = field(default_factory=threading.Event)
     result: Optional[Tuple[np.ndarray, np.ndarray]] = None
     error: Optional[str] = None
+
+
+class QueueFullError(Exception):
+    """Backpressure: the pending queue is at capacity (HTTP 429)."""
 
 
 class BatchingWorker:
@@ -49,33 +54,61 @@ class BatchingWorker:
     The collector thread blocks for the first request, then waits up to
     batch_window_s for more (bounded by max_batch) before dispatching.
     A single waiting request skips generate_batch and runs the
-    single-stream path (identical output, one less vmap)."""
+    single-stream path (identical output, one less vmap).
+
+    Backpressure: the queue is bounded at 4*max_batch — submit raises
+    QueueFullError immediately when full (the caller maps it to 429)
+    instead of growing memory under overload. A submit that times out
+    marks its request cancelled so the collector drops it instead of
+    spending a device program on a client that already gave up.
+    """
 
     def __init__(self, generator, max_batch: int = 16,
-                 batch_window_s: float = 0.05, mesh=None):
+                 batch_window_s: float = 0.05, mesh=None,
+                 queue_depth: Optional[int] = None):
         self.generator = generator
         self.max_batch = max_batch
         self.batch_window_s = batch_window_s
         self.mesh = mesh
-        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0}
-        self._q: "queue.Queue[_Pending]" = queue.Queue()
+        self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
+                      "cancelled": 0, "rejected": 0}
+        self._q: "queue.Queue[_Pending]" = queue.Queue(
+            maxsize=queue_depth or 4 * max_batch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def submit(self, words: List[List], duration_s: float,
                timeout_s: float = 120.0) -> Tuple[np.ndarray, np.ndarray]:
+        if self._stop.is_set():
+            raise RuntimeError("server shutting down")
         req = _Pending(words=words, duration_s=duration_s)
-        self._q.put(req)
+        try:
+            self._q.put_nowait(req)
+        except queue.Full:
+            self.stats["rejected"] += 1
+            raise QueueFullError("pending queue full") from None
         if not req.done.wait(timeout_s):
+            req.cancelled.set()
+            self.stats["cancelled"] += 1
             raise TimeoutError("generation timed out")
         if req.error is not None:
             raise RuntimeError(req.error)
         return req.result
 
     def close(self) -> None:
+        """Stop the collector and fail any still-queued requests fast
+        (their submitters would otherwise block out their full
+        timeout)."""
         self._stop.set()
         self._thread.join(timeout=5)
+        while True:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                break
+            req.error = "server shutting down"
+            req.done.set()
 
     # ------------------------------------------------------------ internal
     def _drain(self, first: _Pending) -> List[_Pending]:
@@ -91,7 +124,16 @@ class BatchingWorker:
                 batch.append(self._q.get(timeout=remaining))
             except queue.Empty:
                 break
-        return batch
+        return [r for r in batch if not r.cancelled.is_set()]
+
+    @staticmethod
+    def _bucket(n: int, cap: int) -> int:
+        """Pad the batch axis to a power of two (capped): generate_batch
+        is jitted per batch size, so raw drained sizes 2,3,5,7... would
+        each trigger a fresh XLA compile — slow over the tunnel. Window
+        counts are already bucketed inside generate_batch; this closes
+        the batch axis the same way."""
+        return min(1 << (n - 1).bit_length(), cap)
 
     def _run(self) -> None:
         while not self._stop.is_set():
@@ -100,6 +142,8 @@ class BatchingWorker:
             except queue.Empty:
                 continue
             batch = self._drain(first)
+            if not batch:
+                continue
             self.stats["requests"] += len(batch)
             self.stats["batches"] += 1
             try:
@@ -108,9 +152,11 @@ class BatchingWorker:
                         batch[0].words, batch[0].duration_s)
                 else:
                     self.stats["batched_requests"] += len(batch)
+                    n_pad = self._bucket(len(batch), self.max_batch)
+                    reqs = list(batch) + [batch[-1]] * (n_pad - len(batch))
                     results = self.generator.generate_batch(
-                        [r.words for r in batch],
-                        [r.duration_s for r in batch], mesh=self.mesh)
+                        [r.words for r in reqs],
+                        [r.duration_s for r in reqs], mesh=self.mesh)
                     for r, res in zip(batch, results):
                         r.result = res
             except Exception as e:  # surface per-request, keep serving
@@ -150,19 +196,41 @@ def make_handler(worker: BatchingWorker,
             if self.path != "/generate":
                 self._send_json(404, {"error": "not found"})
                 return
+            # every malformed-input shape maps to a 400, not a dropped
+            # socket: TypeError/IndexError cover non-list words, short
+            # word triples, and null duration_s
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
                 words = payload["words"]
+                if not isinstance(words, list) or not all(
+                        isinstance(w, (list, tuple)) and len(w) >= 3
+                        for w in words):
+                    raise ValueError(
+                        "words must be a list of [word, start_s, end_s]")
+                words = [[str(w[0]), float(w[1]), float(w[2])]
+                         for w in words]
                 duration = float(payload.get(
                     "duration_s", words[-1][2] if words else 6.0))
                 fmt = payload.get("format",
                                   "bvh" if export_bvh else "json")
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                if fmt not in ("bvh", "json"):
+                    raise ValueError(f"unknown format {fmt!r}")
+                # reject before spending a device program on a request
+                # that cannot be answered
+                if fmt == "bvh" and export_bvh is None:
+                    self._send_json(400,
+                                    {"error": "no exporter configured"})
+                    return
+            except (KeyError, ValueError, TypeError, IndexError,
+                    json.JSONDecodeError) as e:
                 self._send_json(400, {"error": f"bad request: {e}"})
                 return
             try:
                 frames, tokens = worker.submit(words, duration)
+            except QueueFullError:
+                self._send_json(429, {"error": "server overloaded"})
+                return
             except TimeoutError:
                 self._send_json(503, {"error": "generation timed out"})
                 return
@@ -170,11 +238,13 @@ def make_handler(worker: BatchingWorker,
                 self._send_json(500, {"error": str(e)})
                 return
             if fmt == "bvh":
-                if export_bvh is None:
-                    self._send_json(400,
-                                    {"error": "no exporter configured"})
+                try:
+                    body = export_bvh(frames).encode()
+                except Exception as e:  # exporter failure -> 500, not a
+                    logging.exception("BVH export failed")  # closed socket
+                    self._send_json(500, {"error": f"export failed: {e}"})
                     return
-                self._send(200, export_bvh(frames).encode(), "text/plain")
+                self._send(200, body, "text/plain")
             else:
                 self._send_json(200, {
                     "frames_shape": list(frames.shape),
@@ -192,9 +262,10 @@ def serve(generator, host: str = "127.0.0.1", port: int = 8008,
           max_batch: int = 16, batch_window_s: float = 0.05,
           mesh=None) -> ThreadingHTTPServer:
     """Build and return the server (caller runs serve_forever())."""
+    # bind first: an EADDRINUSE must not leak a running collector thread
+    httpd = ThreadingHTTPServer((host, port), BaseHTTPRequestHandler)
     worker = BatchingWorker(generator, max_batch=max_batch,
                             batch_window_s=batch_window_s, mesh=mesh)
-    httpd = ThreadingHTTPServer((host, port),
-                                make_handler(worker, export_bvh))
+    httpd.RequestHandlerClass = make_handler(worker, export_bvh)
     httpd.worker = worker  # for stats/close
     return httpd

@@ -182,18 +182,24 @@ def test_serve_cli(workdir):
         cwd=root, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True)
     try:
-        # the CLI logs "serving on http://host:port" once ready
-        port = None
-        deadline = time.time() + 120
-        while time.time() < deadline and port is None:
-            line = proc.stderr.readline()
-            if not line:
-                time.sleep(0.1)
-                continue
-            m = re.search(r"serving on http://[\d.]+:(\d+)", line)
-            if m:
-                port = int(m.group(1))
-        assert port, "server did not report its port"
+        # the CLI logs "serving on http://host:port" once ready; read
+        # stderr on a side thread so a wedged server cannot block the
+        # suite in readline() past the deadline
+        import threading
+        found = []
+
+        def _scan():
+            for line in proc.stderr:
+                m = re.search(r"serving on http://[\d.]+:(\d+)", line)
+                if m:
+                    found.append(int(m.group(1)))
+                    return
+
+        reader = threading.Thread(target=_scan, daemon=True)
+        reader.start()
+        reader.join(timeout=120)
+        assert found, "server did not report its port"
+        port = found[0]
 
         with open(os.path.join(
                 root, "corpus/Transcripts/Recording_001.json")) as f:

@@ -149,6 +149,126 @@ def test_http_generate_json_and_healthz(tiny_gen):
         httpd.worker.close()
 
 
+class _SlowGen:
+    """Deterministic stand-in for overload/cancellation tests."""
+
+    def __init__(self, delay_s=1.0):
+        self.delay_s = delay_s
+
+    def _one(self):
+        return np.zeros((4, 3), np.float32), np.zeros(2, np.int64)
+
+    def generate(self, words, duration_s):
+        import time
+        time.sleep(self.delay_s)
+        return self._one()
+
+    def generate_batch(self, transcripts, durations_s, mesh=None):
+        import time
+        time.sleep(self.delay_s)
+        return [self._one() for _ in transcripts]
+
+
+def test_worker_backpressure_and_cancellation():
+    import time
+
+    from gesture2vec_tpu.serve.server import (BatchingWorker,
+                                              QueueFullError)
+
+    w = BatchingWorker(_SlowGen(1.0), max_batch=1, batch_window_s=0.01,
+                       queue_depth=1)
+    try:
+        # occupy the device with one request...
+        t = threading.Thread(target=lambda: w.submit([], 1.0),
+                             daemon=True)
+        t.start()
+        time.sleep(0.3)  # worker drained it and is sleeping in generate
+        # ...fill the single queue slot...
+        t2 = threading.Thread(target=lambda: w.submit([], 1.0),
+                              daemon=True)
+        t2.start()
+        time.sleep(0.1)
+        # ...now the queue is full: immediate 429-class rejection
+        with pytest.raises(QueueFullError):
+            w.submit([], 1.0)
+        assert w.stats["rejected"] == 1
+
+        # wait for the first request to finish so the queued one gets
+        # drained (queue empty, device busy again)
+        time.sleep(1.2)
+        # a submit that times out is marked cancelled and the collector
+        # drops it without spending a device program
+        with pytest.raises(TimeoutError):
+            w.submit([], 1.0, timeout_s=0.05)
+        assert w.stats["cancelled"] == 1
+        t.join(timeout=10)
+        t2.join(timeout=10)
+        time.sleep(1.5)  # let the collector reach the cancelled entry
+        # 2 real requests ran; the cancelled one never became a batch
+        assert w.stats["requests"] == 2
+    finally:
+        w.close()
+
+
+def test_worker_close_fails_queued_fast():
+    from gesture2vec_tpu.serve.server import BatchingWorker
+
+    w = BatchingWorker(_SlowGen(1.0), max_batch=1, batch_window_s=0.01)
+    errors = []
+
+    def call():
+        try:
+            w.submit([], 1.0, timeout_s=30.0)
+        except RuntimeError as e:
+            errors.append(str(e))
+
+    ts = [threading.Thread(target=call, daemon=True) for _ in range(3)]
+    for t in ts:
+        t.start()
+    import time
+    time.sleep(0.3)
+    t0 = time.monotonic()
+    w.close()
+    for t in ts:
+        t.join(timeout=10)
+    # queued (not-yet-dispatched) submitters failed fast, well under
+    # their 30 s timeouts
+    assert time.monotonic() - t0 < 10
+    assert any("shutting down" in e for e in errors)
+
+
+def test_batch_bucket():
+    from gesture2vec_tpu.serve.server import BatchingWorker
+    b = BatchingWorker._bucket
+    assert b(2, 16) == 2
+    assert b(3, 16) == 4
+    assert b(5, 16) == 8
+    assert b(9, 16) == 16
+    assert b(16, 16) == 16
+
+
+def test_http_malformed_word_triples(tiny_gen):
+    from gesture2vec_tpu.serve.server import serve
+
+    httpd = serve(tiny_gen, port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        for bad in ({"words": [["hi", 0.1]]},          # short triple
+                    {"words": "abc"},                  # not a list
+                    {"words": _words(), "duration_s": None},
+                    {"words": _words(), "format": "exr"}):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=json.dumps(bad).encode())
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 400, bad
+    finally:
+        httpd.shutdown()
+        httpd.worker.close()
+
+
 def test_http_bvh_export(tiny_gen):
     from gesture2vec_tpu.serve.server import serve
 
