@@ -33,6 +33,9 @@ def main() -> None:
     parser.add_argument("--port", type=int, default=8008)
     parser.add_argument("--max-batch", type=int, default=16)
     parser.add_argument("--batch-window-ms", type=float, default=50.0)
+    parser.add_argument("--request-timeout", type=float, default=120.0,
+                        help="seconds a request may wait for generation "
+                             "(raise for cold-start compiles)")
     parser.add_argument("--mesh", default=None,
                         help="e.g. dp=2: shard batched requests")
     parser.add_argument("--seed", type=int, default=0)
@@ -68,7 +71,8 @@ def main() -> None:
 
     httpd = serve(gen, host=args.host, port=args.port,
                   export_bvh=export_bvh, max_batch=args.max_batch,
-                  batch_window_s=args.batch_window_ms / 1000.0, mesh=mesh)
+                  batch_window_s=args.batch_window_ms / 1000.0, mesh=mesh,
+                  request_timeout_s=args.request_timeout)
     logging.info("serving on http://%s:%d (mode=%s, max_batch=%d, "
                  "window=%.0fms)", args.host, httpd.server_address[1],
                  args.mode, args.max_batch, args.batch_window_ms)

@@ -168,8 +168,11 @@ class BatchingWorker:
 
 
 def make_handler(worker: BatchingWorker,
-                 export_bvh: Optional[Callable[[np.ndarray], str]] = None):
-    """export_bvh: frames -> BVH text (None disables format=bvh)."""
+                 export_bvh: Optional[Callable[[np.ndarray], str]] = None,
+                 request_timeout_s: float = 120.0):
+    """export_bvh: frames -> BVH text (None disables format=bvh).
+    request_timeout_s bounds the wait for generation (incl. the first
+    requests' XLA compile, which can dominate on a cold server)."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # route through logging
@@ -227,7 +230,8 @@ def make_handler(worker: BatchingWorker,
                 self._send_json(400, {"error": f"bad request: {e}"})
                 return
             try:
-                frames, tokens = worker.submit(words, duration)
+                frames, tokens = worker.submit(
+                    words, duration, timeout_s=request_timeout_s)
             except QueueFullError:
                 self._send_json(429, {"error": "server overloaded"})
                 return
@@ -260,12 +264,14 @@ def make_handler(worker: BatchingWorker,
 def serve(generator, host: str = "127.0.0.1", port: int = 8008,
           export_bvh: Optional[Callable[[np.ndarray], str]] = None,
           max_batch: int = 16, batch_window_s: float = 0.05,
-          mesh=None) -> ThreadingHTTPServer:
+          mesh=None,
+          request_timeout_s: float = 120.0) -> ThreadingHTTPServer:
     """Build and return the server (caller runs serve_forever())."""
     # bind first: an EADDRINUSE must not leak a running collector thread
     httpd = ThreadingHTTPServer((host, port), BaseHTTPRequestHandler)
     worker = BatchingWorker(generator, max_batch=max_batch,
                             batch_window_s=batch_window_s, mesh=mesh)
-    httpd.RequestHandlerClass = make_handler(worker, export_bvh)
+    httpd.RequestHandlerClass = make_handler(worker, export_bvh,
+                                             request_timeout_s)
     httpd.worker = worker  # for stats/close
     return httpd
