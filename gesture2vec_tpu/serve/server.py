@@ -135,6 +135,40 @@ class BatchingWorker:
         the batch axis the same way."""
         return min(1 << (n - 1).bit_length(), cap)
 
+    def _batchable(self, req: _Pending) -> bool:
+        """Fused and single-stream decode are bit-identical for the
+        default generator (generate_batch vmaps the same window-carry
+        program; pinned by tests/test_serve.py), so a request's output
+        never depends on concurrent server load. The only divergent
+        configs are the single-path-only decoder variants — with those
+        enabled every request runs single-stream to keep outputs
+        load-independent."""
+        g = self.generator
+        return not (getattr(g, "chunk_continuity", False)
+                    or getattr(g, "use_fused_decoder", False))
+
+    def _dispatch(self, batch: List[_Pending]) -> None:
+        self.stats["batches"] += 1
+        try:
+            if len(batch) == 1:
+                batch[0].result = self.generator.generate(
+                    batch[0].words, batch[0].duration_s)
+            else:
+                self.stats["batched_requests"] += len(batch)
+                n_pad = self._bucket(len(batch), self.max_batch)
+                reqs = list(batch) + [batch[-1]] * (n_pad - len(batch))
+                results = self.generator.generate_batch(
+                    [r.words for r in reqs],
+                    [r.duration_s for r in reqs], mesh=self.mesh)
+                for r, res in zip(batch, results):
+                    r.result = res
+        except Exception as e:  # surface per-request, keep serving
+            logging.exception("generation batch failed")
+            for r in batch:
+                r.error = f"{type(e).__name__}: {e}"
+        for r in batch:
+            r.done.set()
+
     def _run(self) -> None:
         while not self._stop.is_set():
             try:
@@ -145,26 +179,14 @@ class BatchingWorker:
             if not batch:
                 continue
             self.stats["requests"] += len(batch)
-            self.stats["batches"] += 1
-            try:
-                if len(batch) == 1:
-                    batch[0].result = self.generator.generate(
-                        batch[0].words, batch[0].duration_s)
-                else:
-                    self.stats["batched_requests"] += len(batch)
-                    n_pad = self._bucket(len(batch), self.max_batch)
-                    reqs = list(batch) + [batch[-1]] * (n_pad - len(batch))
-                    results = self.generator.generate_batch(
-                        [r.words for r in reqs],
-                        [r.duration_s for r in reqs], mesh=self.mesh)
-                    for r, res in zip(batch, results):
-                        r.result = res
-            except Exception as e:  # surface per-request, keep serving
-                logging.exception("generation batch failed")
-                for r in batch:
-                    r.error = f"{type(e).__name__}: {e}"
-            for r in batch:
-                r.done.set()
+            fuse = [r for r in batch if self._batchable(r)]
+            solo = [r for r in batch if not self._batchable(r)]
+            if len(fuse) > 1:
+                self._dispatch(fuse)
+            else:
+                solo = fuse + solo
+            for r in solo:
+                self._dispatch([r])
 
 
 def make_handler(worker: BatchingWorker,

@@ -103,6 +103,18 @@ def test_worker_fuses_concurrent_requests(tiny_gen):
         w.close()
 
 
+def test_batched_equals_single_multi_window(tiny_gen):
+    """The load-independence guarantee the worker's _batchable relies
+    on: generate_batch vmaps the same window-carry program as
+    generate(), so a MULTI-window request produces identical tokens and
+    frames through both paths."""
+    words = [[f"w{i}", 0.3 * i, 0.3 * i + 0.2] for i in range(12)]
+    single, stoks = tiny_gen.generate(words, 4.0)     # 2 windows
+    (bframes, btoks), = tiny_gen.generate_batch([words], [4.0])
+    np.testing.assert_array_equal(stoks, btoks)
+    np.testing.assert_allclose(single, bframes, atol=1e-6)
+
+
 def test_http_generate_json_and_healthz(tiny_gen):
     from gesture2vec_tpu.serve.server import serve
 
