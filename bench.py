@@ -44,7 +44,17 @@ def _words():
             for s in starts]
 
 
-def bench_jax() -> float:
+def build_generator(hid: int = HID, rep: int = REP, k: int = K,
+                    dim: int = DIM, n_frames: int = N_FRAMES,
+                    sent_len: int = SENT_LEN, n_words: int = N_WORDS,
+                    max_words: int = MAXW, n_layers: int = L,
+                    wordembed: int = 300, fps: int = FPS,
+                    vocab_words: int = 300):
+    """Untrained production-shape pipeline models assembled into a
+    GestureGenerator. Shared by bench.py, benchmarks/serve_bench.py and
+    tests/test_serve.py (at smaller dims) — output quality is
+    irrelevant to all three; shapes and program structure are what is
+    measured."""
     import jax
 
     from gesture2vec_tpu.infer.text2gesture import GestureGenerator
@@ -59,47 +69,53 @@ def bench_jax() -> float:
         init_state as t2t_init, make_text2token)
 
     opt = make_optimizer(1e-3)
-    dae_cfg = load_config(dict(name="d", model="DAE", hidden_size=REP,
+    dae_cfg = load_config(dict(name="d", model="DAE", hidden_size=rep,
                                epochs=1, batch_size=8,
-                               input_motion_dim=DIM, random_seed=0))
+                               input_motion_dim=dim, random_seed=0))
     dae = make_frame_model(dae_cfg)
     dae_vars = {"params": dae_init(dae_cfg, dae, jax.random.PRNGKey(0),
                                    opt).params}
 
-    sq_cfg = load_config(dict(name="s", model="seq2seq", hidden_size=HID,
-                              n_layers=L, dropout_prob=0.2, epochs=1,
-                              batch_size=8, rep_learning_dim=REP,
-                              n_poses=N_FRAMES, n_pre_poses=1,
+    sq_cfg = load_config(dict(name="s", model="seq2seq", hidden_size=hid,
+                              n_layers=n_layers, dropout_prob=0.2,
+                              epochs=1, batch_size=8,
+                              rep_learning_dim=rep,
+                              n_poses=n_frames, n_pre_poses=1,
                               autoencoder_vq=True,
-                              autoencoder_vq_components=K, random_seed=0))
+                              autoencoder_vq_components=k, random_seed=0))
     seq = make_seq_ae(sq_cfg)
     sst = sq_init(sq_cfg, seq, jax.random.PRNGKey(1), opt)
     seq_vars = {"params": sst.params, "batch_stats": sst.batch_stats}
 
-    t2t_cfg = load_config(dict(name="t", model="seq2seq", hidden_size=HID,
-                               n_layers=L, dropout_prob=0.2, epochs=1,
-                               batch_size=8, sentence_frame_length=SENT_LEN,
-                               n_poses=N_FRAMES, n_pre_poses=2,
+    t2t_cfg = load_config(dict(name="t", model="seq2seq", hidden_size=hid,
+                               n_layers=n_layers, dropout_prob=0.2,
+                               epochs=1, batch_size=8,
+                               sentence_frame_length=sent_len,
+                               n_poses=n_frames, n_pre_poses=2,
                                autoencoder_vq=True,
-                               autoencoder_vq_components=K,
-                               autoencoder_att=True, wordembed_dim=300,
+                               autoencoder_vq_components=k,
+                               autoencoder_att=True,
+                               wordembed_dim=wordembed,
                                random_seed=0))
-    t2t = make_text2token(t2t_cfg, N_WORDS)
-    tst = t2t_init(t2t, jax.random.PRNGKey(2), opt, max_words=MAXW)
+    t2t = make_text2token(t2t_cfg, n_words)
+    tst = t2t_init(t2t, jax.random.PRNGKey(2), opt, max_words=max_words)
     t2t_vars = {"params": tst.params, "batch_stats": tst.batch_stats}
 
     vocab = Vocab("bench")
-    for i in range(300):
+    for i in range(vocab_words):
         vocab.index_word(f"word{i}")
 
-    gen = GestureGenerator(
+    return GestureGenerator(
         t2t_model=t2t, t2t_variables=t2t_vars, seq_model=seq,
         seq_variables=seq_vars, dae_model=dae, dae_variables=dae_vars,
-        vocab=vocab, pose_mean=np.zeros(DIM, np.float32),
-        pose_std=np.ones(DIM, np.float32), n_frames=N_FRAMES,
-        sentence_frame_length=SENT_LEN, fps=FPS, max_words=MAXW,
+        vocab=vocab, pose_mean=np.zeros(dim, np.float32),
+        pose_std=np.ones(dim, np.float32), n_frames=n_frames,
+        sentence_frame_length=sent_len, fps=fps, max_words=max_words,
         mode="decode", seed=0)
 
+
+def bench_jax() -> float:
+    gen = build_generator()
     words = _words()
     for _ in range(WARMUP):
         gen.generate(words, DURATION_S)

@@ -20,61 +20,12 @@ import urllib.request
 
 import numpy as np
 
-HID, REP, K, DIM, NF, SENT = 200, 40, 512, 135, 20, 120
+import os
+import sys
 
-
-def build_generator():
-    import jax
-
-    from gesture2vec_tpu.infer.text2gesture import GestureGenerator
-    from gesture2vec_tpu.text.vocab import Vocab
-    from gesture2vec_tpu.train.config import load_config
-    from gesture2vec_tpu.train.dae_trainer import (init_state as dae_init,
-                                                   make_frame_model)
-    from gesture2vec_tpu.train.optim import make_optimizer
-    from gesture2vec_tpu.train.seq_ae_trainer import (init_state as sq_init,
-                                                      make_seq_ae)
-    from gesture2vec_tpu.train.text2token_trainer import (
-        init_state as t2t_init, make_text2token)
-
-    opt = make_optimizer(1e-3)
-    dae_cfg = load_config(dict(name="d", model="DAE", hidden_size=REP,
-                               epochs=1, batch_size=8,
-                               input_motion_dim=DIM, random_seed=0))
-    dae = make_frame_model(dae_cfg)
-    dae_vars = {"params": dae_init(dae_cfg, dae, jax.random.PRNGKey(0),
-                                   opt).params}
-    sq_cfg = load_config(dict(name="s", model="seq2seq", hidden_size=HID,
-                              n_layers=2, dropout_prob=0.2, epochs=1,
-                              batch_size=8, rep_learning_dim=REP,
-                              n_poses=NF, n_pre_poses=1,
-                              autoencoder_vq=True,
-                              autoencoder_vq_components=K, random_seed=0))
-    seq = make_seq_ae(sq_cfg)
-    sst = sq_init(sq_cfg, seq, jax.random.PRNGKey(1), opt)
-    t2t_cfg = load_config(dict(name="t", model="seq2seq", hidden_size=HID,
-                               n_layers=2, dropout_prob=0.2, epochs=1,
-                               batch_size=8, sentence_frame_length=SENT,
-                               n_poses=NF, n_pre_poses=2,
-                               autoencoder_vq=True,
-                               autoencoder_vq_components=K,
-                               autoencoder_att=True, wordembed_dim=300,
-                               random_seed=0))
-    t2t = make_text2token(t2t_cfg, 5000)
-    tst = t2t_init(t2t, jax.random.PRNGKey(2), opt, max_words=48)
-    vocab = Vocab("bench")
-    for i in range(300):
-        vocab.index_word(f"word{i}")
-    return GestureGenerator(
-        t2t_model=t2t, t2t_variables={"params": tst.params,
-                                      "batch_stats": tst.batch_stats},
-        seq_model=seq, seq_variables={"params": sst.params,
-                                      "batch_stats": sst.batch_stats},
-        dae_model=dae, dae_variables=dae_vars, vocab=vocab,
-        pose_mean=np.zeros(DIM, np.float32),
-        pose_std=np.ones(DIM, np.float32), n_frames=NF,
-        sentence_frame_length=SENT, fps=20, max_words=48,
-        mode="decode", seed=0)
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+from bench import build_generator  # noqa: E402  (shared model builder)
 
 
 def words_for(duration_s, seed=0):

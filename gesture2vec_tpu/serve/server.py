@@ -142,7 +142,10 @@ class BatchingWorker:
         never depends on concurrent server load. The only divergent
         configs are the single-path-only decoder variants — with those
         enabled every request runs single-stream to keep outputs
-        load-independent."""
+        load-independent. (Exemplar mode's retrieval is random by
+        reference semantics — inference_text2embedding.py:606-612 uses
+        random.randint — so exemplar choice varies run to run in any
+        serving configuration; token sequences remain deterministic.)"""
         g = self.generator
         return not (getattr(g, "chunk_continuity", False)
                     or getattr(g, "use_fused_decoder", False))
@@ -179,8 +182,9 @@ class BatchingWorker:
             if not batch:
                 continue
             self.stats["requests"] += len(batch)
-            fuse = [r for r in batch if self._batchable(r)]
-            solo = [r for r in batch if not self._batchable(r)]
+            fuse, solo = [], []
+            for r in batch:
+                (fuse if self._batchable(r) else solo).append(r)
             if len(fuse) > 1:
                 self._dispatch(fuse)
             else:

@@ -58,6 +58,21 @@ def load_reference_models() -> dict:
             sys.path.remove(REF_SCRIPTS)
 
 
+def load_reference_module(name: str):
+    """Import one additional literal reference model module (e.g.
+    'seq2seq_net') with the same stubbing/path discipline as
+    load_reference_models."""
+    load_reference_models()  # install stubs once
+    added = REF_SCRIPTS not in sys.path
+    if added:
+        sys.path.insert(0, REF_SCRIPTS)
+    try:
+        return importlib.import_module(f"model.{name}")
+    finally:
+        if added:
+            sys.path.remove(REF_SCRIPTS)
+
+
 @contextlib.contextmanager
 def inline_step_dropout_disabled():
     """Make the reference seq-AE decoder deterministic for trajectory

@@ -11,69 +11,23 @@ import json
 import threading
 import urllib.request
 
-import jax
 import numpy as np
 import pytest
 
-from gesture2vec_tpu.train.config import load_config
-from gesture2vec_tpu.train.optim import make_optimizer
 
 HID, REP, K, DIM, NF, SENT = 32, 16, 16, 27, 10, 40
 
 
 @pytest.fixture(scope="module")
 def tiny_gen():
-    from gesture2vec_tpu.infer.text2gesture import GestureGenerator
-    from gesture2vec_tpu.text.vocab import Vocab
-    from gesture2vec_tpu.train.dae_trainer import (init_state as dae_init,
-                                                   make_frame_model)
-    from gesture2vec_tpu.train.seq_ae_trainer import (init_state as sq_init,
-                                                      make_seq_ae)
-    from gesture2vec_tpu.train.text2token_trainer import (
-        init_state as t2t_init, make_text2token)
-
-    opt = make_optimizer(1e-3)
-    dae_cfg = load_config(dict(name="d", model="DAE", hidden_size=REP,
-                               epochs=1, batch_size=8,
-                               input_motion_dim=DIM, random_seed=0))
-    dae = make_frame_model(dae_cfg)
-    dae_vars = {"params": dae_init(dae_cfg, dae, jax.random.PRNGKey(0),
-                                   opt).params}
-    sq_cfg = load_config(dict(name="s", model="seq2seq", hidden_size=HID,
-                              n_layers=2, dropout_prob=0.1, epochs=1,
-                              batch_size=8, rep_learning_dim=REP,
-                              n_poses=NF, n_pre_poses=1,
-                              autoencoder_vq=True,
-                              autoencoder_vq_components=K, random_seed=0))
-    seq = make_seq_ae(sq_cfg)
-    sst = sq_init(sq_cfg, seq, jax.random.PRNGKey(1), opt)
-    t2t_cfg = load_config(dict(name="t", model="seq2seq", hidden_size=HID,
-                               n_layers=2, dropout_prob=0.1, epochs=1,
-                               batch_size=8, sentence_frame_length=SENT,
-                               n_poses=NF, n_pre_poses=1,
-                               autoencoder_vq=True,
-                               autoencoder_vq_components=K,
-                               autoencoder_att=True, wordembed_dim=16,
-                               random_seed=0))
-    t2t = make_text2token(t2t_cfg, 50)
-    tst = t2t_init(t2t, jax.random.PRNGKey(2), opt, max_words=8)
-    vocab = Vocab("serve")
-    for i in range(20):
-        vocab.index_word(f"w{i}")
-    return GestureGenerator(
-        t2t_model=t2t, t2t_variables={"params": tst.params,
-                                      "batch_stats": tst.batch_stats},
-        seq_model=seq, seq_variables={"params": sst.params,
-                                      "batch_stats": sst.batch_stats},
-        dae_model=dae, dae_variables=dae_vars, vocab=vocab,
-        pose_mean=np.zeros(DIM, np.float32),
-        pose_std=np.ones(DIM, np.float32), n_frames=NF,
-        sentence_frame_length=SENT, fps=20, max_words=8,
-        mode="decode", seed=0)
+    from bench import build_generator  # repo-root bench.py model builder
+    return build_generator(hid=HID, rep=REP, k=K, dim=DIM, n_frames=NF,
+                           sent_len=SENT, n_words=50, max_words=8,
+                           wordembed=16, vocab_words=20)
 
 
 def _words(n=4):
-    return [[f"w{i}", 0.2 * i, 0.2 * i + 0.15] for i in range(n)]
+    return [[f"word{i}", 0.2 * i, 0.2 * i + 0.15] for i in range(n)]
 
 
 def test_worker_fuses_concurrent_requests(tiny_gen):
@@ -108,7 +62,7 @@ def test_batched_equals_single_multi_window(tiny_gen):
     on: generate_batch vmaps the same window-carry program as
     generate(), so a MULTI-window request produces identical tokens and
     frames through both paths."""
-    words = [[f"w{i}", 0.3 * i, 0.3 * i + 0.2] for i in range(12)]
+    words = [[f"word{i}", 0.3 * i, 0.3 * i + 0.2] for i in range(12)]
     single, stoks = tiny_gen.generate(words, 4.0)     # 2 windows
     (bframes, btoks), = tiny_gen.generate_batch([words], [4.0])
     np.testing.assert_array_equal(stoks, btoks)

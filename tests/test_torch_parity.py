@@ -341,20 +341,11 @@ def test_baseline_seq2seq_parity_literal(ref_mods, rng):
     """Seq2SeqNet baseline (ref: seq2seq_net.py:220-256) vs
     models.baseline.Seq2SeqNet: identical pose trajectories after
     weight conversion (eval mode, teacher-forced first n_pre_poses)."""
-    import importlib
-    import sys
     from gesture2vec_tpu.compat.torch_import import convert_baseline_state
     from gesture2vec_tpu.models.baseline import Seq2SeqNet
-    from tests.reference_loader import REF_SCRIPTS
+    from tests.reference_loader import load_reference_module
 
-    added = REF_SCRIPTS not in sys.path
-    if added:
-        sys.path.insert(0, REF_SCRIPTS)
-    try:
-        s2s = importlib.import_module("model.seq2seq_net")
-    finally:
-        if added:
-            sys.path.remove(REF_SCRIPTS)
+    s2s = load_reference_module("seq2seq_net")
 
     n_words, n_frames, pose_dim, n_pre, maxw = 40, 8, 12, 3, 10
     torch.manual_seed(11)
@@ -398,20 +389,11 @@ def test_c2g_parity_literal(ref_mods, rng):
     vs Cluster2Gesture in parity_frozen_hidden mode (reproducing the
     reference's decode_hidden/decoder_hidden typo, ref :56-61):
     identical frame trajectories after weight conversion."""
-    import importlib
-    import sys
     from gesture2vec_tpu.compat.torch_import import convert_c2g_state
     from gesture2vec_tpu.models.c2g import Cluster2Gesture
-    from tests.reference_loader import REF_SCRIPTS
+    from tests.reference_loader import load_reference_module
 
-    added = REF_SCRIPTS not in sys.path
-    if added:
-        sys.path.insert(0, REF_SCRIPTS)
-    try:
-        c2g = importlib.import_module("model.seq2seq_with_cluster_model")
-    finally:
-        if added:
-            sys.path.remove(REF_SCRIPTS)
+    c2g = load_reference_module("seq2seq_with_cluster_model")
 
     n_clusters, out_dim, n_frames = 20, 24, 10
     torch.manual_seed(13)
