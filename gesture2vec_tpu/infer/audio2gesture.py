@@ -46,11 +46,11 @@ class AudioGestureGenerator:
         if self.mode == "exemplar":
             assert self.latent_bank is not None, \
                 "exemplar mode needs a latent bank (cluster/latent_dataset)"
-            toks = self.latent_bank["tokens"]
-            k = int(self.a2t_model.n_tokens)
-            self._token_index = [np.where(toks == t)[0] for t in range(k)]
-            self._populated = np.array(
-                [t for t in range(k) if len(self._token_index[t])])
+            from gesture2vec_tpu.infer.exemplar import ExemplarBank
+            self._exemplars = ExemplarBank(
+                self.latent_bank, int(self.a2t_model.n_tokens),
+                np.asarray(self.seq_variables["params"]["vq_layer"]
+                           ["codebook"]), self._rng)
 
         a2t, seq, dae = self.a2t_model, self.seq_model, self.dae_model
         n_pre, n_steps = a2t.n_pre_poses, self.n_steps
@@ -91,8 +91,11 @@ class AudioGestureGenerator:
             hidden = jnp.transpose(
                 jnp.take(cb, tokens, axis=0).reshape(N, L, H), (1, 0, 2))
             seed = jnp.zeros((N, seq.n_frames, seq.rep_dim))
-            latents = seq.apply(self.seq_variables, hidden, seed, None,
-                                method=seq.decode).reshape(-1, seq.rep_dim)
+            latents = seq.apply(
+                self.seq_variables, hidden, seed, None,
+                method=seq.decode,
+                rngs={"dropout": jax.random.PRNGKey(0)}
+            ).reshape(-1, seq.rep_dim)
             return dae.apply(self.dae_variables, latents,
                              method=dae.decode)
 
@@ -107,17 +110,7 @@ class AudioGestureGenerator:
 
     # ------------------------------------------------------------------
     def _exemplar_latents(self, token: int) -> np.ndarray:
-        idxs = self._token_index[token] if token < len(self._token_index) \
-            else np.array([], np.int64)
-        if len(idxs) == 0:
-            cb = np.asarray(self.seq_variables["params"]["vq_layer"]
-                            ["codebook"])
-            pop = self._populated
-            d = np.sum((cb[pop] - cb[token]) ** 2, axis=1)
-            token = int(pop[np.argmin(d)])
-            idxs = self._token_index[token]
-        pick = int(self._rng.choice(idxs))
-        return self.latent_bank["dae_latents"][pick]
+        return self._exemplars.latents_for(token)
 
     def _mel_windows(self, audio: np.ndarray, n_windows: int) -> np.ndarray:
         from gesture2vec_tpu.io.audio import mel_chunks_per_second

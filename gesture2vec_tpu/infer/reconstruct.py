@@ -61,17 +61,23 @@ def chunked_reconstruct(seq_model, seq_variables, dae_model, dae_variables,
     def run_chunk(x):
         lat = dae_model.apply(dae_variables, x, method=dae_model.encode)
         lat = lat[None]  # (1, n_poses, rep)
-        _, hidden = seq_model.apply(seq_variables, lat,
-                                    method=seq_model.encode)
+        # attention-enabled models consume the encoder outputs in every
+        # decoder step; the fixed "dropout" rng feeds the parity-mode
+        # eval step dropout (eval_step_dropout=True checkpoints -
+        # random in the reference, deterministic per chunk here)
+        enc_outs, hidden = seq_model.apply(seq_variables, lat,
+                                           method=seq_model.encode)
         if seq_model.use_vq:
             _, hidden = seq_model.apply(seq_variables, hidden,
                                         method=seq_model.quantize)
+        rngs = {"dropout": jax.random.PRNGKey(0)}
         if warmup_steps > 0:
             hidden = seq_model.apply(seq_variables, hidden, lat[:, 0],
-                                     None, warmup_steps,
-                                     method=seq_model.warmup_hidden)
-        out = seq_model.apply(seq_variables, hidden, lat, None,
-                              method=seq_model.decode)[0]
+                                     enc_outs, warmup_steps,
+                                     method=seq_model.warmup_hidden,
+                                     rngs=rngs)
+        out = seq_model.apply(seq_variables, hidden, lat, enc_outs,
+                              method=seq_model.decode, rngs=rngs)[0]
         return dae_model.apply(dae_variables, out,
                                method=dae_model.decode)
 

@@ -74,14 +74,22 @@ class GestureGenerator:
     def __post_init__(self):
         self.n_steps = self.sentence_frame_length // self.n_frames
         self._rng = np.random.default_rng(self.seed)
+        if self.mode == "decode" and self.seq_model.use_attention:
+            # decode mode rolls chunks out from codebook hidden states
+            # alone - there is no encoder sequence for the attention to
+            # read, so an autoencoder_att Part-b model cannot drive it
+            # (the reference's generative rollout is likewise
+            # attention-free, Autoencoder_VQVAE_model.py:1038-1054)
+            raise ValueError(
+                "decode mode cannot drive an attention-enabled Part-b "
+                "decoder; use exemplar mode for this checkpoint")
         if self.mode == "exemplar":
             assert self.latent_bank is not None, \
                 "exemplar mode needs a latent bank (cluster/latent_dataset)"
-            toks = self.latent_bank["tokens"]
-            k = int(self.t2t_model.n_tokens)
-            self._token_index = [np.where(toks == t)[0] for t in range(k)]
-            self._populated = np.array(
-                [t for t in range(k) if len(self._token_index[t])])
+            from gesture2vec_tpu.infer.exemplar import ExemplarBank
+            self._exemplars = ExemplarBank(
+                self.latent_bank, int(self.t2t_model.n_tokens),
+                self._codebook(), self._rng)
 
         t2t, seq, dae = self.t2t_model, self.seq_model, self.dae_model
         n_pre = t2t.n_pre_poses
@@ -173,7 +181,8 @@ class GestureGenerator:
                         -1, seq.rep_dim)
                 seed = jnp.zeros((N, seq.n_frames, seq.rep_dim))
                 out = seq.apply(self.seq_variables, hidden, seed, None,
-                                method=seq.decode)
+                                method=seq.decode,
+                                rngs={"dropout": jax.random.PRNGKey(0)})
                 return out.reshape(-1, seq.rep_dim)
 
             def body(prev_last, tok):
@@ -182,7 +191,8 @@ class GestureGenerator:
                 seed = jnp.tile(prev_last[None, None, :],
                                 (1, seq.n_frames, 1))
                 out = seq.apply(self.seq_variables, hidden, seed, None,
-                                method=seq.decode)[0]
+                                method=seq.decode,
+                                rngs={"dropout": jax.random.PRNGKey(0)})[0]
                 return out[-1], out
 
             _, chunks = jax.lax.scan(
@@ -250,17 +260,7 @@ class GestureGenerator:
                           ["codebook"])
 
     def _exemplar_latents(self, token: int) -> np.ndarray:
-        idxs = self._token_index[token] if token < len(self._token_index) \
-            else np.array([], np.int64)
-        if len(idxs) == 0:
-            # nearest populated token by codebook distance
-            cb = self._codebook()
-            pop = self._populated
-            d = np.sum((cb[pop] - cb[token]) ** 2, axis=1)
-            token = int(pop[np.argmin(d)])
-            idxs = self._token_index[token]
-        pick = int(self._rng.choice(idxs))  # ref :606-612 random exemplar
-        return self.latent_bank["dae_latents"][pick]
+        return self._exemplars.latents_for(token)
 
     # ------------------------------------------------------------------
     def generate(self, words: List[List], duration_s: float

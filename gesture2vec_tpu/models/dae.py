@@ -77,22 +77,42 @@ class VAEFrame(nn.Module):
     motion_dim: int
     latent_dim: int
 
-    @nn.compact
+    def setup(self):
+        self.in_do = nn.Dropout(0.5)
+        self.encoder = nn.Dense(self.latent_dim)
+        self.fc_mean = nn.Dense(self.latent_dim)
+        self.fc_std = nn.Dense(self.latent_dim)
+        self.fc_decoder = nn.Dense(self.latent_dim)
+        self.decoder = nn.Dense(self.motion_dim)
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The frozen-teacher latent: raw encoder + Tanh, like the
+        reference data layer's `rep_model.encoder(target)` on a
+        VAE_Network (ref: lmdb_data_loader.py:653, DAE_model.py:630-635
+        - the encoder Sequential is Linear+Tanh; mean/std heads are
+        forward-only)."""
+        return jnp.tanh(self.encoder(x))
+
+    def decode(self, h: jnp.ndarray) -> jnp.ndarray:
+        """Latent (encode output) -> motion: the eval forward's tail
+        (mean head, no sampling, fc decoder, output layer)."""
+        return self.decoder(self.fc_decoder(self.fc_mean(h)))
+
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  get_latent: bool = False):
-        x_in = nn.Dropout(0.5, deterministic=not train)(x)
-        h = jnp.tanh(nn.Dense(self.latent_dim, name="encoder")(x_in))
+        x_in = self.in_do(x, deterministic=not train)
+        h = jnp.tanh(self.encoder(x_in))
         latent = jax.lax.stop_gradient(h)
-        mean = nn.Dense(self.latent_dim, name="fc_mean")(h)
-        logvar = nn.Dense(self.latent_dim, name="fc_std")(h)
+        mean = self.fc_mean(h)
+        logvar = self.fc_std(h)
         if train:
             eps = jax.random.normal(self.make_rng("reparam"), mean.shape,
                                     mean.dtype)
             z = mean + jnp.exp(logvar / 2) * eps
         else:
             z = mean
-        z = nn.Dense(self.latent_dim, name="fc_decoder")(z)
-        out = nn.Dense(self.motion_dim, name="decoder")(z)
+        z = self.fc_decoder(z)
+        out = self.decoder(z)
         if get_latent:
             return out, latent
         return out, logvar, mean
@@ -113,28 +133,51 @@ class VQFrame(nn.Module):
     commitment_cost: float = 0.25
     decay: float = 0.99
 
-    @nn.compact
+    def setup(self):
+        xavier = nn.initializers.xavier_normal()
+        self.in_do = nn.Dropout(0.5)
+        self.encoder = nn.Dense(self.latent_dim, kernel_init=xavier)
+        self.bn = nn.BatchNorm()
+        if self.vae:
+            self.fc_mean = nn.Dense(self.latent_dim)
+            self.fc_std = nn.Dense(self.latent_dim)
+            self.fc_decoder = nn.Dense(self.latent_dim)
+        self.decoder = nn.Dense(self.motion_dim, kernel_init=xavier)
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """The frozen-teacher latent: RAW encoder output, like the
+        reference data layer's `rep_model.encoder(target)` on a VQ_Frame
+        (ref: lmdb_data_loader.py:653) - BN, VAE heads, and the
+        quantizer are forward-only there too."""
+        return self.encoder(x)
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Latent -> motion via the output layer. Note the encode/decode
+        teacher pipeline bypasses BN+VQ exactly like the reference's
+        frozen-teacher usage; the full quantized forward is __call__
+        (vq_state lives in the checkpoint payload extra)."""
+        return self.decoder(z)
+
     def __call__(self, x: jnp.ndarray, vq_state: VQEmaState,
                  train: bool = False, axis_name: Optional[str] = None,
                  skip_vq: bool = False
                  ) -> Tuple[Dict[str, Any], VQEmaState]:
-        x_in = nn.Dropout(0.5, deterministic=not train)(x)
-        h = nn.Dense(self.latent_dim, name="encoder",
-                     kernel_init=nn.initializers.xavier_normal())(x_in)
-        h = nn.BatchNorm(use_running_average=not train, name="bn")(h)
+        x_in = self.in_do(x, deterministic=not train)
+        h = self.encoder(x_in)
+        h = self.bn(h, use_running_average=not train)
         latent = jax.lax.stop_gradient(h)
 
         mean = logvar = None
         if self.vae:
-            mean = nn.Dense(self.latent_dim, name="fc_mean")(h)
-            logvar = nn.Dense(self.latent_dim, name="fc_std")(h)
+            mean = self.fc_mean(h)
+            logvar = self.fc_std(h)
             if train:
                 eps = jax.random.normal(self.make_rng("reparam"),
                                         mean.shape, mean.dtype)
                 z = mean + jnp.exp(logvar / 2) * eps
             else:
                 z = mean
-            h = nn.Dense(self.latent_dim, name="fc_decoder")(z)
+            h = self.fc_decoder(z)
 
         if skip_vq:
             # delayed-VQ warmup (ref: train_DAE.py:232-241 skip_vq)
@@ -147,9 +190,7 @@ class VQFrame(nn.Module):
                                        commitment_cost=self.commitment_cost,
                                        decay=self.decay, train=train,
                                        axis_name=axis_name)
-        out = nn.Dense(self.motion_dim, name="decoder",
-                       kernel_init=nn.initializers.xavier_normal())(
-            vq_out.quantized)
+        out = self.decoder(vq_out.quantized)
         return {"output": out, "latent": latent, "vq": vq_out,
                 "mean": mean, "logvar": logvar}, new_state
 

@@ -112,15 +112,8 @@ def train_audio2token(config: Config, data: Dict[str, np.ndarray],
     state = init_state(model, rng, optimizer, data["mel"].shape[1:])
     start_epoch = 0
     if resume_from:
-        payload = checkpoints.load_checkpoint(resume_from)
-        state = state._replace(
-            params=payload["params"],
-            batch_stats=payload["extra"].get("batch_stats", {}))
-        state, rng = checkpoints.restore_resume_extra(
-            state, rng, payload["extra"])
-        start_epoch = int(payload["epoch"])
-        logging.info("resumed from %s at epoch %d", resume_from,
-                     start_epoch)
+        state, rng, start_epoch, _ = checkpoints.restore_for_resume(
+            state, rng, resume_from)
     from gesture2vec_tpu.parallel.mesh import batch_placer, prepare_state
     mesh, state = prepare_state(state, config.mesh_shape)
     place = batch_placer(mesh)

@@ -82,6 +82,25 @@ def restore_resume_extra(state, rng, extra: Dict[str, Any]):
     return state, rng
 
 
+def restore_for_resume(state, rng, path: str):
+    """The trainer resume preamble shared by every part: load the
+    checkpoint, swap in params/batch_stats, restore the optimizer state
+    and PRNG key when present (bit-exact resume), and report the start
+    epoch. Returns (state, rng, start_epoch, payload) — trainers with
+    extra restorable fields (e.g. Part a's vq_state) layer them on from
+    the returned payload."""
+    import logging
+
+    payload = load_checkpoint(path)
+    state = state._replace(
+        params=payload["params"],
+        batch_stats=payload["extra"].get("batch_stats", {}))
+    state, rng = restore_resume_extra(state, rng, payload["extra"])
+    start_epoch = int(payload["epoch"])
+    logging.info("resumed from %s at epoch %d", path, start_epoch)
+    return state, rng, start_epoch, payload
+
+
 def save_checkpoint(path: str, *, config: Config, epoch: int,
                     params: Any, pose_dim: int = 0,
                     lang_model: Optional[dict] = None,

@@ -211,18 +211,11 @@ def train_dae(config: Config, train_frames: np.ndarray,
     state = init_state(config, model, rng, optimizer)
     start_epoch = 0
     if resume_from:
-        payload = checkpoints.load_checkpoint(resume_from)
-        state = state._replace(
-            params=payload["params"],
-            batch_stats=payload["extra"].get("batch_stats", {}),
-            vq_state=(VQEmaState(**payload["extra"]["vq_state"])
-                      if payload["extra"].get("vq_state") else
-                      state.vq_state))
-        state, rng = checkpoints.restore_resume_extra(
-            state, rng, payload["extra"])
-        start_epoch = int(payload["epoch"])
-        logging.info("resumed from %s at epoch %d", resume_from,
-                     start_epoch)
+        state, rng, start_epoch, payload = checkpoints.restore_for_resume(
+            state, rng, resume_from)
+        if payload["extra"].get("vq_state"):
+            state = state._replace(
+                vq_state=VQEmaState(**payload["extra"]["vq_state"]))
     # multi-chip: dp-sharded batches, replicated params (SURVEY.md §2.8)
     from gesture2vec_tpu.parallel.mesh import batch_placer, prepare_state
     mesh, state = prepare_state(state, config.mesh_shape)

@@ -182,7 +182,7 @@ def train_gan(config, data, n_words: int, embedding_weights=None,
     step = make_gan_step(g, d, g_opt, d_opt)
     bs = config.batch_size
     meter = AverageMeter("g_loss", ":.4f")
-    rng = jax.random.PRNGKey(1)
+    rng = jax.random.PRNGKey(max(config.random_seed, 0) + 1)
     n_samples = data["word_ids"].shape[0]
     if n_samples < bs:
         raise ValueError(f"GAN training needs at least one full batch "
@@ -190,16 +190,22 @@ def train_gan(config, data, n_words: int, embedding_weights=None,
     history: dict = {"g_loss": [], "d_real": [], "d_fake": []}
     metrics = None
     for epoch in range(config.epochs):
-        perm = np.random.default_rng(epoch).permutation(n_samples)
+        perm = np.random.default_rng(
+            max(config.random_seed, 0) + epoch).permutation(n_samples)
         meter.reset()
+        g_losses = []
         for s in range(0, len(perm) - bs + 1, bs):
             take = perm[s:s + bs]
             rng, srng = jax.random.split(rng)
             state, metrics = step(state, place(data["word_ids"][take]),
                                   place(data["lengths"][take]),
                                   place(data["poses"][take]), srng)
-            meter.update(float(metrics["g_loss"]), bs)
-        history["g_loss"].append(meter.avg)
+            # deferred metric sync: one device fetch per epoch
+            g_losses.append(metrics["g_loss"])
+        epoch_g = (float(jnp.mean(jnp.stack(g_losses)))
+                   if g_losses else float("nan"))
+        meter.avg = epoch_g
+        history["g_loss"].append(epoch_g)
         history["d_real"].append(float(metrics["d_real"]))
         history["d_fake"].append(float(metrics["d_fake"]))
         logging.info("EP %d done: g %.4f d_real %.4f d_fake %.4f", epoch,

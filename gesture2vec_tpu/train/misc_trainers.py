@@ -7,6 +7,7 @@ ref: train.py:33-110) and scripts/train_cluster2gesture.py
 """
 from __future__ import annotations
 
+import functools
 import logging
 import time
 from typing import Any, Dict, NamedTuple, Optional, Tuple
@@ -42,14 +43,23 @@ def _loop(config: Config, state, train_step, eval_step, batches_fn,
     for epoch in range(config.epochs):
         meter.reset()
         t0 = time.time()
+        losses, seen = [], 0
         for i, batch in enumerate(batches_fn(epoch)):
             rng, srng = jax.random.split(rng)
             state, metrics = train_step(state, *batch, srng)
-            meter.update(float(metrics["loss"]), batch[0].shape[0])
+            # losses stay on device between log points (a float() per
+            # step is one ~30-90 ms tunnel round-trip each)
+            losses.append(metrics["loss"])
+            seen += batch[0].shape[0]
             if (i + 1) % log_every == 0:
+                block = float(jnp.mean(jnp.stack(losses[-log_every:])))
+                meter.update(block, log_every)
                 logging.info("EP %d (%d) %s, %.0f samples/s", epoch, i + 1,
-                             meter, meter.count / (time.time() - t0))
-        history["train_loss"].append(meter.avg)
+                             meter, seen / (time.time() - t0))
+        epoch_loss = (float(jnp.mean(jnp.stack(losses)))
+                      if losses else float("nan"))
+        meter.avg = epoch_loss
+        history["train_loss"].append(epoch_loss)
         vl = [float(eval_step(state, *b)) for b in val_batches_fn()]
         history["val_loss"].append(float(np.mean(vl)) if vl
                                    else float("nan"))
@@ -99,7 +109,7 @@ def train_baseline(config: Config, data: Dict[str, np.ndarray],
     if mesh is not None:
         logging.info("training over mesh %s", config.mesh_shape)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def train_step(st, toks, lens, poses, srng):
         def loss_fn(params):
             res, mut = model.apply(
@@ -132,7 +142,8 @@ def train_baseline(config: Config, data: Dict[str, np.ndarray],
 
     def batches(epoch):
         n = data["word_ids"].shape[0]
-        perm = np.random.default_rng(epoch).permutation(n)
+        perm = np.random.default_rng(
+            max(config.random_seed, 0) + epoch).permutation(n)
         for s in range(0, n - bs_ + 1, bs_):
             take = perm[s:s + bs_]
             yield (place(data["word_ids"][take]),
@@ -193,7 +204,7 @@ def train_c2g(config: Config, cluster_ids: np.ndarray,
     if mesh is not None:
         logging.info("training over mesh %s", config.mesh_shape)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def train_step(st, ids, latents, srng):
         def loss_fn(params):
             out, mut = model.apply(
@@ -226,7 +237,8 @@ def train_c2g(config: Config, cluster_ids: np.ndarray,
 
     def batches(epoch):
         n = cluster_ids.shape[0]
-        perm = np.random.default_rng(epoch).permutation(n)
+        perm = np.random.default_rng(
+            max(config.random_seed, 0) + epoch).permutation(n)
         for s in range(0, n - bs_ + 1, bs_):
             take = perm[s:s + bs_]
             yield (place(cluster_ids[take]),

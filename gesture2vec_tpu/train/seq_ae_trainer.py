@@ -97,8 +97,14 @@ def make_train_step(config: Config, model: SeqVQAutoencoder,
                 kld = kld_loss_standard(res["mean"], res["logvar"])
                 loss = loss + kld * 0.1 * epoch / total_epochs
             if model.use_vq:
-                # vq term scaled by 1/400 (ref: train_seq2seq.py:738)
-                loss = loss + res["vq"].loss / 400.0
+                # vq term scaled by 1/400, added from epoch 1
+                # (ref: train_seq2seq.py:734-738, vq_start_epoch=0 and
+                # `if epoch > vq_start_epoch`). Quantization itself is
+                # NOT gated: the reference forward hardcodes
+                # vq_layer_active=True (model :974-975), overriding the
+                # epoch argument the train iter passes.
+                loss = loss + jnp.where(epoch > 0.0,
+                                        res["vq"].loss / 400.0, 0.0)
             perp = (res["vq"].perplexity if model.use_vq
                     else jnp.zeros(()))
             return loss, {"perplexity": perp,
@@ -162,6 +168,14 @@ def make_ssl_train_step(config: Config, model: SeqVQAutoencoder,
             signed = jnp.where(pair_label > 0.5, -cos, cos)
             sim_loss = jnp.mean(signed)
             loss = rec + config.loss_label_weight * sim_loss
+            if model.use_vae:
+                # annealed KLD from epoch 11: the SSL iter's
+                # kl_start_epoch is 10, unlike the main iter's 0
+                # (ref: train_seq2seq.py:399-402)
+                kld = kld_loss_standard(res["mean"], res["logvar"])
+                loss = loss + jnp.where(
+                    epoch > 10.0,
+                    kld * 0.1 * (epoch - 10.0) / total_epochs, 0.0)
             perp = jnp.zeros(())
             if model.use_vq:
                 loss = loss + res["vq"].loss / 400.0
@@ -215,15 +229,8 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
     state = init_state(config, model, rng, optimizer)
     start_epoch = 0
     if resume_from:
-        payload = checkpoints.load_checkpoint(resume_from)
-        state = state._replace(
-            params=payload["params"],
-            batch_stats=payload["extra"].get("batch_stats", {}))
-        state, rng = checkpoints.restore_resume_extra(
-            state, rng, payload["extra"])
-        start_epoch = int(payload["epoch"])
-        logging.info("resumed from %s at epoch %d", resume_from,
-                     start_epoch)
+        state, rng, start_epoch, _ = checkpoints.restore_for_resume(
+            state, rng, resume_from)
 
     # multi-chip: shard params (codebook rows over tp, rest replicated)
     # and batches (over dp); jit's partitioner inserts the collectives

@@ -136,15 +136,8 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
                        max_words=data["word_ids"].shape[1])
     start_epoch = 0
     if resume_from:
-        payload = checkpoints.load_checkpoint(resume_from)
-        state = state._replace(
-            params=payload["params"],
-            batch_stats=payload["extra"].get("batch_stats", {}))
-        state, rng = checkpoints.restore_resume_extra(
-            state, rng, payload["extra"])
-        start_epoch = int(payload["epoch"])
-        logging.info("resumed from %s at epoch %d", resume_from,
-                     start_epoch)
+        state, rng, start_epoch, _ = checkpoints.restore_for_resume(
+            state, rng, resume_from)
     # multi-chip: batch over dp; the vocab embedding table row-shards
     # over tp via parallel.mesh.param_spec (SURVEY.md §2.8)
     from gesture2vec_tpu.parallel.mesh import batch_placer, prepare_state

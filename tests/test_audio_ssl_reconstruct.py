@@ -130,6 +130,33 @@ def test_reconstruction_paths(rng):
                                 n_poses=10, overlap=5, warmup_steps=0)
     np.testing.assert_allclose(again, out, atol=1e-6)
 
+    # attention-enabled Part-b model: the decoder reads the encoder
+    # outputs at every step (previously crashed on encoder_outputs=None)
+    att_cfg = load_config(dict(name="a", model="seq2seq", hidden_size=16,
+                               n_layers=2, dropout_prob=0.1, epochs=1,
+                               batch_size=8, learning_rate=1e-3,
+                               rep_learning_dim=12, n_poses=10,
+                               n_pre_poses=1, autoencoder_vq=True,
+                               autoencoder_vq_components=8,
+                               autoencoder_att=True, random_seed=0))
+    att = make_seq_ae(att_cfg)
+    ast = sq_init(att_cfg, att, jax.random.PRNGKey(2),
+                  make_optimizer(1e-3))
+    att_vars = {"params": ast.params, "batch_stats": ast.batch_stats}
+    att_out = chunked_reconstruct(att, att_vars, dae, dae_vars, frames,
+                                  n_poses=10, overlap=5, warmup_steps=2)
+    assert att_out.shape == frames.shape and np.isfinite(att_out).all()
+
+    # parity-quirk model (eval-time 0.95 step dropout, ref :570):
+    # reconstruct must supply the dropout rng (previously crashed)
+    par = make_seq_ae(sq_cfg, parity=True)
+    pst = sq_init(sq_cfg, par, jax.random.PRNGKey(3),
+                  make_optimizer(1e-3))
+    par_vars = {"params": pst.params, "batch_stats": pst.batch_stats}
+    par_out = chunked_reconstruct(par, par_vars, dae, dae_vars, frames,
+                                  n_poses=10)
+    assert par_out.shape == frames.shape and np.isfinite(par_out).all()
+
 
 def test_stage_timer():
     t = StageTimer(sync=False)

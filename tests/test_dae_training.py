@@ -89,6 +89,34 @@ def test_vq_frame_trains(corpus, tmp_path):
     # EMA state must have moved
     assert float(np.abs(np.asarray(state.vq_state.cluster_size)).sum()) > 0
 
+    # a VQ Part-a checkpoint must serve the same encode/decode contract
+    # as the plain DAE through the registry (the frozen-teacher
+    # semantics: raw encoder latent, like lmdb_data_loader.py:653) and
+    # expose vq_state for the full quantized forward
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from gesture2vec_tpu.train import checkpoints
+
+    path = glob.glob(str(tmp_path / "*.bin"))[0]
+    model, variables, payload = checkpoints.load_checkpoint_and_model(
+        path, "DAE")
+    z = model.apply(variables, jnp.asarray(frames[:8]),
+                    method=model.encode)
+    assert z.shape == (8, cfg.hidden_size)
+    recon = model.apply(variables, z, method=model.decode)
+    assert recon.shape == (8, frames.shape[1])
+    assert payload["extra"]["vq_state"] is not None
+    # full quantized forward from the restored pieces
+    from gesture2vec_tpu.models.vq import VQEmaState
+    vq_state = VQEmaState(**{k: jnp.asarray(v) for k, v in
+                             payload["extra"]["vq_state"].items()})
+    res, _ = model.apply(variables, jnp.asarray(frames[:8]), vq_state,
+                         train=False)
+    assert res["output"].shape == (8, frames.shape[1])
+
 
 def test_vq_tricks(corpus, tmp_path):
     """Delayed VQ start + K-Means codebook re-estimation

@@ -65,7 +65,12 @@ def test_text2token_mesh_matches_single_device(rng):
                              data, val, n_words=40)
     np.testing.assert_allclose(h1["train_loss"], h2["train_loss"],
                                rtol=1e-4)
-    np.testing.assert_allclose(h1["val_acc"], h2["val_acc"], rtol=1e-4)
+    # val_acc is an argmax metric over 48 predictions: the mesh psum's
+    # different reduction order can legitimately flip a borderline
+    # prediction after training, so allow up to 2 flips rather than
+    # demanding bit-equality of a discrete statistic
+    np.testing.assert_allclose(h1["val_acc"], h2["val_acc"],
+                               atol=2.0 / 48 + 1e-9)
 
 
 def test_baseline_c2g_gan_train_on_mesh(rng):

@@ -254,3 +254,32 @@ def test_http_bvh_export(tiny_gen):
     finally:
         httpd.shutdown()
         httpd.worker.close()
+
+
+def test_decode_mode_rejects_attention_seq_model(tiny_gen):
+    """decode mode has no encoder sequence for a Part-b attention
+    decoder to read; construction must fail clearly instead of crashing
+    inside the first generate()."""
+    import dataclasses
+
+    import jax as _jax
+
+    from gesture2vec_tpu.train.config import load_config
+    from gesture2vec_tpu.train.optim import make_optimizer
+    from gesture2vec_tpu.train.seq_ae_trainer import (
+        init_state as sq_init, make_seq_ae)
+
+    cfg = load_config(dict(name="a", model="seq2seq", hidden_size=HID,
+                           n_layers=2, dropout_prob=0.1, epochs=1,
+                           batch_size=8, rep_learning_dim=REP,
+                           n_poses=NF, n_pre_poses=1,
+                           autoencoder_vq=True,
+                           autoencoder_vq_components=K,
+                           autoencoder_att=True, random_seed=0))
+    att = make_seq_ae(cfg)
+    ast = sq_init(cfg, att, _jax.random.PRNGKey(9), make_optimizer(1e-3))
+    with pytest.raises(ValueError, match="attention"):
+        dataclasses.replace(
+            tiny_gen, seq_model=att,
+            seq_variables={"params": ast.params,
+                           "batch_stats": ast.batch_stats})
