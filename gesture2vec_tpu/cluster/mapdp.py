@@ -121,4 +121,4 @@ def mapdp_nw(x: np.ndarray, N0: float = 1.0, max_iter: int = 100,
             break
         prev_obj = obj
 
-    return MapDPResult(labels=labels, k=len(counts), objective=prev_obj)
+    return MapDPResult(labels=labels, k=len(counts), objective=obj)

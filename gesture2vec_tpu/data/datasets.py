@@ -80,7 +80,10 @@ def sentence_windows(store: ClipStore, frame_length: int, stride: int,
         for k in range(max(n, 0)):
             f0 = k * stride
             t0, t1 = f0 / fps, (f0 + frame_length) / fps
-            inside = [w for w in words if t0 <= (w[1] + w[2]) / 2 < t1]
+            # overlap rule, not midpoint: a word belongs to every
+            # window it overlaps (ref: data_preprocessor.py:335-363
+            # get_words_in_time_range, word_e > start and word_s < end)
+            inside = [w for w in words if w[2] > t0 and w[1] < t1]
             if len(inside) < min_words:
                 continue
             out.append({"clip": ci, "frame0": f0, "words": inside,

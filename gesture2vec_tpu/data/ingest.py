@@ -4,8 +4,8 @@ Rebuild of the reference's LMDB dataset builders
 (ref: scripts/trinity_data_to_lmdb.py:61-153,
 scripts/twh_dataset_to_lmdb.py:151-279). Same split rule for Trinity
 (first file -> validation, ref: trinity_data_to_lmdb.py:101-104), same
-fp16 pose storage, same corpus mean/std computation over original
-(non-mirrored) tracks.
+fp16 pose storage, same corpus mean/std computation: over the
+f16-quantized, non-mirrored tracks (ref :118,138-150).
 """
 from __future__ import annotations
 
@@ -69,7 +69,11 @@ def ingest_trinity(base_path: str, out_path: Optional[str] = None,
         kw = {} if audio is None else {"audio": audio}
         w.add_clip(name, poses, words=words, **kw)
         w.add_clip(name + "_mirror", poses_mirror, words=words, **kw)
-        all_poses.append(poses)
+        # stats over the f16-quantized values, like the reference
+        # (trinity_data_to_lmdb.py:118,138: all_poses holds the cast
+        # array the store persists)
+        all_poses.append(np.asarray(poses, np.float16)
+                         .astype(np.float32))
 
     stacked = np.vstack(all_poses)
     mean, std = stacked.mean(axis=0), stacked.std(axis=0)
@@ -118,12 +122,13 @@ def ingest_twh(base_path: str, out_path: Optional[str] = None,
         if with_audio and os.path.exists(apath):
             audio = load_wav(apath)
 
-        w = writers[1] if v_i % 100 == 99 or (v_i == 0 and
-                                              len(bvh_files) < 100) \
-            else writers[0]
+        # every 100th file -> validation, starting with file 0
+        # (ref: twh_dataset_to_lmdb.py:209 `if save_idx % 100 == 0`)
+        w = writers[1] if v_i % 100 == 0 else writers[0]
         kw = {} if audio is None else {"audio": audio}
         w.add_clip(name, poses, words=words, **kw)
-        all_poses.append(poses)
+        all_poses.append(np.asarray(poses, np.float16)
+                         .astype(np.float32))  # f16 stats, see above
 
     stacked = np.vstack(all_poses)
     mean, std = stacked.mean(axis=0), stacked.std(axis=0)

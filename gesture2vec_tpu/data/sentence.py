@@ -83,7 +83,10 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
             clip = clips[w["clip"]]
             audio = clip.get("audio")
             if audio is None:
-                mels.append(np.zeros((window_seconds, 128, 32),
+                # placeholder shape must match real chunks:
+                # mel_chunks_per_second yields 1 + sr // hop frames
+                n_frames_mel = 1 + audio_sr // 512
+                mels.append(np.zeros((window_seconds, 128, n_frames_mel),
                                      np.float32))
                 continue
             # map frames -> samples by position ratio

@@ -20,6 +20,7 @@ quantization behavior.
 """
 from __future__ import annotations
 
+from collections import OrderedDict
 import os
 from typing import Any, Dict, Iterator, List, Optional
 
@@ -65,13 +66,18 @@ class ClipStoreWriter:
 
 
 class ClipStore:
-    """Read side. Clip arrays are memo-cached per index."""
+    """Read side. Clip arrays are memo-cached per index (bounded LRU of
+    4 clips - iteration patterns hit the cache, RAM stays bounded)."""
+
+    _CACHE_DEPTH = 4
 
     def __init__(self, root: str):
         self.root = root
         with open(os.path.join(root, "meta.msgpack"), "rb") as f:
             self.meta = msgpack.unpackb(f.read(), strict_map_key=False)
         self.clips = self.meta["clips"]
+        self._cache: "OrderedDict[int, Dict[str, np.ndarray]]" = \
+            OrderedDict()
 
     def __len__(self) -> int:
         return len(self.clips)
@@ -87,9 +93,16 @@ class ClipStore:
         return None if s is None else np.asarray(s, np.float32)
 
     def arrays(self, i: int) -> Dict[str, np.ndarray]:
+        if i in self._cache:
+            self._cache.move_to_end(i)
+            return self._cache[i]
         with np.load(os.path.join(self.root, self.clips[i]["file"]),
                      allow_pickle=False) as z:
-            return {k: z[k] for k in z.files}
+            arrs = {k: z[k] for k in z.files}
+        self._cache[i] = arrs
+        if len(self._cache) > self._CACHE_DEPTH:
+            self._cache.popitem(last=False)
+        return arrs
 
     def __getitem__(self, i: int) -> Dict[str, Any]:
         entry = dict(self.clips[i])

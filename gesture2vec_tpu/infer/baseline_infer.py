@@ -49,7 +49,8 @@ def generate_baseline(model, variables, vocab: Vocab, words: List[List],
     prev_tail = np.zeros((n_pre, pose_dim), np.float32)
     for s in starts:
         t0, t1 = s / fps, (s + n_frames) / fps
-        inside = [w[0] for w in words if t0 <= (w[1] + w[2]) / 2 < t1]
+        # overlap rule (ref: inference.py:58 via get_words_in_time_range)
+        inside = [w[0] for w in words if w[2] > t0 and w[1] < t1]
         ids = np.zeros((1, max_words), np.int32)
         wid = vocab.words_to_ids(inside)[:max_words]
         ids[0, : len(wid)] = wid

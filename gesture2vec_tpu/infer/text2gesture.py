@@ -249,7 +249,10 @@ class GestureGenerator:
     # ------------------------------------------------------------------
     def _window_word_ids(self, words: List[List], t0: float, t1: float
                          ) -> Tuple[np.ndarray, int]:
-        inside = [w[0] for w in words if t0 <= (w[1] + w[2]) / 2 < t1]
+        # overlap rule like the reference window word lookup
+        # (ref: inference_text2embedding.py:293 via
+        # data_preprocessor.get_words_in_time_range :335-363)
+        inside = [w[0] for w in words if w[2] > t0 and w[1] < t1]
         ids = self.vocab.words_to_ids(inside)[: self.max_words]
         arr = np.zeros((self.max_words,), np.int32)
         arr[: len(ids)] = ids

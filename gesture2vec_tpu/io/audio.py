@@ -27,7 +27,10 @@ def load_wav(path: str, target_sr: int = AUDIO_SR) -> np.ndarray:
     sr, data = wavfile.read(path)
     if data.ndim > 1:
         data = data.mean(axis=1)
-    if np.issubdtype(data.dtype, np.integer):
+    if data.dtype == np.uint8:
+        # 8-bit PCM is unsigned, centered at 128
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    elif np.issubdtype(data.dtype, np.integer):
         data = data.astype(np.float32) / np.iinfo(data.dtype).max
     else:
         data = data.astype(np.float32)

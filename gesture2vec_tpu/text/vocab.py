@@ -23,11 +23,13 @@ _SPECIALS = {PAD: "<PAD>", SOS: "<SOS>", EOS: "<EOS>", UNK: "<UNK>"}
 
 
 def normalize_string(s: str) -> str:
-    """Lowercase, keep word chars and apostrophes
-    (ref: scripts/utils/data_utils.py:12-33)."""
+    """Lowercase, strip apostrophes (shouldn't -> shouldnt), keep
+    alphanumerics and ,.!? (ref: scripts/utils/data_utils.py:12-33 -
+    digits are KEPT there, so "100" stays a vocabulary token)."""
     s = s.lower().strip()
     s = re.sub(r"([,.!?])", r" \1 ", s)
-    s = re.sub(r"[^a-zA-Z,.!?']+", " ", s)
+    s = re.sub(r"(['])", "", s)
+    s = re.sub(r"[^a-zA-Z0-9,.!?]+", " ", s)
     s = re.sub(r"\s+", " ", s).strip()
     return s
 

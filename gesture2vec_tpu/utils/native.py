@@ -82,9 +82,11 @@ def parse_floats(text: str, expected: int) -> np.ndarray:
     n = lib.g2v_parse_floats(
         raw, len(raw), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         out.shape[0])
-    if n != len(text.split()):
-        # the C parser skips malformed tokens silently; route corrupt
-        # input through numpy so it raises like the fallback path would
+    if n != expected:
+        # count mismatch (malformed tokens skipped by the C parser, or
+        # truncated/extra input): route through numpy so the result
+        # matches the fallback path exactly. The common case skips the
+        # costly Python text.split() re-tokenization entirely.
         return np.array(text.split(), dtype=np.float64)
     return out[:n]
 

@@ -31,7 +31,22 @@ def annotate(name: str):
 
 
 class StageTimer:
-    """Accumulating named stage timer with device synchronization."""
+    """Accumulating named stage timer with device synchronization.
+
+    To time device compute, hand the stage its OUTPUT arrays via the
+    yielded sink:
+
+        with timer.stage("encode") as done:
+            z = encode_fn(x)
+            done(z)
+
+    The stage exit then blocks until those arrays are ready.
+    `jax.effects_barrier()` alone does NOT wait for pure computations
+    (measured here: 0 ms while a dispatched matmul chain still had
+    seconds of work in flight), so a stage without a sink call is timed
+    as dispatch latency only and its compute lands on whichever later
+    stage first consumes the result.
+    """
 
     def __init__(self, sync: bool = True):
         self.sync = sync
@@ -40,12 +55,16 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str):
+        outs: list = []
         if self.sync:
             jax.effects_barrier()
         t0 = time.perf_counter()
-        yield
+        yield outs.append
         if self.sync:
-            jax.effects_barrier()
+            if outs:
+                jax.block_until_ready(outs)
+            else:
+                jax.effects_barrier()
         dt = time.perf_counter() - t0
         self.totals[name] = self.totals.get(name, 0.0) + dt
         self.counts[name] = self.counts.get(name, 0) + 1

@@ -167,6 +167,32 @@ def test_stage_timer():
     assert t.counts["a"] == 2
     assert "a:" in t.report()
 
+    # sync mode with an output sink: the stage blocks on the handed
+    # arrays, so device compute is billed to the stage that ran it
+    # (jax.effects_barrier alone does not wait for pure computations)
+    t2 = StageTimer(sync=True)
+    with t2.stage("mm") as done:
+        x = jnp.ones((64, 64))
+        done(jax.jit(lambda a: a @ a)(x))
+    assert t2.counts["mm"] == 1 and t2.totals["mm"] > 0
+
+
+def test_load_wav_uint8_centered(tmp_path):
+    """8-bit PCM WAVs are unsigned, centered at 128: the decoded wave
+    must be zero-mean in [-1, 1], not [0, 1] with a 0.5 DC bias."""
+    from scipy.io import wavfile
+
+    from gesture2vec_tpu.io.audio import load_wav
+
+    t = np.arange(16000) / 16000
+    wave = 0.5 * np.sin(2 * np.pi * 220 * t)
+    u8 = (wave * 127 + 128).astype(np.uint8)
+    p = str(tmp_path / "u8.wav")
+    wavfile.write(p, 16000, u8)
+    out = load_wav(p)
+    assert abs(float(out.mean())) < 0.01
+    assert 0.4 < float(np.abs(out).max()) <= 1.0
+
 
 def test_audio2token(rng):
     from gesture2vec_tpu.models.audio2token import Audio2Token
