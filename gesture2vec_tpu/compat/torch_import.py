@@ -122,6 +122,13 @@ def convert_seq_ae_state(sd: Dict[str, Any], n_layers: int = 2
             "v": np.asarray(sd["decoder.decoder.attn.v"]),
         }
     params["decoder_step"] = step
+    # VAE heads (autoencoder_vae checkpoints, ref :778-790,1002-1006);
+    # absent keys mean a non-VAE model
+    for ours, theirs in (("vae_mean", "VAE_fc_mean"),
+                         ("vae_std", "VAE_fc_std"),
+                         ("vae_dec", "VAE_fc_decoder")):
+        if f"{theirs}.weight" in sd:
+            params[ours] = _dense(sd, theirs)
     batch_stats = {"decoder_step": {"pre_bn": bn_stats}}
     return params, batch_stats
 

@@ -101,7 +101,12 @@ class GestureGenerator:
             # ops/decoder_pallas docstring)
             import logging
 
+            # the kernel reproduces exactly the default rollout: output
+            # fed back each step, no zeroed input (conditioned), no
+            # eval step dropout, a single seed frame (n_pre_poses=1)
             ok = (seq.n_layers == 2 and not seq.use_attention
+                  and seq.conditioned and not seq.eval_step_dropout
+                  and seq.n_pre_poses == 1
                   and jax.devices()[0].platform == "tpu")
             if ok:
                 from gesture2vec_tpu.ops.decoder_pallas import supported

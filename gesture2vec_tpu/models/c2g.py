@@ -60,7 +60,7 @@ class Cluster2Gesture(nn.Module):
         """cluster_ids (B,) -> outputs (B, n_frames, output_size);
         frame 0 is zeros like the reference (ref :47,55,66)."""
         emb = self.embedding(cluster_ids)[None, :, :]       # (1, B, H)
-        _, enc_hidden = self.pre_gru(emb)                   # (L, B, H)
+        _, enc_hidden = self.pre_gru(emb, train=train)      # (L, B, H)
 
         def body(mdl, carry, _):
             x, hidden = carry

@@ -181,7 +181,6 @@ class VQFrame(nn.Module):
 
         if skip_vq:
             # delayed-VQ warmup (ref: train_DAE.py:232-241 skip_vq)
-            from gesture2vec_tpu.models.vq import VQOutput
             vq_out = VQOutput(jnp.zeros(()), h, jnp.zeros(()),
                               jnp.zeros((h.shape[0], self.vq_components)))
             new_state = vq_state

@@ -49,10 +49,11 @@ class Attn(nn.Module):
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         """hidden (B, H), encoder_outputs (T, B, H) -> weights (B, T).
 
-        mask (T,) bool: positions beyond the batch-max sequence length.
-        torch's pad_packed_sequence trims encoder outputs to max(lengths)
-        (ref: text2embedding_model.py:129-131), so with static padded
-        shapes the extra positions must be masked out of the softmax to
+        mask (T,) bool: True for VALID positions (arange(T) <
+        max(lengths)); False positions are -inf'd out of the softmax.
+        torch's pad_packed_sequence trims encoder outputs to
+        max(lengths) (ref: text2embedding_model.py:129-131), so with
+        static padded shapes the positions past that must be masked to
         reproduce the reference's attention distribution exactly.
         """
         T = encoder_outputs.shape[0]
@@ -134,8 +135,11 @@ class SeqEncoder(nn.Module):
     def __call__(self, xs: jnp.ndarray, train: bool = False
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """xs (T, B, D) -> (outputs (T, B, H), hidden (2L, B, H))."""
-        h = nn.Dense(self.hidden_size, name="in_layer",
-                     dtype=self.dtype)(xs)
+        # fp32 mode runs HIGHEST: this projection feeds the recurrence
+        # whose final hidden is the VQ argmin input (token identity);
+        # the opt-in bf16 mode keeps the relaxed default on purpose
+        h = nn.Dense(self.hidden_size, name="in_layer", dtype=self.dtype,
+                     precision=None if self.dtype else "highest")(xs)
         outs, hidden = BiGRU(hidden_size=self.hidden_size,
                              n_layers=self.n_layers, dropout=self.dropout,
                              dtype=self.dtype,

@@ -173,8 +173,13 @@ class VQGSSoft(nn.Module):
         codebook = self.param("codebook", nn.initializers.normal(1.0),
                               (self.num_codes, self.dim))
         flat = x.reshape(-1, self.dim)
-        projected = nn.Dense(self.dim, name="mean_layer")(flat)
-        z_logvar = nn.Dense(self.num_codes, name="logvar_layer")(projected)
+        # token-identity path: these projections feed the distance
+        # argmax, so they run at HIGHEST like codebook_distances (the
+        # TPU default's bf16 passes can flip near-tie assignments)
+        projected = nn.Dense(self.dim, name="mean_layer",
+                             precision="highest")(flat)
+        z_logvar = nn.Dense(self.num_codes, name="logvar_layer",
+                            precision="highest")(projected)
 
         d = codebook_distances(projected, codebook)
         probs = gssoft_probs(d, z_logvar)
