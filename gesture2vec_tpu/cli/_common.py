@@ -13,18 +13,19 @@ from typing import Dict, Optional, Tuple
 def ensure_virtual_devices(mesh_spec: Optional[str],
                            platform: Optional[str]) -> None:
     """On --platform cpu with --mesh, provision enough virtual host
-    devices (must run BEFORE jax initializes its backend)."""
+    devices (must run BEFORE jax initializes its backend). A stale
+    --xla_force_host_platform_device_count already in XLA_FLAGS (e.g.
+    exported by a previous run) is replaced, not kept."""
     if not (mesh_spec and platform == "cpu"):
         return
     import os
     need = 1
     for kv in mesh_spec.split(","):
         need *= int(kv.split("=")[1])
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            f"{flags} --xla_force_host_platform_device_count={need}"
-        ).strip()
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if "host_platform_device_count" not in f]
+    flags.append(f"--xla_force_host_platform_device_count={need}")
+    os.environ["XLA_FLAGS"] = " ".join(flags)
 
 
 def parse_mesh(mesh_spec: Optional[str]):

@@ -156,7 +156,7 @@ def main() -> None:
         # LaTeX table like the reference emits (ref: Clustering.py:1611-1626)
         vals = [ln.split(": ")[1] for ln in lines]
         with open(os.path.join(out, "Metrics.tex"), "w") as f:
-            f.write("\\begin{tabular}{lccccc}\n\\toprule\n"
+            f.write("\\begin{tabular}{ccccc}\n\\toprule\n"
                     "Hellinger & Fr\\'echet & PPL(train) & PPL(val) & "
                     "Wasserstein \\\\\n\\midrule\n"
                     + " & ".join(vals) + " \\\\\n"

@@ -120,9 +120,11 @@ def main() -> None:
                               jnp.zeros((1, t2t_model.n_steps), np.int32),
                               train=False)
         attn = np.asarray(res["attentions"])[:, 0, :len(wid)]
-        plot_attention(attn, args.plot_attention,
-                       words=["<SOS>"] + window_words[:len(wid) - 2] +
-                             ["<EOS>"])
+        # derive labels from the actual ids: words_to_ids brackets with
+        # SOS/EOS, and truncation at 48 can cut EOS off, so rebuilding
+        # labels from the word list would mislabel the last column
+        labels = [vocab.index2word.get(int(i), "?") for i in wid]
+        plot_attention(attn, args.plot_attention, words=labels)
         logging.info("attention heatmap -> %s", args.plot_attention)
 
     _export(frames, args.out)

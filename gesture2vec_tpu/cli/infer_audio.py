@@ -41,7 +41,6 @@ def main() -> None:
         jax.config.update("jax_platforms", args.platform)
 
     import numpy as np
-    from scipy.io import wavfile
 
     from gesture2vec_tpu.cluster.latent_dataset import load_latent_dataset
     from gesture2vec_tpu.data.store import ClipStore
@@ -62,11 +61,12 @@ def main() -> None:
         args.autoencoder_checkpoint, "autoencoder_vq")
     cfg = a2t_payload["config"]
 
-    sr, wave = wavfile.read(args.wav)
-    if wave.dtype.kind == "i":
-        wave = wave.astype(np.float32) / np.iinfo(wave.dtype).max
-    if wave.ndim > 1:
-        wave = wave.mean(axis=1)
+    # shared decoder: mono float32 at 16 kHz, signed/unsigned PCM
+    # normalized and centered (io/audio.load_wav - the inline version
+    # here previously fed uint8 WAVs through unscaled)
+    from gesture2vec_tpu.io.audio import AUDIO_SR, load_wav
+    wave = load_wav(args.wav)
+    sr = AUDIO_SR
 
     bank = (load_latent_dataset(args.latent_bank)
             if args.latent_bank else None)

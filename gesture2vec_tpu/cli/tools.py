@@ -148,20 +148,32 @@ def c2g_samples(c2g_checkpoint: str, rep_checkpoint: str, store_dir: str,
     fe = FeatureExtractor.load(pipeline_path)
     os.makedirs(out_dir, exist_ok=True)
 
+    # TWO device programs for the whole sweep (one c2g rollout over
+    # every (cluster, sample) id, one batched DAE decode): the previous
+    # per-cluster eager applies issued ~2*n_clusters dispatches over the
+    # tunnel, which CLAUDE.md documents as pathologically slow
+    import jax
+
+    all_ids = jnp.asarray(np.repeat(
+        np.arange(n_clusters, dtype=np.int32), samples_per_cluster))
+    latents = np.asarray(jax.jit(
+        lambda v, i: c2g_model.apply(v, i, train=False))(c2g_vars,
+                                                         all_ids))
+    flat = latents.reshape(-1, latents.shape[-1])
+    decoded = np.asarray(jax.jit(
+        lambda v, z: dae_model.apply(v, z, method=dae_model.decode))(
+        dae_vars, jnp.asarray(flat)))
+    decoded = decoded.reshape(latents.shape[0], latents.shape[1], -1)
+
     count = 0
-    for cid in range(n_clusters):
-        ids = jnp.full((samples_per_cluster,), cid, jnp.int32)
-        latents = np.asarray(c2g_model.apply(c2g_vars, ids, train=False))
-        for k in range(samples_per_cluster):
-            frames = np.asarray(dae_model.apply(
-                dae_vars, jnp.asarray(latents[k]),
-                method=dae_model.decode))
-            frames = unnormalize(frames, store.pose_mean, store.pose_std)
-            d = os.path.join(out_dir, str(cid))
-            os.makedirs(d, exist_ok=True)
-            frames_to_bvh(frames, fe,
-                          path=os.path.join(d, f"sample_{k}.bvh"))
-            count += 1
+    for idx in range(decoded.shape[0]):
+        cid, k = divmod(idx, samples_per_cluster)
+        frames = unnormalize(decoded[idx], store.pose_mean,
+                             store.pose_std)
+        d = os.path.join(out_dir, str(cid))
+        os.makedirs(d, exist_ok=True)
+        frames_to_bvh(frames, fe, path=os.path.join(d, f"sample_{k}.bvh"))
+        count += 1
     return count
 
 

@@ -46,16 +46,8 @@ def main() -> None:
                         help="force jax platform (cpu/tpu)")
     args = parser.parse_args()
 
-    if args.mesh and args.platform == "cpu":
-        # virtual host devices so cpu smoke-runs can exercise the mesh
-        need = 1
-        for kv in args.mesh.split(","):
-            need *= int(kv.split("=")[1])
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                f"{flags} --xla_force_host_platform_device_count={need}"
-            ).strip()
+    from gesture2vec_tpu.cli._common import ensure_virtual_devices
+    ensure_virtual_devices(args.mesh, args.platform)
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)

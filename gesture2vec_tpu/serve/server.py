@@ -88,6 +88,13 @@ class BatchingWorker:
         except queue.Full:
             self.stats["rejected"] += 1
             raise QueueFullError("pending queue full") from None
+        if self._stop.is_set() and not req.done.is_set():
+            # shutdown raced our enqueue past close()'s queue drain; the
+            # collector is gone, so fail fast instead of blocking out
+            # the full timeout (idempotent with the drain/collector -
+            # worst case a completed result is reported as shutdown)
+            req.error = req.error or "server shutting down"
+            req.done.set()
         if not req.done.wait(timeout_s):
             req.cancelled.set()
             self.stats["cancelled"] += 1

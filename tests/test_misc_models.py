@@ -125,3 +125,50 @@ def test_baseline_inference(rng):
                             max_words=8, overlap=4)
     assert out.shape == (60, D)
     assert np.isfinite(out).all()
+
+
+def test_c2g_samples_cli_surface(rng, tmp_path):
+    """cli.tools.c2g_samples end-to-end: trained c2g + DAE checkpoints
+    -> per-cluster BVH samples via TWO batched device programs (the
+    per-cluster eager loop it replaces was tunnel-pathological)."""
+    import os
+
+    from gesture2vec_tpu.cli.tools import c2g_samples
+    from gesture2vec_tpu.data.datasets import all_frames, normalize
+    from gesture2vec_tpu.data.ingest import ingest_trinity
+    from gesture2vec_tpu.data.store import ClipStore
+    from gesture2vec_tpu.train.dae_trainer import train_dae
+    from tests.corpus import make_corpus
+
+    root = make_corpus(str(tmp_path / "corpus"), n_files=2, n_frames=160,
+                       with_audio=False)
+    store_dir, _ = ingest_trinity(root)
+    store = ClipStore(store_dir)
+    frames = normalize(all_frames(store), store.pose_mean,
+                       store.pose_std)
+
+    lat = 12
+    dae_cfg = _cfg(name="c2gs_dae", model="DAE", hidden_size=lat,
+                   input_motion_dim=frames.shape[1], epochs=1)
+    train_dae(dae_cfg, frames, frames[:32], save_dir=str(tmp_path),
+              save_every=100)
+    dae_ckpt = checkpoints.checkpoint_filename(str(tmp_path),
+                                               "c2gs_dae_H12", 1)
+
+    ids = rng.integers(0, 4, size=48).astype(np.int32)
+    latents = np.tile(ids[:, None, None] / 2.0 - 1.0,
+                      (1, T, lat)).astype(np.float32)
+    c2g_cfg = _cfg(name="c2gs", epochs=1, hidden_size=24)
+    train_c2g(c2g_cfg, ids, latents, ids[:8], latents[:8],
+              save_dir=str(tmp_path))
+    c2g_ckpt = checkpoints.checkpoint_filename(str(tmp_path), "c2gs", 1)
+
+    out_dir = str(tmp_path / "samples")
+    n = c2g_samples(c2g_ckpt, dae_ckpt, store_dir,
+                    os.path.join(root, "store", "data_pipe.json"),
+                    out_dir, n_clusters=4, samples_per_cluster=2)
+    assert n == 8
+    for cid in range(4):
+        for k in range(2):
+            p = os.path.join(out_dir, str(cid), f"sample_{k}.bvh")
+            assert os.path.getsize(p) > 1000, p
