@@ -36,10 +36,13 @@ WARMUP, ITERS = 2, 5
 MAX_ROUNDS = 3  # bounded retry rounds for the device side (see bench_jax)
 
 
-def _words():
-    rng = np.random.default_rng(0)
-    n = int(2.5 * DURATION_S)  # ~150 words/min speaking rate
-    starts = np.linspace(0.1, DURATION_S - 0.5, n)
+def _words(duration_s: float = None, seed: int = 0):
+    """Synthetic transcript at ~150 words/min. Shared with
+    benchmarks/serve_bench.py so both benchmarks use one workload."""
+    duration_s = DURATION_S if duration_s is None else duration_s
+    rng = np.random.default_rng(seed)
+    n = int(2.5 * duration_s)
+    starts = np.linspace(0.1, duration_s - 0.5, n)
     return [[f"word{rng.integers(200)}", float(s), float(s + 0.3)]
             for s in starts]
 

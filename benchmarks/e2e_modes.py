@@ -20,14 +20,12 @@ import bench as B  # noqa: E402
 def run_mode(**gen_kwargs) -> float:
     import gesture2vec_tpu.infer.text2gesture as t2g
 
-    holder = {}
     orig = t2g.GestureGenerator.__post_init__
 
     def patched(self):
         for k, v in gen_kwargs.items():
             setattr(self, k, v)
         orig(self)
-        holder["gen"] = self
 
     t2g.GestureGenerator.__post_init__ = patched
     try:

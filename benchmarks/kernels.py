@@ -16,13 +16,21 @@ from gesture2vec_tpu.ops.gru_pallas import gru_sequence_fused
 from gesture2vec_tpu.ops.vq_pallas import vq_argmin
 
 
+def _sync(out):
+    """Hard sync by fetching one scalar: block_until_ready on the axon
+    platform returns before device completion (benchmarks/README.md),
+    so timing with it under-reports device time."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0])
+
+
 def timeit(fn, *args, iters=20, warmup=3):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -49,8 +57,17 @@ def bench_vq():
 
 
 def bench_gru():
+    from gesture2vec_tpu.ops.gru_pallas import supported
+
     rng = np.random.default_rng(0)
     for (T, B, H) in ((20, 128, 200), (120, 256, 200)):
+        if not supported(T, B, H):
+            # the kernel pins the whole sequence in VMEM; shapes past
+            # the budget crash with RESOURCE_EXHAUSTED instead of
+            # falling back, so skip them like production callers do
+            print(f"gru T={T} B={B} H={H}: skipped "
+                  "(gru_pallas.supported()=False, VMEM budget)")
+            continue
         xp = jnp.asarray(rng.normal(size=(T, B, 3 * H)).astype(np.float32))
         h0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
         w_hh = jnp.asarray(rng.normal(size=(3 * H, H)).astype(np.float32)

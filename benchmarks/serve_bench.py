@@ -28,15 +28,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 from bench import build_generator  # noqa: E402  (shared model builder)
 
 
-def words_for(duration_s, seed=0):
-    rng = np.random.default_rng(seed)
-    n = int(2.5 * duration_s)
-    starts = np.linspace(0.1, duration_s - 0.5, n)
-    return [[f"word{rng.integers(200)}", float(s), float(s + 0.3)]
-            for s in starts]
+from bench import _words as words_for  # noqa: E402  (shared workload)
 
 
 def fire(port, words, duration_s, out):
+    """Appends the frame count on success, or raises - callers assert
+    len(out) afterwards so a failed/timed-out request cannot silently
+    deflate the reported frames/s."""
     body = json.dumps({"words": words, "duration_s": duration_s,
                        "format": "json"}).encode()
     req = urllib.request.Request(f"http://127.0.0.1:{port}/generate",
@@ -83,6 +81,8 @@ def main():
     for i in range(args.clients):
         fire(port, all_words[i], args.duration, out)
     seq_dt = time.perf_counter() - t0
+    assert len(out) == args.clients, \
+        f"sequential phase lost requests ({len(out)}/{args.clients})"
     seq_frames = sum(out)
 
     # concurrent: one fused device program per collected batch
@@ -96,6 +96,8 @@ def main():
     for t in threads:
         t.join()
     conc_dt = time.perf_counter() - t0
+    assert len(out) == args.clients, \
+        f"concurrent phase lost requests ({len(out)}/{args.clients})"
     conc_frames = sum(out)
 
     stats = httpd.worker.stats

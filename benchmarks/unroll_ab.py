@@ -88,16 +88,38 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
+    def force_trace(built):
+        """Compile NOW, while this side's build just set the trace-time
+        _SCAN_UNROLL global: jax.jit traces lazily, so without this the
+        first timed() call of side A would trace under side B's global
+        and both sides would lower to identical HLO (the bug that made
+        an earlier revision of this A/B compare a program to itself).
+        Donation means the warm call must run on a copy of the state.
+        Returns the lowered HLO text for the identity sanity check -
+        it must be captured here, while this side's global is live."""
+        step, state, args_ = built
+        text = step.lower(state, *args_).as_text()
+        st = jax.tree_util.tree_map(jnp.copy, state)
+        _, metrics = step(st, *args_)
+        _ = float(metrics["loss"])
+        return built, text
+
     if args.part == "d":
-        a = build_d(1, args.batch)
-        b = build_d(args.u, args.batch)
+        a, hlo_a = force_trace(build_d(1, args.batch))
+        b, hlo_b = force_trace(build_d(args.u, args.batch))
     else:
         dt = "bfloat16" if args.part == "b16" else "float32"
-        a = build_b(1, args.batch, dt)
-        b = build_b(args.u, args.batch, dt)
+        a, hlo_a = force_trace(build_b(1, args.batch, dt))
+        b, hlo_b = force_trace(build_b(args.u, args.batch, dt))
 
     (step_a, state_a, args_a) = a
     (step_b, state_b, args_b) = b
+    # sanity: the two sides must actually differ (unroll >= 2 changes
+    # the lowered scan structure); identical HLO means the knob was not
+    # applied and any "speedup" below would be pure noise
+    if args.u != 1 and hlo_a == hlo_b:
+        raise SystemExit("A/B invalid: both sides lowered to identical "
+                         "HLO - the unroll knob was not applied")
     ta, tb = [], []
     for rep in range(args.reps):
         dt, state_a = timed(step_a, state_a, args_a, args.iters)
