@@ -39,6 +39,10 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Per-test generator (seed 0): test inputs are order-independent -
+    a session-scoped shared stream made every test's data depend on
+    which tests ran before it (subset runs silently exercised different
+    inputs than the full suite)."""
     return np.random.default_rng(0)

@@ -198,3 +198,16 @@ def make_synthetic_bvh(n_frames: int = 240, fps: int = 60,
     for row in motion:
         buf.write(" ".join(f"{v:.6f}" for v in row) + "\n")
     return buf.getvalue()
+
+
+def make_smooth_windows(rng, n=64, t=10, d=24, phase=None):
+    """Smooth (n, t, d) pose-latent windows the autoencoders can learn:
+    per-sample base + sin(2*pi*ts + phase). phase=None uses the base as
+    its own phase (the historical test_mesh_training variant); pass a
+    generator-drawn phase array for the test_seq_ae variant."""
+    import numpy as np
+    base = rng.normal(size=(n, 1, d)).astype(np.float32)
+    if phase is None:
+        phase = base
+    ts = np.linspace(0, 1, t)[None, :, None].astype(np.float32)
+    return (base + np.sin(2 * np.pi * ts + phase)).astype(np.float32)

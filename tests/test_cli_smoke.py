@@ -179,7 +179,7 @@ def test_serve_cli(workdir):
          "out/vq/vq_checkpoint_001.bin", "--store", "corpus/store/train",
          "--pipeline", "corpus/store/data_pipe.json", "--mode", "decode",
          "--port", "0", "--batch-window-ms", "10", "--platform", "cpu"],
-        cwd=root, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        cwd=root, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
         text=True)
     try:
         # the CLI logs "serving on http://host:port" once ready; read

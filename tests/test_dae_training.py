@@ -129,5 +129,11 @@ def test_vq_tricks(corpus, tmp_path):
     state, hist = train_dae(cfg, frames, frames[:64], vq_tricks=True,
                             vq_start_epoch=2, vq_reestimate_every=2)
     assert np.isfinite(hist["train_loss"]).all()
-    # codebook was re-estimated: cluster_size reset to ones at epoch 2
     assert state.vq_state is not None
+    # the tricks must actually change the training trajectory: the same
+    # run WITHOUT them ends with a different codebook (delayed VQ start
+    # skips early-epoch quantization; k-means re-estimation at epoch 2
+    # replaces the codebook and resets the EMA state)
+    plain, _ = train_dae(cfg, frames, frames[:64])
+    assert not np.allclose(np.asarray(state.vq_state.codebook),
+                           np.asarray(plain.vq_state.codebook))

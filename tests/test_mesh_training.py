@@ -7,9 +7,8 @@ from gesture2vec_tpu.train.seq_ae_trainer import train_seq_ae
 
 
 def _windows(rng, n=64, t=8, d=12):
-    base = rng.normal(size=(n, 1, d)).astype(np.float32)
-    ts = np.linspace(0, 1, t)[None, :, None].astype(np.float32)
-    return (base + np.sin(2 * np.pi * ts + base)).astype(np.float32)
+    from tests.fixtures import make_smooth_windows
+    return make_smooth_windows(rng, n=n, t=t, d=d)
 
 
 def test_seq_ae_trains_on_mesh(rng):

@@ -54,7 +54,10 @@ def test_vq_flatten_modes_change_assignment(rng):
 
     ta, tb = tokens(a), tokens(b)
     assert ta.shape == tb.shape == (8,)
-    # both valid token streams; they need not agree
+    # the modes are genuinely different bottleneck semantics: with
+    # shared weights the assignments must differ (a silently no-op'd
+    # vq_flatten flag would make them identical)
+    assert not np.array_equal(ta, tb)
     assert ta.max() < 10 and tb.max() < 10
 
 

@@ -11,6 +11,7 @@ Slicer (:425-477), RootTransformer('abdolute_translation_deltas')
 """
 from __future__ import annotations
 
+import os
 import sys
 import types
 
@@ -42,6 +43,8 @@ def _load_reference_pymo():
     return ref_parsers, ref_pre
 
 
+if not os.path.isdir(REF_SCRIPTS):
+    pytest.skip("reference tree not present", allow_module_level=True)
 ref_parsers, ref_pre = _load_reference_pymo()
 
 

@@ -93,6 +93,7 @@ def test_seq_ae_bit_exact_resume(rng, tmp_path):
 
     flat_s = jax.tree_util.tree_leaves(straight.params)
     flat_r = jax.tree_util.tree_leaves(resumed.params)
+    assert len(flat_s) == len(flat_r)  # zip must not truncate silently
     for a, b in zip(flat_s, flat_r):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 

@@ -23,11 +23,9 @@ def _config(**kw):
 
 
 def _windows(rng, n=64, t=10, d=24):
-    # smooth sequences so the autoencoder has structure to learn
-    base = rng.normal(size=(n, 1, d)).astype(np.float32)
+    from tests.fixtures import make_smooth_windows
     phase = rng.uniform(0, 6, size=(n, 1, d)).astype(np.float32)
-    ts = np.linspace(0, 1, t)[None, :, None].astype(np.float32)
-    return (base + np.sin(2 * np.pi * ts + phase)).astype(np.float32)
+    return make_smooth_windows(rng, n=n, t=t, d=d, phase=phase)
 
 
 def test_forward_shapes(rng):
@@ -98,6 +96,13 @@ def test_vq_flatten_modes_differ(rng):
     r2 = m2.apply(v, x, x, train=False,
                   rngs={"dropout": jax.random.PRNGKey(2)})
     assert r1["outputs"].shape == r2["outputs"].shape
+    # the flatten modes are genuinely different bottleneck semantics:
+    # with shared weights, torch_view interleaves pairs of batch
+    # elements through the VQ rows, so the assignments must differ
+    t1 = np.argmax(np.asarray(r1["vq"].encodings), axis=1)
+    t2 = np.argmax(np.asarray(r2["vq"].encodings), axis=1)
+    assert not np.array_equal(t1, t2), \
+        "parity (torch_view) quantization degenerated to per_sample"
 
 
 def test_unconditioned_decoder(rng):
@@ -165,10 +170,8 @@ def test_bf16_compute_mode_trains(rng):
     assert res["outputs"].dtype == jnp.float32
     assert res["vq"].encodings.dtype == jnp.float32
 
-    base2 = np.random.default_rng(1).normal(
-        size=(64, 1, 12)).astype(np.float32)
-    ts = np.linspace(0, 1, 8)[None, :, None].astype(np.float32)
-    w = (base2 + np.sin(2 * np.pi * ts + base2)).astype(np.float32)
+    from tests.fixtures import make_smooth_windows
+    w = make_smooth_windows(np.random.default_rng(1), n=64, t=8, d=12)
     _, hist = train_seq_ae(cfg, w, w[:16])
     assert np.isfinite(hist["train_loss"]).all()
     assert hist["train_loss"][-1] < hist["train_loss"][0]

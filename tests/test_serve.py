@@ -135,44 +135,85 @@ class _SlowGen:
         return [self._one() for _ in transcripts]
 
 
-def test_worker_backpressure_and_cancellation():
-    import time
+class _GatedGen:
+    """Generator whose calls signal entry and block on an explicit
+    release event - the backpressure test synchronizes on these instead
+    of wall-clock sleeps (this 1-core box has +-50% scheduling drift)."""
 
+    def __init__(self):
+        self.entered = threading.Event()
+        self.release = threading.Event()
+
+    def _one(self):
+        return np.zeros((4, 3), np.float32), np.zeros(2, np.int64)
+
+    def _gate(self):
+        self.entered.set()
+        assert self.release.wait(30)
+        self.release.clear()
+        self.entered.clear()
+
+    def generate(self, words, duration_s):
+        self._gate()
+        return self._one()
+
+    def generate_batch(self, transcripts, durations_s, mesh=None):
+        self._gate()
+        return [self._one() for _ in transcripts]
+
+
+def _wait(cond, timeout_s=10.0):
+    import time
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if cond():
+            return True
+        time.sleep(0.01)
+    return False
+
+
+def test_worker_backpressure_and_cancellation():
     from gesture2vec_tpu.serve.server import (BatchingWorker,
                                               QueueFullError)
 
-    w = BatchingWorker(_SlowGen(1.0), max_batch=1, batch_window_s=0.01,
+    gen = _GatedGen()
+    w = BatchingWorker(gen, max_batch=1, batch_window_s=0.01,
                        queue_depth=1)
     try:
-        # occupy the device with one request...
+        # occupy the device with one request (worker is inside generate)
         t = threading.Thread(target=lambda: w.submit([], 1.0),
                              daemon=True)
         t.start()
-        time.sleep(0.3)  # worker drained it and is sleeping in generate
+        assert gen.entered.wait(10)
         # ...fill the single queue slot...
         t2 = threading.Thread(target=lambda: w.submit([], 1.0),
                               daemon=True)
         t2.start()
-        time.sleep(0.1)
+        assert _wait(w._q.full)
         # ...now the queue is full: immediate 429-class rejection
         with pytest.raises(QueueFullError):
             w.submit([], 1.0)
         assert w.stats["rejected"] == 1
 
-        # wait for the first request to finish so the queued one gets
-        # drained (queue empty, device busy again)
-        time.sleep(1.2)
+        # release request 1; the worker drains request 2 and blocks in
+        # generate again (entered set) with the queue empty
+        gen.release.set()
+        t.join(timeout=10)
+        assert gen.entered.wait(10)
+        assert _wait(w._q.empty)
         # a submit that times out is marked cancelled and the collector
         # drops it without spending a device program
         with pytest.raises(TimeoutError):
             w.submit([], 1.0, timeout_s=0.05)
         assert w.stats["cancelled"] == 1
-        t.join(timeout=10)
+        gen.release.set()
         t2.join(timeout=10)
-        time.sleep(1.5)  # let the collector reach the cancelled entry
-        # 2 real requests ran; the cancelled one never became a batch
+        # the collector's next drain sees only the cancelled entry and
+        # skips it: requests stays 2
+        assert _wait(lambda: w._q.empty() and w.stats["requests"] == 2)
         assert w.stats["requests"] == 2
     finally:
+        gen.release.set()
         w.close()
 
 
