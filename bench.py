@@ -5,10 +5,16 @@ text -> tokens -> latents -> frames inference path, vs the PyTorch-CPU
 reference (the reference is pure PyTorch with no committed GPU numbers,
 see BASELINE.md). Both sides run the generative decode path at
 production shapes (hidden 200, 512 codes, 2 layers, 20-frame chunks,
-120-frame sentence windows) over a 60-second transcript.
+120-frame sentence windows). The JAX side runs a 30-minute transcript
+(DURATION_S) to amortize the ~34 ms/call axon-tunnel dispatch floor;
+the torch side runs a 120 s slice of the same workload (its frames/s is
+duration-independent - no per-call dispatch floor). Both sides use the
+same best-of-N retry policy (best_of_rounds); per-side round counts are
+reported next to the headline number.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N,
+   "jax_rounds": R1, "torch_rounds": R2}
 """
 from __future__ import annotations
 
@@ -33,7 +39,32 @@ N_WORDS, MAXW = 5000, 48
 DURATION_S = 1800.0
 TORCH_DURATION_S = 120.0
 WARMUP, ITERS = 2, 5
-MAX_ROUNDS = 3  # bounded retry rounds for the device side (see bench_jax)
+MAX_ROUNDS = 3  # bounded retry rounds, same policy both sides
+
+
+def best_of_rounds(run_once, iters: int = ITERS,
+                   max_rounds: int = MAX_ROUNDS):
+    """Best-of-N with bounded retry, applied identically to the JAX and
+    torch sides: ambient load swings this box's timings by +-50%
+    (benchmarks/README.md); the minimum over all rounds is the least
+    contaminated estimate of the code's own speed. Extra rounds run only
+    while they still improve the best by >5% (i.e. while we are visibly
+    inside a load spike). Returns (best_seconds, rounds_used)."""
+    best = float("inf")
+    rounds = 0
+    for _ in range(max_rounds):
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            run_once()
+            times.append(time.perf_counter() - t0)
+        rounds += 1
+        round_best = min(times)
+        if round_best >= best * 0.95:
+            best = min(best, round_best)
+            break
+        best = round_best
+    return best, rounds
 
 
 def _words(duration_s: float = None, seed: int = 0):
@@ -117,31 +148,14 @@ def build_generator(hid: int = HID, rep: int = REP, k: int = K,
         mode="decode", seed=0)
 
 
-def bench_jax() -> float:
+def bench_jax():
     gen = build_generator()
     words = _words()
     for _ in range(WARMUP):
         gen.generate(words, DURATION_S)
-    # best-of-N with bounded retry: ambient tunnel load swings per-call
-    # latency by +-50% on this box (benchmarks/README.md); the minimum
-    # over all rounds is the least contaminated estimate of the code's
-    # own speed. Extra rounds run only while they still improve the
-    # best by >5% (i.e. while we are visibly inside a load spike).
-    best = float("inf")
-    n_frames = None
-    for _ in range(MAX_ROUNDS):
-        times = []
-        for _ in range(ITERS):
-            t0 = time.perf_counter()
-            frames, _ = gen.generate(words, DURATION_S)
-            times.append(time.perf_counter() - t0)
-        n_frames = frames.shape[0]
-        round_best = min(times)
-        if round_best >= best * 0.95:
-            best = min(best, round_best)
-            break
-        best = round_best
-    return n_frames / best
+    n_frames = gen.generate(words, DURATION_S)[0].shape[0]
+    best, rounds = best_of_rounds(lambda: gen.generate(words, DURATION_S))
+    return n_frames / best, rounds
 
 
 def make_torch_baseline_models():
@@ -252,22 +266,21 @@ def bench_torch_cpu() -> float:
 
     for _ in range(WARMUP):
         run()
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        total = run()
-        times.append(time.perf_counter() - t0)
-    return total / float(min(times))
+    total = run()
+    best, rounds = best_of_rounds(run)
+    return total / best, rounds
 
 
 def main():
-    jax_fps = bench_jax()
-    torch_fps = bench_torch_cpu()
+    jax_fps, jax_rounds = bench_jax()
+    torch_fps, torch_rounds = bench_torch_cpu()
     print(json.dumps({
         "metric": "end-to-end text->gesture inference throughput",
         "value": round(jax_fps, 1),
         "unit": "frames/sec",
         "vs_baseline": round(jax_fps / torch_fps, 2),
+        "jax_rounds": jax_rounds,
+        "torch_rounds": torch_rounds,
     }))
 
 

@@ -29,7 +29,7 @@ def run_mode(**gen_kwargs) -> float:
 
     t2g.GestureGenerator.__post_init__ = patched
     try:
-        fps = B.bench_jax()
+        fps, _ = B.bench_jax()
     finally:
         t2g.GestureGenerator.__post_init__ = orig
     return fps

@@ -66,9 +66,20 @@ def kmeans_fit(x: jnp.ndarray, k: int, *, key: jax.Array = None,
             onehot = jax.nn.one_hot(labels, k, dtype=x.dtype)
             counts = onehot.sum(axis=0)
             sums = jnp.matmul(onehot.T, x, precision="highest")
-            return jnp.where(counts[:, None] > 0,
-                             sums / jnp.maximum(counts[:, None], 1),
-                             centers)
+            means = jnp.where(counts[:, None] > 0,
+                              sums / jnp.maximum(counts[:, None], 1),
+                              centers)
+            # sklearn semantics (the reference's engine,
+            # Clustering.py:586-591): empty clusters are relocated to
+            # the samples farthest from their assigned center
+            # (_relocate_empty_clusters), one distinct far point per
+            # empty cluster - never left frozen at a dead center.
+            point_d = jnp.take_along_axis(d, labels[:, None],
+                                          axis=1)[:, 0]
+            far = x[jnp.argsort(-point_d)[:k]]          # (<=k, dim)
+            empty = counts == 0
+            rank = jnp.clip(jnp.cumsum(empty) - 1, 0, far.shape[0] - 1)
+            return jnp.where(empty[:, None], far[rank], means)
 
         def cond(carry):
             _, shift, it = carry

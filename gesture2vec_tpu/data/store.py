@@ -95,14 +95,19 @@ class ClipStore:
     def arrays(self, i: int) -> Dict[str, np.ndarray]:
         if i in self._cache:
             self._cache.move_to_end(i)
-            return self._cache[i]
+            return dict(self._cache[i])
         with np.load(os.path.join(self.root, self.clips[i]["file"]),
                      allow_pickle=False) as z:
             arrs = {k: z[k] for k in z.files}
+        # cached arrays are shared across calls: freeze them so an
+        # accidental in-place mutation raises instead of corrupting the
+        # cache, and hand out a fresh dict per call
+        for a in arrs.values():
+            a.flags.writeable = False
         self._cache[i] = arrs
         if len(self._cache) > self._CACHE_DEPTH:
             self._cache.popitem(last=False)
-        return arrs
+        return dict(arrs)
 
     def __getitem__(self, i: int) -> Dict[str, Any]:
         entry = dict(self.clips[i])

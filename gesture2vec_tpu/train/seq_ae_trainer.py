@@ -97,14 +97,14 @@ def make_train_step(config: Config, model: SeqVQAutoencoder,
                 kld = kld_loss_standard(res["mean"], res["logvar"])
                 loss = loss + kld * 0.1 * epoch / total_epochs
             if model.use_vq:
-                # vq term scaled by 1/400, added from epoch 1
-                # (ref: train_seq2seq.py:734-738, vq_start_epoch=0 and
-                # `if epoch > vq_start_epoch`). Quantization itself is
-                # NOT gated: the reference forward hardcodes
-                # vq_layer_active=True (model :974-975), overriding the
-                # epoch argument the train iter passes.
-                loss = loss + jnp.where(epoch > 0.0,
-                                        res["vq"].loss / 400.0, 0.0)
+                # vq term scaled by 1/400, applied every epoch: the
+                # reference's epoch loop is 1-indexed
+                # (train_autoencoder_VQVAE.py:163,212) so its
+                # `if epoch > vq_start_epoch(0)` gate
+                # (train_seq2seq.py:734-738) is always true.
+                # Quantization itself is likewise not gated: the forward
+                # hardcodes vq_layer_active=True (model :974-975).
+                loss = loss + res["vq"].loss / 400.0
             perp = (res["vq"].perplexity if model.use_vq
                     else jnp.zeros(()))
             return loss, {"perplexity": perp,
@@ -169,13 +169,15 @@ def make_ssl_train_step(config: Config, model: SeqVQAutoencoder,
             sim_loss = jnp.mean(signed)
             loss = rec + config.loss_label_weight * sim_loss
             if model.use_vae:
-                # annealed KLD from epoch 11: the SSL iter's
-                # kl_start_epoch is 10, unlike the main iter's 0
-                # (ref: train_seq2seq.py:399-402)
+                # annealed KLD from the reference's 11th epoch: its loop
+                # is 1-indexed and gates `epoch > kl_start_epoch(10)`
+                # with weight 0.1*(epoch-10)/N (ref:
+                # train_seq2seq.py:399-402). Our epochs are 0-indexed, so
+                # shift by one to keep the same schedule.
                 kld = kld_loss_standard(res["mean"], res["logvar"])
                 loss = loss + jnp.where(
-                    epoch > 10.0,
-                    kld * 0.1 * (epoch - 10.0) / total_epochs, 0.0)
+                    (epoch + 1.0) > 10.0,
+                    kld * 0.1 * (epoch + 1.0 - 10.0) / total_epochs, 0.0)
             perp = jnp.zeros(())
             if model.use_vq:
                 loss = loss + res["vq"].loss / 400.0

@@ -27,6 +27,48 @@ def test_kmeans_separates_blobs(rng):
     np.testing.assert_array_equal(pred, labels)
 
 
+def test_kmeans_reseeds_empty_clusters(rng):
+    """k greater than the number of distinct points forces empty
+    clusters every Lloyd iteration; sklearn relocates them to far
+    points (Clustering.py:586-591 uses sklearn) rather than leaving
+    dead centers. Without relocation, inertia stays pinned by the
+    farthest blob."""
+    # 3 tight blobs, k=8: 5 clusters would die without relocation
+    blob_centers = np.array([[0, 0], [50, 0], [0, 50]], np.float32)
+    x = np.concatenate([
+        c + rng.normal(0, 0.1, size=(40, 2)) for c in blob_centers
+    ]).astype(np.float32)
+    res = kmeans_fit(x, 8, key=jax.random.PRNGKey(3), n_init=1,
+                     max_iter=50)
+    labels = np.asarray(res.labels)
+    counts = np.bincount(labels, minlength=8)
+    # relocation keeps every cluster populated (each blob has 40
+    # points; far-point reseeding splits blobs instead of dying)
+    assert (counts > 0).all(), counts
+    # and the split-blob solution has far lower inertia than the
+    # 3-center optimum would allow dead centers to reach
+    assert float(res.inertia) < 40 * 3 * 0.1 ** 2 * 2 * 10
+
+
+def test_kmeans_matches_sklearn_quality(rng):
+    """Fixture comparison against the reference's actual engine: our
+    best-of-n_init fit must reach sklearn's inertia (within 5%) on a
+    corpus-like mixture, including a duplicate-heavy column that
+    provokes empties."""
+    from sklearn.cluster import KMeans
+
+    x = np.concatenate([
+        rng.normal(i * 3, 0.5, size=(30, 6)) for i in range(5)
+    ]).astype(np.float32)
+    x[:20] = x[0]  # duplicates: k-means++ may seed twice here
+    k = 12
+    ours = kmeans_fit(x, k, key=jax.random.PRNGKey(0), n_init=10,
+                      max_iter=300)
+    sk = KMeans(n_clusters=k, n_init=10, max_iter=300,
+                random_state=0).fit(x)
+    assert float(ours.inertia) <= sk.inertia_ * 1.05
+
+
 def test_kmeans_save_load(tmp_path, rng):
     x = rng.normal(size=(64, 4)).astype(np.float32)
     res = kmeans_fit(x, 4, key=jax.random.PRNGKey(1), n_init=2,
