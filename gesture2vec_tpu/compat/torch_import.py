@@ -297,6 +297,41 @@ def convert_audio_encoder_state(sd: Dict[str, Any], n_layers: int = 2
     return params, {"wav_encoder": wav_s}
 
 
+def convert_wav_encoder_tri_state(sd: Dict[str, Any], prefix: str = ""
+                                  ) -> Tuple[Dict[str, Any],
+                                             Dict[str, Any]]:
+    """WavEncoder_tri state dict (ref: Helper_models.py:325-368) ->
+    (params, batch_stats) for models.audio.WavEncoderTri.
+
+    Reference keys: feat_extractor.{0,3,6,9} convs interleaved with
+    .{1,4,7} BatchNorm1d, plus out_layer. The out_layer weight's input
+    axis is re-permuted: torch flattens the conv output channel-major
+    ((C, T) -> c*T+t) while our channels-last layout flattens
+    time-major (t*C+c)."""
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    for i, conv_idx in enumerate((0, 3, 6, 9)):
+        w = np.asarray(sd[f"{prefix}feat_extractor.{conv_idx}.weight"])
+        p[f"conv{i}"] = {
+            "kernel": np.ascontiguousarray(w.transpose(2, 1, 0)),
+            "bias": np.asarray(
+                sd[f"{prefix}feat_extractor.{conv_idx}.bias"])}
+        if i < 3:
+            bn_p, bn_s = _batchnorm(sd,
+                                    f"{prefix}feat_extractor.{conv_idx + 1}")
+            p[f"bn{i}"] = bn_p
+            s[f"bn{i}"] = bn_s
+    w_out = np.asarray(sd[f"{prefix}out_layer.weight"])   # (H, C*T)
+    out_dim, flat = w_out.shape
+    n_ch = p["conv3"]["kernel"].shape[-1]
+    t_len = flat // n_ch
+    w_perm = w_out.reshape(out_dim, n_ch, t_len).transpose(0, 2, 1) \
+        .reshape(out_dim, flat)
+    p["out_layer"] = {"kernel": _t(w_perm),
+                      "bias": np.asarray(sd[f"{prefix}out_layer.bias"])}
+    return p, s
+
+
 def merge_params(base: Dict[str, Any], update: Dict[str, Any]
                  ) -> Dict[str, Any]:
     """Deep-merge a (possibly partial) converted param tree over

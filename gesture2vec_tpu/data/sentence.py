@@ -31,7 +31,8 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
                            mean: Optional[np.ndarray] = None,
                            std: Optional[np.ndarray] = None,
                            include_audio: bool = False,
-                           audio_sr: int = 16000
+                           audio_sr: int = 16000,
+                           sentence_embedding=None
                            ) -> Dict[str, np.ndarray]:
     """Returns arrays:
       word_ids (N, max_words) int32 padded with PAD=0, SOS/EOS included
@@ -40,6 +41,10 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
       poses    (N, sentence_frame_length, D) float32 normalized
       mel      (N, seconds, 128, frames) when include_audio (per-second
                mel chunks, ref: data_preprocessor.py:248-263)
+      sentence_emb (N, dim) when a sentence_embedding provider is given
+               (the reference's GPT3_Embedding batch slot, ref:
+               lmdb_data_loader.py:67-119 + data_preprocessor.py:459-472
+               — see text/sentence_embedding.py)
     """
     mean = store.pose_mean if mean is None else mean
     std = store.pose_std if std is None else std
@@ -73,6 +78,11 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
 
     out = {"word_ids": word_ids, "lengths": lengths, "tokens": tokens,
            "poses": poses}
+
+    if sentence_embedding is not None:
+        sentences = [" ".join(t[0] for t in w["words"]) for w in wins]
+        out["sentence_emb"] = sentence_embedding.embed_batch(sentences) \
+            .astype(np.float32)
 
     if include_audio:
         from gesture2vec_tpu.io.audio import mel_chunks_per_second

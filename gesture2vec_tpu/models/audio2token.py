@@ -21,11 +21,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gesture2vec_tpu.models.gru import make_decoder_scan
-from gesture2vec_tpu.models.audio import AudioContextEncoder
+from gesture2vec_tpu.models.audio import (AudioContextEncoder,
+                                          AudioTextFusionEncoder)
 from gesture2vec_tpu.models.text2token import TokenDecoderStep
 
 
 class Audio2Token(nn.Module):
+    """fusion="audio" (default): the shipped Audio_Features=True branch,
+    mel chunks only. fusion="both": the text+audio branch (ref
+    both=True, Helper_models.py:246-253 - repaired, see
+    models.audio.AudioTextFusionEncoder), encoder inputs are a
+    (word_ids, wav_chunks) tuple."""
+
     n_tokens: int
     hidden_size: int
     n_layers: int
@@ -33,21 +40,38 @@ class Audio2Token(nn.Module):
     n_pre_poses: int = 2
     dropout: float = 0.2
     use_attention: bool = True
+    fusion: str = "audio"          # "audio" | "both"
+    n_words: int = 0               # required when fusion="both"
+    embed_size: int = 300
 
     def setup(self):
-        self.encoder = AudioContextEncoder(hidden_size=self.hidden_size,
-                                           n_layers=self.n_layers,
-                                           dropout=self.dropout)
+        if self.fusion == "both":
+            self.encoder = AudioTextFusionEncoder(
+                n_words=self.n_words, hidden_size=self.hidden_size,
+                embed_size=self.embed_size, n_layers=self.n_layers,
+                dropout=self.dropout)
+        else:
+            self.encoder = AudioContextEncoder(
+                hidden_size=self.hidden_size, n_layers=self.n_layers,
+                dropout=self.dropout)
         self.decoder_step = TokenDecoderStep(
             hidden_size=self.hidden_size, n_tokens=self.n_tokens,
             n_layers=self.n_layers, dropout_p=self.dropout,
             use_attention=self.use_attention)
 
-    def encode_audio(self, mel_chunks: jnp.ndarray, train: bool = False
+    def encode_audio(self, encoder_inputs, train: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """mel_chunks (B, S, n_mels, frames) -> (encoder outputs
-        (S, B, H), decoder-initial hidden (L, B, H))."""
-        enc_outs, enc_hidden = self.encoder(mel_chunks, train=train)
+        """fusion="audio": encoder_inputs is mel_chunks
+        (B, S, n_mels, frames). fusion="both": a (word_ids (B, T),
+        wav_chunks (B, S, samples)) tuple. Returns (encoder outputs
+        (S|T, B, H), decoder-initial hidden (L, B, H))."""
+        if self.fusion == "both":
+            word_ids, wav_chunks = encoder_inputs
+            enc_outs, enc_hidden = self.encoder(word_ids, wav_chunks,
+                                                train=train)
+        else:
+            enc_outs, enc_hidden = self.encoder(encoder_inputs,
+                                                train=train)
         return enc_outs, enc_hidden[: self.n_layers]
 
     def decode_tokens(self, enc_outs: jnp.ndarray, dec_hidden: jnp.ndarray,
@@ -76,10 +100,10 @@ class Audio2Token(nn.Module):
         return {"logits": jnp.transpose(logits, (1, 0, 2)),
                 "attentions": attns}
 
-    def __call__(self, mel_chunks: jnp.ndarray,
-                 target_tokens: jnp.ndarray, train: bool = False
-                 ) -> Dict[str, Any]:
-        """mel_chunks (B, S, n_mels, frames); target_tokens (B, n_steps)."""
-        enc_outs, dec_hidden = self.encode_audio(mel_chunks, train=train)
+    def __call__(self, encoder_inputs, target_tokens: jnp.ndarray,
+                 train: bool = False) -> Dict[str, Any]:
+        """encoder_inputs: see encode_audio; target_tokens (B, n_steps)."""
+        enc_outs, dec_hidden = self.encode_audio(encoder_inputs,
+                                                 train=train)
         return self.decode_tokens(enc_outs, dec_hidden, target_tokens,
                                   train=train)

@@ -36,27 +36,45 @@ class A2TTrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_audio2token(config: Config) -> Audio2Token:
+def make_audio2token(config: Config, n_words: int = 0) -> Audio2Token:
+    """n_words is required (vocab size) when config.audio_fusion is
+    "both" (text+audio fusion, ref Helper_models.py both=True)."""
     set_scan_unroll(config.scan_unroll)
     n_steps = config.sentence_frame_length // config.n_poses
+    if config.audio_fusion == "both" and n_words <= 0:
+        raise ValueError("audio_fusion='both' needs n_words > 0")
     return Audio2Token(n_tokens=config.autoencoder_vq_components,
                        hidden_size=config.hidden_size,
                        n_layers=config.n_layers,
                        n_steps=n_steps,
                        n_pre_poses=config.n_pre_poses,
                        dropout=config.dropout_prob,
-                       use_attention=config.autoencoder_att)
+                       use_attention=config.autoencoder_att,
+                       fusion=config.audio_fusion,
+                       n_words=n_words,
+                       embed_size=config.wordembed_dim)
+
+
+def _example_inputs(model: Audio2Token, audio_shape, max_words: int = 8):
+    """Dummy encoder inputs for init: audio_shape is (seconds, n_mels,
+    frames) for fusion="audio", (chunks, samples) for "both"."""
+    if model.fusion == "both":
+        return (jnp.zeros((2, max_words), jnp.int32),
+                jnp.zeros((2,) + tuple(audio_shape), jnp.float32))
+    return jnp.zeros((2,) + tuple(audio_shape), jnp.float32)
 
 
 def init_state(model: Audio2Token, rng: jax.Array,
                optimizer: optax.GradientTransformation,
-               mel_shape: Tuple[int, int, int]) -> A2TTrainState:
-    """mel_shape: (seconds, n_mels, frames) of one window."""
-    mel = jnp.zeros((2,) + tuple(mel_shape), jnp.float32)
+               mel_shape: Tuple[int, ...],
+               max_words: int = 8) -> A2TTrainState:
+    """mel_shape: (seconds, n_mels, frames) of one window, or
+    (chunks, samples) raw-wave shape when model.fusion == "both"."""
+    enc_in = _example_inputs(model, mel_shape, max_words)
     tgt = jnp.zeros((2, model.n_steps), jnp.int32)
     variables = model.init({"params": rng,
                             "dropout": jax.random.fold_in(rng, 1)},
-                           mel, tgt, train=False)
+                           enc_in, tgt, train=False)
     return A2TTrainState(params=variables["params"],
                          opt_state=optimizer.init(variables["params"]),
                          batch_stats=variables.get("batch_stats", {}),
@@ -65,11 +83,16 @@ def init_state(model: Audio2Token, rng: jax.Array,
 
 def make_train_step(model: Audio2Token,
                     optimizer: optax.GradientTransformation):
-    def step(state: A2TTrainState, mel, targets, rng: jax.Array):
+    def step(state: A2TTrainState, *args):
+        # args = (*encoder_inputs, targets, rng): one encoder input
+        # (mel) for fusion="audio", two (word_ids, wav) for "both"
+        *enc_in, targets, rng = args
+        enc_in = enc_in[0] if len(enc_in) == 1 else tuple(enc_in)
+
         def loss_fn(params):
             res, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                mel, targets, train=True, rngs={"dropout": rng},
+                enc_in, targets, train=True, rngs={"dropout": rng},
                 mutable=["batch_stats"])
             loss = token_cross_entropy(res["logits"], targets)
             return loss, mut["batch_stats"]
@@ -86,10 +109,12 @@ def make_train_step(model: Audio2Token,
 
 
 def make_eval_step(model: Audio2Token):
-    def step(state: A2TTrainState, mel, targets):
+    def step(state: A2TTrainState, *args):
+        *enc_in, targets = args
+        enc_in = enc_in[0] if len(enc_in) == 1 else tuple(enc_in)
         res = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            mel, targets, train=False)
+            enc_in, targets, train=False)
         loss = token_cross_entropy(res["logits"], targets)
         pred = jnp.argmax(res["logits"], axis=-1)
         acc = jnp.mean((pred[:, 1:] == targets[:, 1:]).astype(jnp.float32))
@@ -102,14 +127,21 @@ def train_audio2token(config: Config, data: Dict[str, np.ndarray],
                       val_data: Dict[str, np.ndarray],
                       save_dir=None, save_every: int = 20,
                       log_every: int = 50,
-                      resume_from: Optional[str] = None
+                      resume_from: Optional[str] = None,
+                      n_words: int = 0
                       ) -> Tuple[A2TTrainState, Dict[str, list]]:
-    """data: {mel (N, S, n_mels, frames), tokens (N, n_steps)}."""
+    """data: {mel (N, S, n_mels, frames), tokens (N, n_steps)} for
+    audio_fusion="audio"; {word_ids (N, T), wav (N, S, samples),
+    tokens} plus n_words for audio_fusion="both"."""
     seed = max(config.random_seed, 0)
     rng = jax.random.PRNGKey(seed)
-    model = make_audio2token(config)
+    model = make_audio2token(config, n_words=n_words)
     optimizer = make_optimizer(config.learning_rate)
-    state = init_state(model, rng, optimizer, data["mel"].shape[1:])
+    both = model.fusion == "both"
+    audio_key = "wav" if both else "mel"
+    state = init_state(model, rng, optimizer, data[audio_key].shape[1:],
+                       max_words=(data["word_ids"].shape[1] if both
+                                  else 8))
     start_epoch = 0
     if resume_from:
         state, rng, start_epoch, _ = checkpoints.restore_for_resume(
@@ -131,20 +163,24 @@ def train_audio2token(config: Config, data: Dict[str, np.ndarray],
             path, config=config, epoch=epoch1, params=st.params,
             pose_dim=config.autoencoder_vq_components,
             extra={"batch_stats": st.batch_stats,
-                   "mel_shape": list(data["mel"].shape[1:]),
+                   "mel_shape": list(data[audio_key].shape[1:]),
+                   "n_words": n_words,
                    **checkpoints.resume_extra(st, save_rng, config)},
             kind="audio2token")
         logging.info("saved checkpoint %s", path)
 
+    fields = (("word_ids", "wav", "tokens") if both
+              else ("mel", "tokens"))
     return run_token_training(
-        config, state, rng, start_epoch, ("mel", "tokens"), data,
+        config, state, rng, start_epoch, fields, data,
         val_data, train_step, eval_step, place, save, save_every,
         log_every)
 
 
 @checkpoints.register_model_kind("audio2token")
 def _build_a2t(config: Config, payload: dict):
-    model = make_audio2token(config)
+    model = make_audio2token(
+        config, n_words=int(payload["extra"].get("n_words", 0)))
     variables = {"params": payload["params"],
                  "batch_stats": payload["extra"].get("batch_stats", {})}
     return model, variables

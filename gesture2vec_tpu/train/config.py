@@ -123,6 +123,10 @@ class Config:
     rvq_stages: int = 2
     eval_dropout_quirk: bool = True  # reproduce the reference's eval-time
     # 0.95 decoder dropout (ref: Autoencoder_VQVAE_model.py:570)
+    audio_fusion: str = "audio"  # audio2token encoder: "audio" (the
+    # shipped Audio_Features=True branch) | "both" (the text+audio
+    # fusion branch, ref Helper_models.py both=True - repaired, see
+    # models/audio.AudioTextFusionEncoder)
 
     extras: Dict[str, Any] = dataclasses.field(default_factory=dict)
 

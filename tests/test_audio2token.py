@@ -62,6 +62,42 @@ def test_audio2token_trains(rng, tmp_path):
     assert res["logits"].shape == (4, SENT_LEN // N_POSES, CODES)
 
 
+def test_audio2token_both_fusion_trains(rng, tmp_path):
+    """The text+audio fusion variant (audio_fusion='both', ref
+    Helper_models.py both=True - repaired): raw-wave chunks + word ids
+    -> tokens. Tokens are a function of both the chunk amplitude and a
+    marker word, so only the fused encoder can fit the mapping; loss
+    must fall and the checkpoint kind must round-trip."""
+    n, t_words, s_chunks, samples, n_words = 48, 6, 2, 1200, 20
+    tokens = rng.integers(0, CODES, size=(n, SENT_LEN // N_POSES))
+    wav = rng.normal(scale=0.05,
+                     size=(n, s_chunks, samples)).astype(np.float32)
+    word_ids = rng.integers(4, n_words, size=(n, t_words)) \
+        .astype(np.int32)
+    for i in range(n):
+        wav[i] += tokens[i, 0] / CODES          # amplitude carries token 0
+        word_ids[i, 0] = 4 + tokens[i, -1] % (n_words - 4)  # word marks last
+    data = {"word_ids": word_ids, "wav": wav,
+            "tokens": tokens.astype(np.int32)}
+    cfg = _cfg(audio_fusion="both", epochs=5, wordembed_dim=16)
+    state, hist = train_audio2token(cfg, data,
+                                    {k: v[:16] for k, v in data.items()},
+                                    save_dir=str(tmp_path),
+                                    save_every=100, n_words=n_words)
+    assert np.isfinite(hist["train_loss"]).all()
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+    from gesture2vec_tpu.train import checkpoints
+    ckpt = os.path.join(str(tmp_path), "a2t_checkpoint_005.bin")
+    model, variables, _ = checkpoints.load_checkpoint_and_model(
+        ckpt, "audio2token")
+    assert model.fusion == "both" and model.n_words == n_words
+    res = model.apply(variables,
+                      (jnp.asarray(word_ids[:4]), jnp.asarray(wav[:4])),
+                      jnp.asarray(data["tokens"][:4]), train=False)
+    assert res["logits"].shape == (4, SENT_LEN // N_POSES, CODES)
+
+
 def test_audio2token_mesh_matches_single_device(rng):
     """config.mesh_shape in the audio trainer: dp-sharded run matches
     single-device losses."""

@@ -337,6 +337,67 @@ def test_audio_encoder_batch_reshape_defect_literal(ref_mods, rng):
                                np.asarray(ours_row0), atol=1e-5)
 
 
+def test_wav_encoder_tri_parity_literal(ref_mods, rng):
+    """WavEncoderTri vs the LITERAL WavEncoder_tri (ref:
+    Helper_models.py:325-368) on 1-second 16 kHz chunks (the only
+    length its Linear(32*15, 200) accepts): identical features after
+    weight conversion."""
+    from gesture2vec_tpu.compat.torch_import import (
+        convert_wav_encoder_tri_state)
+    from gesture2vec_tpu.models.audio import WavEncoderTri
+
+    torch.manual_seed(11)
+    ref = ref_mods["Helper_models"].WavEncoder_tri().eval()
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm1d):
+                m.running_mean.uniform_(-0.3, 0.3)
+                m.running_var.uniform_(0.7, 1.4)
+
+    wav = rng.normal(size=(3, 16000)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(wav))
+
+    model = WavEncoderTri(out_dim=200)
+    init = model.init(jax.random.PRNGKey(0), jnp.asarray(wav))
+    params, stats = convert_wav_encoder_tri_state(_sd(ref))
+    variables = {"params": merge_params(init["params"], params),
+                 "batch_stats": merge_params(init["batch_stats"], stats)}
+    out = model.apply(variables, jnp.asarray(wav))
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               atol=3e-5)
+
+
+def test_audio_both_branch_crashes_literal(ref_mods, rng):
+    """Document the reference defects repaired in
+    models/audio.AudioTextFusionEncoder: the both=True branch of
+    EncoderRNN_With_Audio cannot execute as committed. With
+    audio_raw_for_now hardcoded False (ref: Helper_models.py:287), the
+    3-D (B, S, samples) raw-wave tensor reaches WavEncoder_tri
+    un-flattened, whose unsqueeze(1) hands Conv1d a 4-D input; past
+    that, torch.cat((packed, audio_feat), dim=2) at :305-308 would
+    concatenate a PackedSequence OBJECT with a tensor. Either way the
+    forward raises."""
+    hm = ref_mods["Helper_models"]
+    old_both = hm.both
+    hm.both = True
+    try:
+        torch.manual_seed(12)
+        ref = hm.EncoderRNN_With_Audio(
+            input_size=50, embed_size=32, hidden_size=200, n_layers=2,
+            dropout=0.5).eval()
+        # its audio encoder is the WavEncoder_tri from the both branch
+        assert isinstance(ref.audio_encoder, hm.WavEncoder_tri)
+        wav = torch.from_numpy(
+            rng.normal(size=(1, 2, 16000)).astype(np.float32))
+        text = torch.zeros(4, 1, dtype=torch.long)
+        with pytest.raises((RuntimeError, TypeError)):
+            with torch.no_grad():
+                ref(text, [4], wav)
+    finally:
+        hm.both = old_both
+
+
 def test_baseline_seq2seq_parity_literal(ref_mods, rng):
     """Seq2SeqNet baseline (ref: seq2seq_net.py:220-256) vs
     models.baseline.Seq2SeqNet: identical pose trajectories after
