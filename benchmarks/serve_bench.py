@@ -31,17 +31,26 @@ from bench import build_generator  # noqa: E402  (shared model builder)
 from bench import _words as words_for  # noqa: E402  (shared workload)
 
 
-def fire(port, words, duration_s, out):
+def fire(port, words, duration_s, out, lats=None):
     """Appends the frame count on success, or raises - callers assert
     len(out) afterwards so a failed/timed-out request cannot silently
-    deflate the reported frames/s."""
+    deflate the reported frames/s. lats (optional list) collects the
+    client-observed request latency in seconds."""
     body = json.dumps({"words": words, "duration_s": duration_s,
                        "format": "json"}).encode()
     req = urllib.request.Request(f"http://127.0.0.1:{port}/generate",
                                  data=body)
+    t0 = time.perf_counter()
     with urllib.request.urlopen(req, timeout=600) as r:
         payload = json.loads(r.read())
+    if lats is not None:
+        lats.append(time.perf_counter() - t0)
     out.append(int(payload["frames_shape"][0]))
+
+
+def pctl(lats, q):
+    s = sorted(lats)
+    return s[min(int(q * (len(s) - 1) + 0.5), len(s) - 1)]
 
 
 def main():
@@ -86,9 +95,10 @@ def main():
     seq_frames = sum(out)
 
     # concurrent: one fused device program per collected batch
-    out = []
+    out, lats = [], []
     threads = [threading.Thread(target=fire, args=(port, all_words[i],
-                                                   args.duration, out))
+                                                   args.duration, out,
+                                                   lats))
                for i in range(args.clients)]
     t0 = time.perf_counter()
     for t in threads:
@@ -101,6 +111,7 @@ def main():
     conc_frames = sum(out)
 
     stats = httpd.worker.stats
+    srv_lat = httpd.worker.latency_stats()
     print(f"serving bench ({args.clients} clients, "
           f"{args.duration:.0f}s transcripts, decode mode):")
     print(f"  sequential: {seq_frames} frames in {seq_dt:.2f}s = "
@@ -108,7 +119,10 @@ def main():
     print(f"  concurrent: {conc_frames} frames in {conc_dt:.2f}s = "
           f"{conc_frames / conc_dt:,.0f} frames/s "
           f"({seq_dt / conc_dt:.2f}x)")
-    print(f"  worker stats: {stats}")
+    print(f"  concurrent request latency (client-observed): "
+          f"p50 {pctl(lats, 0.5):.3f}s  p99 {pctl(lats, 0.99):.3f}s  "
+          f"min {min(lats):.3f}s  max {max(lats):.3f}s")
+    print(f"  worker stats: {stats}  server-side latency: {srv_lat}")
     httpd.shutdown()
     httpd.worker.close()
 

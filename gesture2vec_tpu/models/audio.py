@@ -26,7 +26,7 @@ test_audio_encoder_batch_reshape_defect_literal.
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -131,6 +131,7 @@ class AudioTextFusionEncoder(nn.Module):
     embed_size: int = 300
     n_layers: int = 2
     dropout: float = 0.5
+    dtype: Optional[Any] = None   # bf16 opt-in; outputs return fp32
 
     @nn.compact
     def __call__(self, word_ids: jnp.ndarray, wav_chunks: jnp.ndarray,
@@ -152,9 +153,10 @@ class AudioTextFusionEncoder(nn.Module):
         outs, hidden = BiGRU(hidden_size=self.hidden_size,
                              n_layers=self.n_layers,
                              dropout=self.dropout,
+                             dtype=self.dtype,
                              name="gru")(seq, train=train)
         outs = outs[..., :self.hidden_size] + outs[..., self.hidden_size:]
-        return outs, hidden
+        return outs.astype(jnp.float32), hidden.astype(jnp.float32)
 
 
 class AudioContextEncoder(nn.Module):
@@ -167,6 +169,7 @@ class AudioContextEncoder(nn.Module):
     hidden_size: int
     n_layers: int = 2
     dropout: float = 0.5
+    dtype: Optional[Any] = None   # bf16 opt-in; outputs return fp32
 
     @nn.compact
     def __call__(self, mel_chunks: jnp.ndarray, train: bool = False
@@ -178,6 +181,7 @@ class AudioContextEncoder(nn.Module):
         seq = feats.reshape(B, S, -1).transpose(1, 0, 2)   # (S, B, H)
         outs, hidden = BiGRU(hidden_size=self.hidden_size,
                              n_layers=self.n_layers, dropout=self.dropout,
+                             dtype=self.dtype,
                              name="gru")(seq, train=train)
         outs = outs[..., :self.hidden_size] + outs[..., self.hidden_size:]
-        return outs, hidden
+        return outs.astype(jnp.float32), hidden.astype(jnp.float32)

@@ -43,21 +43,28 @@ class Audio2Token(nn.Module):
     fusion: str = "audio"          # "audio" | "both"
     n_words: int = 0               # required when fusion="both"
     embed_size: int = 300
+    # "bfloat16": bf16 matmuls in the encoder GRU + decoder recurrence;
+    # logits/CE/argmax stay fp32 (same discipline as Text2Token)
+    compute_dtype: str = "float32"
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     def setup(self):
         if self.fusion == "both":
             self.encoder = AudioTextFusionEncoder(
                 n_words=self.n_words, hidden_size=self.hidden_size,
                 embed_size=self.embed_size, n_layers=self.n_layers,
-                dropout=self.dropout)
+                dropout=self.dropout, dtype=self._dtype)
         else:
             self.encoder = AudioContextEncoder(
                 hidden_size=self.hidden_size, n_layers=self.n_layers,
-                dropout=self.dropout)
+                dropout=self.dropout, dtype=self._dtype)
         self.decoder_step = TokenDecoderStep(
             hidden_size=self.hidden_size, n_tokens=self.n_tokens,
             n_layers=self.n_layers, dropout_p=self.dropout,
-            use_attention=self.use_attention)
+            use_attention=self.use_attention, dtype=self._dtype)
 
     def encode_audio(self, encoder_inputs, train: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -80,6 +87,8 @@ class Audio2Token(nn.Module):
         """The autoregressive token decode given an audio encoding."""
         seed = target_tokens[:, 0]
         onehot0 = jax.nn.one_hot(seed, self.n_tokens)
+        if self._dtype is not None:
+            dec_hidden = dec_hidden.astype(self._dtype)
         step_mod = self.decoder_step
 
         def body(mdl, carry, t):

@@ -213,21 +213,25 @@ def _reverse_padded(xs_tm: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
 def masked_gru_layer(xs_tm: jnp.ndarray, lengths: jnp.ndarray,
                      h0: jnp.ndarray, w_ih: jnp.ndarray, w_hh: jnp.ndarray,
                      b_ih: jnp.ndarray, b_hh: jnp.ndarray,
-                     reverse: bool = False
+                     reverse: bool = False, dtype=None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """GRU layer with per-sequence lengths: the final hidden freezes at
     each sequence's last valid step and padded outputs are zero, matching
     torch pack_padded_sequence semantics
-    (ref: scripts/model/text2embedding_model.py:127-131)."""
+    (ref: scripts/model/text2embedding_model.py:127-131).
+    dtype as in gru_layer: None = fp32/HIGHEST, bfloat16 opt-in."""
     if reverse:
         xs_tm = _reverse_padded(xs_tm, lengths)
     h_size = h0.shape[-1]
-    x_proj = jnp.matmul(xs_tm, w_ih.T, precision="highest") + b_ih
+    prec = "highest" if dtype is None else None
+    xs_tm, h0, w_ih, w_hh, b_ih, b_hh = _cast_gru(
+        dtype, xs_tm, h0, w_ih, w_hh, b_ih, b_hh)
+    x_proj = jnp.matmul(xs_tm, w_ih.T, precision=prec) + b_ih
 
     def step(carry, inp):
         h, t = carry
         xp = inp
-        gh = jnp.matmul(h, w_hh.T, precision="highest") + b_hh
+        gh = jnp.matmul(h, w_hh.T, precision=prec) + b_hh
         r = jax.nn.sigmoid(xp[..., :h_size] + gh[..., :h_size])
         z = jax.nn.sigmoid(xp[..., h_size:2 * h_size] +
                            gh[..., h_size:2 * h_size])
@@ -252,6 +256,7 @@ class MaskedBiGRU(nn.Module):
     hidden_size: int
     n_layers: int = 1
     dropout: float = 0.0
+    dtype: Optional[Any] = None   # None=fp32/HIGHEST; jnp.bfloat16 opt-in
 
     @nn.compact
     def __call__(self, xs: jnp.ndarray, lengths: jnp.ndarray,
@@ -272,7 +277,8 @@ class MaskedBiGRU(nn.Module):
                 b_hh = self.param(f"l{layer}_b_hh{suffix}", init, (3 * H,))
                 h0 = jnp.zeros((xs.shape[1], H), xs.dtype)
                 y, h_last = masked_gru_layer(outs, lengths, h0, w_ih, w_hh,
-                                             b_ih, b_hh, reverse=reverse)
+                                             b_ih, b_hh, reverse=reverse,
+                                             dtype=self.dtype)
                 ys.append(y)
                 h_finals.append(h_last)
             outs = jnp.concatenate(ys, axis=-1)

@@ -22,7 +22,7 @@ matches torch's weight_norm(conv).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -35,6 +35,7 @@ class CausalConv1d(nn.Module):
     features: int
     kernel_size: int
     dilation: int
+    dtype: Optional[Any] = None   # bf16 opt-in (config.compute_dtype)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -42,6 +43,7 @@ class CausalConv1d(nn.Module):
         conv = nn.WeightNorm(nn.Conv(
             self.features, kernel_size=(self.kernel_size,),
             kernel_dilation=(self.dilation,), padding=[(pad, 0)],
+            dtype=self.dtype,
             kernel_init=nn.initializers.normal(0.01)), name="wn")
         return conv(x)
 
@@ -53,19 +55,21 @@ class TemporalBlock(nn.Module):
     kernel_size: int
     dilation: int
     dropout: float
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         h = CausalConv1d(self.features, self.kernel_size, self.dilation,
-                         name="conv1")(x)
+                         dtype=self.dtype, name="conv1")(x)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = CausalConv1d(self.features, self.kernel_size, self.dilation,
-                         name="conv2")(h)
+                         dtype=self.dtype, name="conv2")(h)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         if x.shape[-1] != self.features:
             x = nn.Conv(self.features, kernel_size=(1,),
+                        dtype=self.dtype,
                         kernel_init=nn.initializers.normal(0.01),
                         name="downsample")(x)
         return nn.relu(h + x)
@@ -77,11 +81,13 @@ class TemporalConvNet(nn.Module):
     channels: Sequence[int]
     kernel_size: int = 2
     dropout: float = 0.2
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for i, ch in enumerate(self.channels):
             x = TemporalBlock(ch, self.kernel_size, 2 ** i, self.dropout,
+                              dtype=self.dtype,
                               name=f"block{i}")(x, train=train)
         return x
 
@@ -104,6 +110,7 @@ class TextEncoderTCN(nn.Module):
     emb_dropout: float = 0.1
     out_dim: Optional[int] = None  # None -> hidden_size (attention-ready)
     embedding_weights: Optional[np.ndarray] = None
+    dtype: Optional[Any] = None    # bf16 opt-in; outputs return fp32
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
@@ -116,13 +123,16 @@ class TextEncoderTCN(nn.Module):
         table = self.param("embedding_table", emb_init,
                            (self.n_words, self.embed_size))
         emb = jnp.take(table, tokens, axis=0)          # (B, S, E)
+        if self.dtype is not None:
+            emb = emb.astype(self.dtype)
         emb = nn.Dropout(self.emb_dropout,
                          deterministic=not train)(emb)
         y = TemporalConvNet([self.hidden_size] * self.n_layers,
                             self.kernel_size, self.dropout,
+                            dtype=self.dtype,
                             name="tcn")(emb, train=train)
         out_dim = self.out_dim or self.hidden_size
-        outputs = nn.Dense(out_dim, name="decoder",
+        outputs = nn.Dense(out_dim, name="decoder", dtype=self.dtype,
                            kernel_init=nn.initializers.normal(0.01),
                            bias_init=nn.initializers.zeros)(y)
 
@@ -131,8 +141,12 @@ class TextEncoderTCN(nn.Module):
         last = jnp.take_along_axis(
             y, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
         hidden = nn.Dense(self.n_layers * self.hidden_size,
+                          dtype=self.dtype,
                           name="hidden_proj")(jnp.tanh(last))
         hidden = hidden.reshape(tokens.shape[0], self.n_layers,
                                 self.hidden_size)
         hidden = jnp.transpose(hidden, (1, 0, 2))
-        return jnp.transpose(outputs, (1, 0, 2)), hidden
+        # interface stays fp32; the decoder re-casts its carry when it
+        # runs in a compute dtype
+        return (jnp.transpose(outputs, (1, 0, 2)).astype(jnp.float32),
+                hidden.astype(jnp.float32))

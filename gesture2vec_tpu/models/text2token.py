@@ -42,6 +42,7 @@ class TextEncoderRNN(nn.Module):
     n_layers: int
     dropout: float
     embedding_weights: Optional[np.ndarray] = None
+    dtype: Optional[Any] = None   # bf16 opt-in; outputs return fp32
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
@@ -59,9 +60,10 @@ class TextEncoderRNN(nn.Module):
         outs, hidden = MaskedBiGRU(hidden_size=self.hidden_size,
                                    n_layers=self.n_layers,
                                    dropout=self.dropout,
+                                   dtype=self.dtype,
                                    name="gru")(emb, lengths, train=train)
         outs = outs[..., :self.hidden_size] + outs[..., self.hidden_size:]
-        return outs, hidden
+        return outs.astype(jnp.float32), hidden.astype(jnp.float32)
 
 
 class TokenDecoderStep(nn.Module):
@@ -75,6 +77,7 @@ class TokenDecoderStep(nn.Module):
     n_layers: int
     dropout_p: float
     use_attention: bool = True
+    dtype: Optional[Any] = None   # bf16 opt-in (config.compute_dtype)
 
     @nn.compact
     def __call__(self, token: jnp.ndarray, hidden: jnp.ndarray,
@@ -93,15 +96,20 @@ class TokenDecoderStep(nn.Module):
                                  encoder_outputs)
             x = jnp.concatenate([x, context], axis=-1)
 
-        h = nn.Dense(self.hidden_size, name="pre_linear")(x)
-        h = nn.BatchNorm(use_running_average=not train, name="pre_bn")(h)
+        h = nn.Dense(self.hidden_size, name="pre_linear",
+                     dtype=self.dtype)(x)
+        h = nn.BatchNorm(use_running_average=not train, name="pre_bn",
+                         dtype=self.dtype)(h)
         h = nn.relu(h)
         out, new_hidden = GRUCellStack(hidden_size=self.hidden_size,
                                        n_layers=self.n_layers,
                                        dropout=self.dropout_p,
+                                       dtype=self.dtype,
                                        name="gru")(h, hidden, train=train)
-        logits = nn.Dense(self.n_tokens, name="out_layer")(out)
-        return logits, new_hidden, attn_weights
+        logits = nn.Dense(self.n_tokens, name="out_layer",
+                          dtype=self.dtype)(out)
+        # CE loss and the argmax feedback read fp32 logits either way
+        return logits.astype(jnp.float32), new_hidden, attn_weights
 
 
 class Text2Token(nn.Module):
@@ -119,6 +127,14 @@ class Text2Token(nn.Module):
     encoder_type: str = "tcn"  # "tcn" (repaired default) | "gru"
     use_attention: bool = True
     embedding_weights: Optional[np.ndarray] = None
+    # "bfloat16": single-pass MXU matmuls in the TCN/GRU encoder and the
+    # decoder recurrence; logits, CE, and the argmax token feedback stay
+    # fp32 (same fp32-island discipline as seq_ae.SeqVQAutoencoder)
+    compute_dtype: str = "float32"
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     def setup(self):
         if self.encoder_type == "tcn":
@@ -126,19 +142,21 @@ class Text2Token(nn.Module):
                 n_words=self.n_words, embed_size=self.word_embed_size,
                 hidden_size=self.hidden_size, n_layers=self.n_layers,
                 kernel_size=2, dropout=0.3, emb_dropout=0.1,
-                embedding_weights=self.embedding_weights)
+                embedding_weights=self.embedding_weights,
+                dtype=self._dtype)
         elif self.encoder_type == "gru":
             self.encoder = TextEncoderRNN(
                 n_words=self.n_words, embed_size=self.word_embed_size,
                 hidden_size=self.hidden_size, n_layers=self.n_layers,
                 dropout=self.dropout,
-                embedding_weights=self.embedding_weights)
+                embedding_weights=self.embedding_weights,
+                dtype=self._dtype)
         else:
             raise ValueError(f"unknown encoder_type {self.encoder_type!r}")
         self.decoder_step = TokenDecoderStep(
             hidden_size=self.hidden_size, n_tokens=self.n_tokens,
             n_layers=self.n_layers, dropout_p=self.dropout,
-            use_attention=self.use_attention)
+            use_attention=self.use_attention, dtype=self._dtype)
 
     def encode_text(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
                     train: bool = False
@@ -178,6 +196,10 @@ class Text2Token(nn.Module):
 
         seed = target_tokens[:, 0]
         onehot0 = jax.nn.one_hot(seed, self.n_tokens)
+        if self._dtype is not None:
+            # scan carries need a stable dtype: start the hidden in the
+            # compute dtype (GRU steps keep it there)
+            dec_hidden = dec_hidden.astype(self._dtype)
 
         step_mod = self.decoder_step
 

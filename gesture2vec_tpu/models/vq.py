@@ -146,11 +146,21 @@ def gssoft_probs(distances: jnp.ndarray,
     """Gaussian-smoothed soft assignment
     (ref: Autoencoder_VQVAE_model.py:1349-1372 soft_prob):
     smooth = exp(z_logvar)^-2, p ~ exp(-(d/400) * smooth/2) / sqrt(smooth).
-    """
-    smooth = jnp.exp(z_logvar) ** -2.0
-    d = distances / 400.0
-    prob = jnp.exp(-d * 0.5 * smooth) / jnp.sqrt(smooth)
-    return prob / jnp.sum(prob, axis=1, keepdims=True)
+
+    Computed in log space with a softmax (identical math): the
+    reference's direct form underflows to 0/0 = NaN once training
+    sharpens the assignment - with smooth ~ 1e4 and d/400 ~ 5 every
+    code's exp() is 0 and the row sum vanishes. That NaN is reachable in
+    practice (a 12-step collapse on a corpus-scale run poisoned the
+    whole model); log-space + max-subtraction keeps the exact same
+    distribution finite. log_smooth is clamped to +-30 (smooth in
+    [1e-13, 1e13]) - far outside the useful smoothing range, where the
+    assignment is already exactly one-hot/uniform at fp32, so the clamp
+    cannot change any realizable assignment, only prevent inf*0."""
+    log_smooth = jnp.clip(-2.0 * z_logvar, -30.0, 30.0)
+    smooth = jnp.exp(log_smooth)
+    logp = -(distances / 400.0) * 0.5 * smooth - 0.5 * log_smooth
+    return jax.nn.softmax(logp, axis=1)
 
 
 class VQGSSoft(nn.Module):

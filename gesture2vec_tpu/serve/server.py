@@ -63,6 +63,8 @@ class BatchingWorker:
     spending a device program on a client that already gave up.
     """
 
+    LATENCY_WINDOW = 1024   # last-N reservoir for p50/p99
+
     def __init__(self, generator, max_batch: int = 16,
                  batch_window_s: float = 0.05, mesh=None,
                  queue_depth: Optional[int] = None):
@@ -72,17 +74,36 @@ class BatchingWorker:
         self.mesh = mesh
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
                       "cancelled": 0, "rejected": 0}
+        from collections import deque
+        self._latencies: "deque[float]" = deque(maxlen=self.LATENCY_WINDOW)
+        self._lat_lock = threading.Lock()
         self._q: "queue.Queue[_Pending]" = queue.Queue(
             maxsize=queue_depth or 4 * max_batch)
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
+    def latency_stats(self) -> Dict[str, float]:
+        """p50/p99 end-to-end request latency (enqueue -> result ready,
+        seconds) over the last LATENCY_WINDOW completed requests — the
+        micro-batching tradeoff surface (batch window vs tail latency)."""
+        with self._lat_lock:
+            lats = sorted(self._latencies)
+        if not lats:
+            return {"latency_n": 0}
+        pick = lambda q: lats[min(int(q * (len(lats) - 1) + 0.5),
+                                  len(lats) - 1)]
+        return {"latency_n": len(lats),
+                "latency_p50_s": round(pick(0.50), 4),
+                "latency_p99_s": round(pick(0.99), 4)}
+
     def submit(self, words: List[List], duration_s: float,
                timeout_s: float = 120.0) -> Tuple[np.ndarray, np.ndarray]:
+        import time
         if self._stop.is_set():
             raise RuntimeError("server shutting down")
         req = _Pending(words=words, duration_s=duration_s)
+        t0 = time.monotonic()
         try:
             self._q.put_nowait(req)
         except queue.Full:
@@ -101,6 +122,8 @@ class BatchingWorker:
             raise TimeoutError("generation timed out")
         if req.error is not None:
             raise RuntimeError(req.error)
+        with self._lat_lock:
+            self._latencies.append(time.monotonic() - t0)
         return req.result
 
     def close(self) -> None:
@@ -224,7 +247,8 @@ def make_handler(worker: BatchingWorker,
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send_json(200, {"ok": True, **worker.stats})
+                self._send_json(200, {"ok": True, **worker.stats,
+                                      **worker.latency_stats()})
             else:
                 self._send_json(404, {"error": "not found"})
 

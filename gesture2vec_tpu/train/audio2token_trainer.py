@@ -52,7 +52,8 @@ def make_audio2token(config: Config, n_words: int = 0) -> Audio2Token:
                        use_attention=config.autoencoder_att,
                        fusion=config.audio_fusion,
                        n_words=n_words,
-                       embed_size=config.wordembed_dim)
+                       embed_size=config.wordembed_dim,
+                       compute_dtype=config.compute_dtype)
 
 
 def _example_inputs(model: Audio2Token, audio_shape, max_words: int = 8):
@@ -179,6 +180,9 @@ def train_audio2token(config: Config, data: Dict[str, np.ndarray],
 
 @checkpoints.register_model_kind("audio2token")
 def _build_a2t(config: Config, payload: dict):
+    # inference loads force fp32 (token identity; same policy as the
+    # text2embedding builder)
+    config = config.replace(compute_dtype="float32")
     model = make_audio2token(
         config, n_words=int(payload["extra"].get("n_words", 0)))
     variables = {"params": payload["params"],

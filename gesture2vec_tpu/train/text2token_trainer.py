@@ -51,7 +51,8 @@ def make_text2token(config: Config, n_words: int,
         word_embed_size=config.wordembed_dim,
         encoder_type=config.extras.get("text_encoder", "tcn"),
         use_attention=config.autoencoder_att,
-        embedding_weights=embedding_weights)
+        embedding_weights=embedding_weights,
+        compute_dtype=config.compute_dtype)
 
 
 def init_state(model: Text2Token, rng: jax.Array,
@@ -171,6 +172,10 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
 
 @checkpoints.register_model_kind("text2embedding")
 def _build_t2t(config: Config, payload: dict):
+    # inference/analysis loads force fp32 compute regardless of the
+    # training dtype: tokens must be fp32-exact, and bf16 measured
+    # slower at inference (same policy as the autoencoder_vq builder)
+    config = config.replace(compute_dtype="float32")
     n_words = int(payload["extra"]["n_words"])
     model = make_text2token(config, n_words)
     variables = {"params": payload["params"],

@@ -170,3 +170,16 @@ def test_audio_generator_end_to_end(rng):
     assert frames.shape == (n_windows * SENT_LEN, 30)
     assert np.isfinite(frames).all()
     assert (tokens >= 0).all() and (tokens < CODES).all()
+
+
+def test_audio2token_bf16_trains(rng):
+    """compute_dtype=bfloat16 for the audio variant: encoder GRU +
+    decoder in bf16, logits/params fp32, loss falls."""
+    data = _synthetic_audio_data(rng, n=32)
+    cfg = _cfg(epochs=3, compute_dtype="bfloat16")
+    state, hist = train_audio2token(cfg, data,
+                                    {k: v[:16] for k, v in data.items()})
+    assert np.isfinite(hist["train_loss"]).all()
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(state.params))

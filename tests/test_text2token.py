@@ -106,3 +106,45 @@ def test_eval_metrics_hand_computed():
     got = float(token_cross_entropy(jnp.asarray(logits),
                                     jnp.asarray(targets)))
     assert abs(got - expected) < 1e-6
+
+
+@pytest.mark.parametrize("enc", ["tcn", "gru"])
+def test_bf16_compute_mode_trains(rng, enc):
+    """compute_dtype=bfloat16 for Part d: encoder + decoder matmuls run
+    single-pass bf16, logits and params stay fp32, and training still
+    converges (same fp32-island discipline as Part b,
+    tests/test_seq_ae.py::test_bf16_compute_mode_trains)."""
+    cfg = _config(compute_dtype="bfloat16", epochs=6, extras={})
+    cfg.extras["text_encoder"] = enc
+    model = make_text2token(cfg, N_WORDS)
+    d = _dataset(rng, n=64)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           jnp.asarray(d["word_ids"]),
+                           jnp.asarray(d["lengths"]),
+                           jnp.asarray(d["tokens"]), train=False)
+    # params stay fp32
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree_util.tree_leaves(variables["params"]))
+    res = model.apply(variables, jnp.asarray(d["word_ids"][:4]),
+                      jnp.asarray(d["lengths"][:4]),
+                      jnp.asarray(d["tokens"][:4]), train=False)
+    assert res["logits"].dtype == jnp.float32
+
+    data = _dataset(rng, n=128)
+    _, hist = train_text2token(cfg, data, data, N_WORDS)
+    assert np.isfinite(hist["train_loss"]).all()
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+
+def test_bf16_checkpoint_loads_fp32(rng, tmp_path):
+    """Checkpoints trained in bf16 build fp32 models through the
+    registry (token identity at inference)."""
+    cfg = _config(compute_dtype="bfloat16", epochs=2)
+    data = _dataset(rng, n=64)
+    train_text2token(cfg, data, data, N_WORDS, save_dir=str(tmp_path),
+                     save_every=100)
+    ckpt = checkpoints.checkpoint_filename(str(tmp_path), "test_t2t", 2)
+    model, variables, _ = checkpoints.load_checkpoint_and_model(
+        ckpt, "text2embedding")
+    assert model.compute_dtype == "float32"
