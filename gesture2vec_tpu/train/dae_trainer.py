@@ -227,7 +227,12 @@ def train_dae(config: Config, train_frames: np.ndarray,
                    if vq_tricks and isinstance(model, VQFrame) else None)
     eval_step = make_eval_step(config, model)
 
-    n = train_frames.shape[0]
+    # streaming source (data/streaming.StreamingFrames) or in-RAM array
+    streaming = hasattr(train_frames, "batches")
+    if streaming and vq_tricks:
+        raise ValueError("vq_tricks needs the in-RAM frame array "
+                        "(K-Means codebook re-estimation sweeps it)")
+    n = len(train_frames) if streaming else train_frames.shape[0]
     bs = config.batch_size
     history: Dict[str, list] = {"train_loss": [], "val_loss": []}
     meter = AverageMeter("loss", ":.4f")
@@ -251,13 +256,17 @@ def train_dae(config: Config, train_frames: np.ndarray,
                     from gesture2vec_tpu.parallel.mesh import shard_params
                     state = state._replace(
                         vq_state=shard_params(state.vq_state, mesh))
-        perm = np.random.default_rng(seed + epoch).permutation(n)
         meter.reset()
         t0 = time.time()
         n_batches = n // bs
-        batches = prefetch(
-            (train_frames[perm[b * bs:(b + 1) * bs]]
-             for b in range(n_batches)), to_device=mesh is None)
+        if streaming:
+            batches = prefetch(train_frames.batches(epoch, bs),
+                               to_device=mesh is None)
+        else:
+            perm = np.random.default_rng(seed + epoch).permutation(n)
+            batches = prefetch(
+                (train_frames[perm[b * bs:(b + 1) * bs]]
+                 for b in range(n_batches)), to_device=mesh is None)
         if mesh is not None:
             batches = (place(x) for x in batches)
         # metrics stay on device; float() would force a host sync per

@@ -245,7 +245,13 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
     # cosine term on the sequence latents (ref: train_Autoencoder.py with
     # use_similarity + lmdb_data_loader.py:676-850). Pairs are sampled on
     # the host each step like the reference (3 per iteration, ref :732).
+    # streaming source (data/streaming.StreamingWindows, optionally with
+    # a frozen-DAE teacher transform) or in-RAM array
+    streaming = hasattr(train_windows, "batches")
     ssl_pairs = None
+    if streaming and config.use_similarity:
+        raise ValueError("use_similarity needs the in-RAM window array "
+                        "(pair sampling indexes it)")
     if config.use_similarity and config.similarity_labels:
         from gesture2vec_tpu.data.similarity import (read_gesture_labels,
                                                      sample_pairs)
@@ -261,21 +267,26 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
     train_step = make_train_step(config, model, optimizer, config.epochs)
     eval_step = make_eval_step(config, model)
 
-    n, bs = train_windows.shape[0], config.batch_size
+    n = len(train_windows) if streaming else train_windows.shape[0]
+    bs = config.batch_size
     history: Dict[str, list] = {"train_loss": [], "val_loss": [],
                                 "perplexity": []}
     meter = AverageMeter("loss", ":.4f")
     perp_m = AverageMeter("perplexity", ":.1f")
 
     for epoch in range(start_epoch, config.epochs):
-        perm = np.random.default_rng(seed + epoch).permutation(n)
         meter.reset()
         perp_m.reset()
         t0 = time.time()
         from gesture2vec_tpu.utils.prefetch import prefetch
-        batches = prefetch(
-            (train_windows[perm[b * bs:(b + 1) * bs]]
-             for b in range(n // bs)), place=place)
+        if streaming:
+            batches = prefetch(train_windows.batches(epoch, bs),
+                               place=place)
+        else:
+            perm = np.random.default_rng(seed + epoch).permutation(n)
+            batches = prefetch(
+                (train_windows[perm[b * bs:(b + 1) * bs]]
+                 for b in range(n // bs)), place=place)
         # losses/perplexities stay on device between log points (a
         # float() per step would host-sync every step)
         losses, perps = [], []
