@@ -83,7 +83,8 @@ def build_generator(hid: int = HID, rep: int = REP, k: int = K,
                     sent_len: int = SENT_LEN, n_words: int = N_WORDS,
                     max_words: int = MAXW, n_layers: int = L,
                     wordembed: int = 300, fps: int = FPS,
-                    vocab_words: int = 300):
+                    vocab_words: int = 300, mode: str = "decode",
+                    bank_windows: int = 2000):
     """Untrained production-shape pipeline models assembled into a
     GestureGenerator. Shared by bench.py, benchmarks/serve_bench.py and
     tests/test_serve.py (at smaller dims) — output quality is
@@ -139,13 +140,25 @@ def build_generator(hid: int = HID, rep: int = REP, k: int = K,
     for i in range(vocab_words):
         vocab.index_word(f"word{i}")
 
+    latent_bank = None
+    if mode == "exemplar":
+        # synthetic bank at production shapes: retrieval cost depends on
+        # bank size/shape, not on latent values
+        brng = np.random.default_rng(1)
+        latent_bank = {
+            "dae_latents": brng.normal(
+                size=(bank_windows, n_frames, rep)).astype(np.float32),
+            "tokens": brng.integers(0, k, size=bank_windows,
+                                    dtype=np.int32),
+        }
+
     return GestureGenerator(
         t2t_model=t2t, t2t_variables=t2t_vars, seq_model=seq,
         seq_variables=seq_vars, dae_model=dae, dae_variables=dae_vars,
         vocab=vocab, pose_mean=np.zeros(dim, np.float32),
         pose_std=np.ones(dim, np.float32), n_frames=n_frames,
         sentence_frame_length=sent_len, fps=fps, max_words=max_words,
-        mode="decode", seed=0)
+        mode=mode, latent_bank=latent_bank, seed=0)
 
 
 def bench_jax():

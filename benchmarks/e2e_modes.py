@@ -1,9 +1,14 @@
-"""E2E throughput across the optional inference modes.
+"""E2E throughput across the inference modes.
 
-Measures the decode-mode generator with:
-  default      - reference-faithful window carry, scan decoder
+Measures:
+  default      - decode mode, reference-faithful window carry, scan
   no-carry     - window_carry=False (all windows batched)
   fused        - + the Pallas fused chunk decoder
+  exemplar     - the reference's DEFAULT shipping mode (token -> random
+                 training-window retrieval, ref:
+                 inference_text2embedding.py:520, 572-624): tokens
+                 predicted on device, exemplar lookup host-side, one
+                 batched DAE decode
 
 Run on TPU: python benchmarks/e2e_modes.py
 """
@@ -17,21 +22,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import bench as B  # noqa: E402
 
 
-def run_mode(**gen_kwargs) -> float:
+def run_mode(mode: str = "decode", **gen_kwargs) -> float:
     import gesture2vec_tpu.infer.text2gesture as t2g
 
-    orig = t2g.GestureGenerator.__post_init__
+    orig_init = t2g.GestureGenerator.__post_init__
+    orig_build = B.build_generator
 
     def patched(self):
         for k, v in gen_kwargs.items():
             setattr(self, k, v)
-        orig(self)
+        orig_init(self)
 
     t2g.GestureGenerator.__post_init__ = patched
+    B.build_generator = lambda **kw: orig_build(**{**kw, "mode": mode})
     try:
         fps, _ = B.bench_jax()
     finally:
-        t2g.GestureGenerator.__post_init__ = orig
+        t2g.GestureGenerator.__post_init__ = orig_init
+        B.build_generator = orig_build
     return fps
 
 
@@ -59,13 +67,17 @@ if __name__ == "__main__":
     print("backend:", jax.devices()[0].platform)
     fpf = e2e_flops_per_frame()
     print(f"analytic decode-path cost: {fpf/1e6:.3f} MFLOP/frame")
-    for label, kw in (("default (carry, scan)", {}),
-                      ("no window carry", {"window_carry": False}),
-                      ("no carry + fused decoder",
-                       {"window_carry": False,
-                        "use_fused_decoder": True})):
-        fps = run_mode(**kw)
+    for label, mode, kw in (
+            ("default (carry, scan)", "decode", {}),
+            ("no window carry", "decode", {"window_carry": False}),
+            ("no carry + fused decoder", "decode",
+             {"window_carry": False, "use_fused_decoder": True}),
+            ("exemplar (reference default mode)", "exemplar", {})):
+        fps = run_mode(mode, **kw)
         eff = fps * fpf
+        note = ("" if mode == "decode" else
+                "  [host-side retrieval; FLOP/frame figure is the "
+                "decode path's, shown for scale only]")
         print(f"{label}: {fps:.0f} frames/s  "
               f"({eff/1e9:.2f} GFLOP/s = "
-              f"{eff/V5E_PEAK_BF16*100:.4f}% of v5e bf16 peak)")
+              f"{eff/V5E_PEAK_BF16*100:.4f}% of v5e bf16 peak){note}")
