@@ -94,6 +94,9 @@ def test_http_generate_json_and_healthz(tiny_gen):
                 f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
             health = json.loads(r.read())
         assert health["ok"] and health["requests"] >= 1
+        # latency percentiles over completed requests
+        assert health["latency_n"] >= 1
+        assert 0.0 < health["latency_p50_s"] <= health["latency_p99_s"]
 
         # bvh without an exporter -> 400
         req = urllib.request.Request(
