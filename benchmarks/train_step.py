@@ -117,7 +117,8 @@ def bench_seq_ae(batch_size, iters, compute_dtype="float32",
             F.seq_ae_forward_flops(batch_size))
 
 
-def bench_t2t(batch_size, iters, max_words=32, unroll=1):
+def bench_t2t(batch_size, iters, max_words=32, unroll=1,
+              compute_dtype="float32"):
     from gesture2vec_tpu.train import text2token_trainer
 
     cfg = load_config(dict(name="bench_d", model="seq2seq",
@@ -127,7 +128,8 @@ def bench_t2t(batch_size, iters, max_words=32, unroll=1):
                            autoencoder_vq_components=512,
                            learning_rate=5e-4, epochs=1,
                            batch_size=batch_size, random_seed=0,
-                           scan_unroll=unroll))
+                           scan_unroll=unroll,
+                           compute_dtype=compute_dtype))
     model = text2token_trainer.make_text2token(cfg, n_words=8000)
     opt = make_optimizer(cfg.learning_rate)
     state = text2token_trainer.init_state(model, jax.random.PRNGKey(0),
@@ -144,7 +146,8 @@ def bench_t2t(batch_size, iters, max_words=32, unroll=1):
                                    dtype=np.int32))
     args_ = (words, lens, tgt, jax.random.PRNGKey(1))
     t = bench_steps(step, state, args_, iters)
-    _report("part d (text->tokens)    ", batch_size, t, "sentences/s",
+    tag = " bf16" if compute_dtype == "bfloat16" else "     "
+    _report(f"part d (text->tokens{tag})", batch_size, t, "sentences/s",
             step, state, args_,
             F.text2token_forward_flops(batch_size, max_words=max_words,
                                        n_steps=model.n_steps))
@@ -157,8 +160,8 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--unroll", type=int, default=1,
                     help="GRU/decoder scan unroll factor (A/B knob)")
-    ap.add_argument("--parts", default="a,b,b16,d",
-                    help="comma list from {a,b,b16,d}")
+    ap.add_argument("--parts", default="a,b,b16,d,d16",
+                    help="comma list from {a,b,b16,d,d16}")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -176,6 +179,9 @@ def main():
                      unroll=args.unroll)
     if "d" in parts:
         bench_t2t(args.batch, args.iters, unroll=args.unroll)
+    if "d16" in parts:
+        bench_t2t(args.batch, args.iters, unroll=args.unroll,
+                  compute_dtype="bfloat16")
 
 
 if __name__ == "__main__":

@@ -1,7 +1,7 @@
 """Serve text->gesture generation over HTTP with micro-batching.
 
     g2v-serve <t2t.bin> <dae.bin> <vq.bin> --store ... --pipeline ...
-              [--port 8008] [--max-batch 16] [--batch-window-ms 50]
+              [--port 8008] [--max-batch 32] [--batch-window-ms 50]
               [--mode decode|exemplar] [--latent-bank ...] [--mesh dp=N]
 
 The reference has no serving path (one transcript per process,
@@ -31,7 +31,8 @@ def main() -> None:
     parser.add_argument("--twh-variant", default="test1")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8008)
-    parser.add_argument("--max-batch", type=int, default=16)
+    parser.add_argument("--max-batch", type=int, default=32,
+                    help="fused-batch cap; 32 is the measured v5e peak (benchmarks/serve_falloff.py)")
     parser.add_argument("--batch-window-ms", type=float, default=50.0)
     parser.add_argument("--request-timeout", type=float, default=120.0,
                         help="seconds a request may wait for generation "

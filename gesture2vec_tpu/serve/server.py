@@ -65,7 +65,16 @@ class BatchingWorker:
 
     LATENCY_WINDOW = 1024   # last-N reservoir for p50/p99
 
-    def __init__(self, generator, max_batch: int = 16,
+    # Default fused-batch cap, set from measurement
+    # (benchmarks/serve_falloff.py, interleaved on the v5e): aggregate
+    # frames/s peaks at B=16-32 (35.1k/35.8k) and FALLS at B=64
+    # (30.1k), while the same 64 requests as 4 sequential 16-batches
+    # reach 34.1k - the falloff is single-program scaling, so the
+    # collector should cap fusion near the peak and let bigger loads
+    # drain as successive batches.
+    DEFAULT_MAX_BATCH = 32
+
+    def __init__(self, generator, max_batch: int = DEFAULT_MAX_BATCH,
                  batch_window_s: float = 0.05, mesh=None,
                  queue_depth: Optional[int] = None):
         self.generator = generator
@@ -320,7 +329,8 @@ def make_handler(worker: BatchingWorker,
 
 def serve(generator, host: str = "127.0.0.1", port: int = 8008,
           export_bvh: Optional[Callable[[np.ndarray], str]] = None,
-          max_batch: int = 16, batch_window_s: float = 0.05,
+          max_batch: int = BatchingWorker.DEFAULT_MAX_BATCH,
+          batch_window_s: float = 0.05,
           mesh=None,
           request_timeout_s: float = 120.0) -> ThreadingHTTPServer:
     """Build and return the server (caller runs serve_forever())."""
