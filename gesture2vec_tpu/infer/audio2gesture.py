@@ -104,6 +104,19 @@ class AudioGestureGenerator:
             return dae.apply(self.dae_variables, latents,
                              method=dae.decode)
 
+        if self.mode == "exemplar":
+            # device-resident bank, in-graph gather (only pick indices
+            # cross the tunnel - same design as GestureGenerator)
+            bank_dev = jnp.asarray(
+                np.asarray(self.latent_bank["dae_latents"], np.float32))
+
+            @jax.jit
+            def exemplar_decode(picks):
+                lats = jnp.take(bank_dev, picks, axis=0)
+                return dae_decode(lats.reshape(-1, lats.shape[-1]))
+
+            self._exemplar_decode = exemplar_decode
+
         self._predict_tokens_all = predict_tokens_all
         self._decode_and_dae = decode_and_dae
         self._dae_decode = dae_decode
@@ -143,8 +156,8 @@ class AudioGestureGenerator:
         if self.mode == "decode":
             frames = np.asarray(self._decode_and_dae(jnp.asarray(tokens)))
         else:
-            latents = np.concatenate(
-                [self._exemplar_latents(int(t)) for t in tokens], axis=0)
-            frames = np.asarray(self._dae_decode(jnp.asarray(latents)))
+            picks = self._exemplars.pick_indices(tokens)
+            frames = np.asarray(self._exemplar_decode(
+                jnp.asarray(picks)))
         frames = unnormalize(frames, self.pose_mean, self.pose_std)
         return frames, tokens

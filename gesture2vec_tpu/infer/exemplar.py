@@ -29,6 +29,7 @@ class ExemplarBank:
         self._codebook = np.asarray(codebook)
         self._latents = latent_bank["dae_latents"]
         self._rng = rng
+        self._resolve_cache: dict = {}
 
     def latents_for(self, token: int) -> np.ndarray:
         """One exemplar window's DAE latents for a gesture token; an
@@ -44,3 +45,45 @@ class ExemplarBank:
             idxs = self._index[token]
         pick = int(self._rng.choice(idxs))  # ref :606-612 random exemplar
         return self._latents[pick]
+
+    def pick_index(self, token: int) -> int:
+        """The pick of latents_for, as a bank row index — for callers
+        that keep the bank device-resident and gather in-graph.
+        Consumes the shared RNG stream identically to latents_for."""
+        idxs = self._index[token] if token < len(self._index) \
+            else np.array([], np.int64)
+        if len(idxs) == 0:
+            cb = self._codebook
+            pop = self._populated
+            d = np.sum((cb[pop] - cb[token]) ** 2, axis=1)
+            token = int(pop[np.argmin(d)])
+            idxs = self._index[token]
+        return int(self._rng.choice(idxs))
+
+    def pick_indices(self, tokens) -> np.ndarray:
+        """One fresh random pick per token, in order - vectorized.
+
+        Semantics match per-token retrieval (a uniform pick among the
+        token's windows, unpopulated tokens resolved to their nearest
+        populated neighbor), but the uniforms are drawn as ONE batch:
+        per-call np.random.Generator.choice overhead measured ~0.3 ms
+        x 1800 tokens = ~0.5 s per 30-minute request, dominating the
+        whole exemplar path (benchmarks/README.md round 3)."""
+        toks = np.asarray(tokens, np.int64).reshape(-1)
+        resolved = np.empty_like(toks)
+        sizes = np.empty(len(toks), np.int64)
+        for i, t in enumerate(toks):
+            t = int(t)
+            if t >= len(self._index) or len(self._index[t]) == 0:
+                hit = self._resolve_cache.get(t)
+                if hit is None:
+                    cb, pop = self._codebook, self._populated
+                    d = np.sum((cb[pop] - cb[t]) ** 2, axis=1)
+                    hit = int(pop[np.argmin(d)])
+                    self._resolve_cache[t] = hit
+                t = hit
+            resolved[i] = t
+            sizes[i] = len(self._index[t])
+        offs = (self._rng.random(len(toks)) * sizes).astype(np.int64)
+        return np.array([self._index[t][o]
+                         for t, o in zip(resolved, offs)], np.int32)

@@ -213,6 +213,20 @@ class GestureGenerator:
             return dae.apply(self.dae_variables, latents,
                              method=dae.decode)
 
+        if self.mode == "exemplar":
+            # keep the bank device-resident and gather in-graph: only
+            # the picked row INDICES cross the tunnel per request, not
+            # the gathered latent windows themselves
+            bank_dev = jnp.asarray(
+                np.asarray(self.latent_bank["dae_latents"], np.float32))
+
+            @jax.jit
+            def exemplar_decode(picks):
+                lats = jnp.take(bank_dev, picks, axis=0)
+                return dae_decode(lats.reshape(-1, lats.shape[-1]))
+
+            self._exemplar_decode = exemplar_decode
+
         @jax.jit
         def generate_decode_mode(word_ids, lengths, seed0):
             """The whole decode-mode generation as ONE device program:
@@ -306,9 +320,8 @@ class GestureGenerator:
         tokens = np.asarray(self._predict_tokens_all(
             jnp.asarray(word_ids), jnp.asarray(lengths),
             seed0))[:n_tokens_real]
-        latents = np.concatenate(
-            [self._exemplar_latents(int(t)) for t in tokens], axis=0)
-        frames = np.asarray(self._dae_decode(jnp.asarray(latents)))
+        picks = self._exemplars.pick_indices(tokens)
+        frames = np.asarray(self._exemplar_decode(jnp.asarray(picks)))
         frames = unnormalize(frames, self.pose_mean, self.pose_std)
         return frames, tokens
 
@@ -377,14 +390,15 @@ class GestureGenerator:
 
         tokens_all = np.asarray(self._predict_tokens_batch(ids_j, len_j,
                                                            seed0))
-        per, bounds, acc = [], [0], []
+        per, bounds, picks = [], [0], []
         for b in range(B):
             toks = tokens_all[b, : wins[b] * self.n_steps]
             per.append(toks)
-            acc.extend(self._exemplar_latents(int(t)) for t in toks)
+            picks.extend(self._exemplars.pick_index(int(t))
+                         for t in toks)
             bounds.append(bounds[-1] + len(toks) * self.n_frames)
-        frames = np.asarray(self._dae_decode(
-            jnp.asarray(np.concatenate(acc, axis=0))))
+        frames = np.asarray(self._exemplar_decode(
+            jnp.asarray(np.array(picks, np.int32))))
         frames = unnormalize(frames, self.pose_mean, self.pose_std)
         return [(frames[bounds[b]: bounds[b + 1]], per[b])
                 for b in range(B)]
