@@ -121,6 +121,97 @@ def make_motif_corpus(root: str, n_files: int, duration_s: float,
     return root
 
 
+def eval_generated_vs_gt(gen, store, val_store, dae, dae_vars, seq,
+                         seq_vars, n_frames_chunk, codes, bank_val,
+                         bank_train, fps):
+    """Generate motion for every val clip from its transcript alone,
+    push generated + real held-out motion through the frozen teachers,
+    and compute the reference's metric battery (Clustering.py:1353-1628
+    equivalents). Returns (metrics dict, generated frame arrays)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gesture2vec_tpu.cluster.metrics import (corpus_bleu,
+                                                 frechet_distance,
+                                                 hellinger,
+                                                 token_histogram,
+                                                 token_perplexity,
+                                                 wasserstein_distance)
+    from gesture2vec_tpu.data.datasets import normalize
+    from gesture2vec_tpu.data.teacher import (encode_windows_with_dae,
+                                              tokenize_windows)
+
+    gen_tokens_all, gt_tokens_all = [], []
+    gen_frames_list = []
+    for clip in val_store:
+        words = [[w, s, e] for w, s, e in clip["words"]]
+        dur = clip["poses"].shape[0] / fps
+        frames, tokens = gen.generate(words, duration_s=dur)
+        gen_frames_list.append(np.asarray(frames))
+        gen_tokens_all.append(np.asarray(tokens).reshape(-1))
+        # aligned GT teacher tokens for the same clip
+        gt_norm = normalize(clip["poses"], store.pose_mean,
+                            store.pose_std)
+        n_chunks = min(frames.shape[0],
+                       gt_norm.shape[0]) // n_frames_chunk
+        gt_chunks = gt_norm[:n_chunks * n_frames_chunk].reshape(
+            n_chunks, n_frames_chunk, -1)
+        gt_lat = encode_windows_with_dae(dae, dae_vars, gt_chunks)
+        gt_tok, _ = tokenize_windows(seq, seq_vars, gt_lat)
+        gt_tokens_all.append(np.asarray(gt_tok).reshape(-1))
+
+    # trim to aligned lengths per clip, then pool
+    pairs = [(g[:min(len(g), len(r))], r[:min(len(g), len(r))])
+             for g, r in zip(gen_tokens_all, gt_tokens_all)]
+    gen_tokens = np.concatenate([p[0] for p in pairs])
+    gt_tokens = np.concatenate([p[1] for p in pairs])
+
+    hist_gen = token_histogram(gen_tokens, codes)
+    hist_gt = token_histogram(gt_tokens, codes)
+    token_acc = float((gen_tokens == gt_tokens).mean())
+    bleu = corpus_bleu([p[0].tolist() for p in pairs],
+                       [p[1].tolist() for p in pairs], max_n=4)
+
+    # FGD on sequence latents: re-encode the GENERATED motion through
+    # the frozen teachers and compare to the val corpus latents
+    # (ref: Clustering.py:1252-1315 applied to latent_rnn)
+    gen_lat_list = []
+    for gf in gen_frames_list:
+        gfn = normalize(gf, store.pose_mean, store.pose_std)
+        n_chunks = gfn.shape[0] // n_frames_chunk
+        chunks = gfn[:n_chunks * n_frames_chunk].reshape(
+            n_chunks, n_frames_chunk, -1)
+        lat = encode_windows_with_dae(dae, dae_vars, chunks)
+        _, hidden = jax.jit(
+            lambda x: seq.apply(seq_vars, x, method=seq.encode))(
+            jnp.asarray(lat))
+        L, B, H = hidden.shape
+        gen_lat_list.append(np.asarray(
+            jnp.transpose(hidden, (1, 0, 2)).reshape(B, L * H)))
+    gen_seq_latents = np.concatenate(gen_lat_list, axis=0)
+    fgd = frechet_distance(gen_seq_latents, bank_val["seq_latents"])
+    fgd_floor = frechet_distance(bank_train["seq_latents"],
+                                 bank_val["seq_latents"])
+
+    metrics = {
+        "hellinger": float(hellinger(hist_gen, hist_gt)),
+        "frechet_seq_latents": float(fgd),
+        "frechet_floor_train_vs_val": float(fgd_floor),
+        "token_perplexity_generated": float(
+            token_perplexity(gen_tokens, codes)),
+        "token_perplexity_ground_truth": float(
+            token_perplexity(gt_tokens, codes)),
+        "wasserstein": float(wasserstein_distance(gen_tokens,
+                                                  gt_tokens)),
+        "bleu": float(bleu),
+        "token_accuracy": token_acc,
+        "n_tokens_compared": int(len(gen_tokens)),
+        "_hist_gen": hist_gen.tolist(),
+        "_hist_gt": hist_gt.tolist(),
+    }
+    return metrics, gen_frames_list
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("out", nargs="?", default="/tmp/quality_out")
@@ -282,57 +373,11 @@ def main():
         n_frames=n_frames_chunk, sentence_frame_length=sent_len,
         fps=fps, max_words=24, mode="decode", latent_bank=bank, seed=0)
 
-    gen_tokens_all, gt_tokens_all = [], []
-    gen_frames_list = []
-    for clip in val_store:
-        words = [[w, s, e] for w, s, e in clip["words"]]
-        dur = clip["poses"].shape[0] / fps
-        frames, tokens = gen.generate(words, duration_s=dur)
-        gen_frames_list.append(np.asarray(frames))
-        gen_tokens_all.append(np.asarray(tokens).reshape(-1))
-        # aligned GT teacher tokens for the same clip
-        gt_norm = normalize(clip["poses"], store.pose_mean,
-                            store.pose_std)
-        n_chunks = min(frames.shape[0],
-                       gt_norm.shape[0]) // n_frames_chunk
-        gt_chunks = gt_norm[:n_chunks * n_frames_chunk].reshape(
-            n_chunks, n_frames_chunk, -1)
-        gt_lat = encode_windows_with_dae(dae, dae_vars, gt_chunks)
-        gt_tok, _ = tokenize_windows(seq, seq_vars, gt_lat)
-        gt_tokens_all.append(np.asarray(gt_tok).reshape(-1))
-
-    # trim to aligned lengths per clip, then pool
-    pairs = [(g[:min(len(g), len(r))], r[:min(len(g), len(r))])
-             for g, r in zip(gen_tokens_all, gt_tokens_all)]
-    gen_tokens = np.concatenate([p[0] for p in pairs])
-    gt_tokens = np.concatenate([p[1] for p in pairs])
-
-    hist_gen = token_histogram(gen_tokens, codes)
-    hist_gt = token_histogram(gt_tokens, codes)
-    token_acc = float((gen_tokens == gt_tokens).mean())
-    bleu = corpus_bleu([p[0].tolist() for p in pairs],
-                       [p[1].tolist() for p in pairs], max_n=4)
-
-    # FGD on sequence latents: re-encode the GENERATED motion through
-    # the frozen teachers and compare to the val corpus latents
-    # (ref: Clustering.py:1252-1315 applied to latent_rnn)
-    gen_lat_list = []
-    for gf in gen_frames_list:
-        gfn = normalize(gf, store.pose_mean, store.pose_std)
-        n_chunks = gfn.shape[0] // n_frames_chunk
-        chunks = gfn[:n_chunks * n_frames_chunk].reshape(
-            n_chunks, n_frames_chunk, -1)
-        lat = encode_windows_with_dae(dae, dae_vars, chunks)
-        _, hidden = jax.jit(
-            lambda x: seq.apply(seq_vars, x, method=seq.encode))(
-            jnp.asarray(lat))
-        L, B, H = hidden.shape
-        gen_lat_list.append(np.asarray(
-            jnp.transpose(hidden, (1, 0, 2)).reshape(B, L * H)))
-    gen_seq_latents = np.concatenate(gen_lat_list, axis=0)
-    fgd = frechet_distance(gen_seq_latents, bank_val["seq_latents"])
-    fgd_floor = frechet_distance(bank["seq_latents"],
-                                 bank_val["seq_latents"])
+    gvg, gen_frames_list = eval_generated_vs_gt(
+        gen, store, val_store, dae, dae_vars, seq, seq_vars,
+        n_frames_chunk, codes, bank_val, bank, fps)
+    hist_gen = np.asarray(gvg.pop("_hist_gen"))
+    hist_gt = np.asarray(gvg.pop("_hist_gt"))
 
     metrics = {
         "corpus": {"n_files": n_files, "duration_s": duration_s,
@@ -348,20 +393,7 @@ def main():
         "part_d": {"val_ce_first": t2t_hist["val_loss"][0],
                    "val_ce_last": t2t_hist["val_loss"][-1],
                    "val_acc": t2t_hist["val_acc"][-1]},
-        "generated_vs_ground_truth": {
-            "hellinger": float(hellinger(hist_gen, hist_gt)),
-            "frechet_seq_latents": float(fgd),
-            "frechet_floor_train_vs_val": float(fgd_floor),
-            "token_perplexity_generated": float(
-                token_perplexity(gen_tokens, codes)),
-            "token_perplexity_ground_truth": float(
-                token_perplexity(gt_tokens, codes)),
-            "wasserstein": float(wasserstein_distance(gen_tokens,
-                                                      gt_tokens)),
-            "bleu": float(bleu),
-            "token_accuracy": token_acc,
-            "n_tokens_compared": int(len(gen_tokens)),
-        },
+        "generated_vs_ground_truth": gvg,
     }
     with open(os.path.join(args.out, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
