@@ -89,7 +89,10 @@ def main():
     for label, mode, extra in (
             ("decode", "decode", {}),
             ("decode_continuity", "decode", {"chunk_continuity": True}),
-            ("exemplar", "exemplar", {})):
+            ("decode_smoothed", "decode", {"_smooth": True}),
+            ("exemplar", "exemplar", {}),
+            ("exemplar_smoothed", "exemplar", {"_smooth": True})):
+        smooth = bool(extra.pop("_smooth", False))
         gen = GestureGenerator(
             t2t_model=t2t, t2t_variables=t2t_vars, seq_model=seq,
             seq_variables=seq_vars, dae_model=dae,
@@ -101,7 +104,8 @@ def main():
             **extra)
         m, _ = eval_generated_vs_gt(
             gen, store, val_store, dae, dae_vars, seq, seq_vars,
-            n_frames_chunk, codes, bank_val, bank, fps)
+            n_frames_chunk, codes, bank_val, bank, fps,
+            smooth_generated=smooth)
         m.pop("_hist_gen")
         m.pop("_hist_gt")
         results[label] = m

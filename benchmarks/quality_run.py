@@ -123,11 +123,16 @@ def make_motif_corpus(root: str, n_files: int, duration_s: float,
 
 def eval_generated_vs_gt(gen, store, val_store, dae, dae_vars, seq,
                          seq_vars, n_frames_chunk, codes, bank_val,
-                         bank_train, fps):
+                         bank_train, fps, smooth_generated=False):
     """Generate motion for every val clip from its transcript alone,
     push generated + real held-out motion through the frozen teachers,
     and compute the reference's metric battery (Clustering.py:1353-1628
-    equivalents). Returns (metrics dict, generated frame arrays)."""
+    equivalents). Returns (metrics dict, generated frame arrays).
+
+    smooth_generated: apply the production export smoothing (savgol
+    25/5, ref: inference_text2embedding.py:796-834) to the generated
+    frames before the teacher re-encode - measures the motion the BVH
+    consumer actually sees."""
     import jax
     import jax.numpy as jnp
 
@@ -147,7 +152,11 @@ def eval_generated_vs_gt(gen, store, val_store, dae, dae_vars, seq,
         words = [[w, s, e] for w, s, e in clip["words"]]
         dur = clip["poses"].shape[0] / fps
         frames, tokens = gen.generate(words, duration_s=dur)
-        gen_frames_list.append(np.asarray(frames))
+        frames = np.asarray(frames)
+        if smooth_generated:
+            from gesture2vec_tpu.infer.smoothing import savgol
+            frames = savgol(frames)
+        gen_frames_list.append(frames)
         gen_tokens_all.append(np.asarray(tokens).reshape(-1))
         # aligned GT teacher tokens for the same clip
         gt_norm = normalize(clip["poses"], store.pose_mean,
