@@ -251,8 +251,10 @@ def write_bvh(data: BVHData, path: Optional[str] = None,
     out.append(f"Frame Time: {ft:f}\n")
 
     mat = np.asarray(data.values, dtype=np.float64)[:, motion_cols]
-    body = "\n".join(" ".join(f"{v:.6f}" for v in row) for row in mat)
-    out.append(body + "\n")
+    # native formatter: the %.6f grid is the export hot loop
+    # (~2.5M format calls per 30-minute clip in pure Python)
+    from gesture2vec_tpu.utils.native import format_motion
+    out.append(format_motion(mat))
     text = "".join(out)
     if path is None:
         return text

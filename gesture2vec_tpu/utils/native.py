@@ -64,6 +64,10 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.g2v_format_motion.restype = ctypes.c_int64
+        lib.g2v_format_motion.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64]
         _lib = lib
         logging.debug("native kernels loaded from %s", so)
     except Exception as e:  # toolchain missing, compile error, ...
@@ -121,3 +125,21 @@ def extract_windows(frames: np.ndarray, window: int,
         f.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), T, D, window,
         stride, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n)
     return out[:got]
+
+
+def format_motion(mat: np.ndarray) -> str:
+    """(rows, cols) float64 -> BVH motion-block text ("%.6f", space-
+    separated, newline per row) - the exporter's hot loop (~2.5M format
+    calls per 30-minute clip in pure Python)."""
+    m = np.ascontiguousarray(mat, dtype=np.float64)
+    lib = load()
+    if lib is not None and m.size:
+        cap = int(m.size * 28 + m.shape[0] + 64)
+        buf = ctypes.create_string_buffer(cap)
+        n = lib.g2v_format_motion(
+            m.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            m.shape[0], m.shape[1], buf, cap)
+        if n > 0:
+            return buf.raw[:n].decode("ascii")
+    return "\n".join(" ".join(f"{v:.6f}" for v in row)
+                     for row in m) + ("\n" if m.size else "")

@@ -10,6 +10,7 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 
@@ -82,6 +83,37 @@ int64_t g2v_extract_windows(const float* frames, int64_t T, int64_t D,
                sizeof(float) * W * D);
     }
     return n;
+}
+
+}  // extern "C"
+
+#include <charconv>
+
+extern "C" {
+
+// Format a (rows, cols) float64 matrix as BVH motion text: each row is
+// "%.6f"-formatted values space-separated, newline-terminated - the
+// exporter's hot loop (a 30-minute clip is ~2.5M Python format calls
+// otherwise). Uses std::to_chars (locale-free, correctly rounded fixed
+// notation, identical output to printf/%-formatting). Returns bytes
+// written, or -1 if cap would overflow.
+int64_t g2v_format_motion(const double* vals, int64_t rows, int64_t cols,
+                          char* out, int64_t cap) {
+    char* p = out;
+    char* end = out + cap;
+    for (int64_t r = 0; r < rows; ++r) {
+        for (int64_t c = 0; c < cols; ++c) {
+            if (end - p < 32) return -1;
+            if (c) *p++ = ' ';
+            auto res = std::to_chars(p, end, vals[r * cols + c],
+                                     std::chars_format::fixed, 6);
+            if (res.ec != std::errc()) return -1;
+            p = res.ptr;
+        }
+        if (p >= end) return -1;
+        *p++ = '\n';
+    }
+    return p - out;
 }
 
 }  // extern "C"

@@ -59,3 +59,43 @@ def test_bvh_uses_native_and_matches(rng):
         native._lib = None
         native._tried = False
     np.testing.assert_allclose(d1.values, d2.values, atol=0)
+
+
+def test_format_motion_matches_python():
+    """Native %.6f grid formatter: byte-identical to the Python
+    fallback (C snprintf and Python format both use round-half-even
+    shortest-correct decimal for doubles)."""
+    from gesture2vec_tpu.utils.native import format_motion, load
+    rng = np.random.default_rng(0)
+    mat = np.concatenate([
+        rng.normal(scale=100.0, size=(50, 7)),
+        np.array([[0.0, -0.0, 1e-7, -1e-7, 123456.4999995,
+                   -99.9999995, 0.5]]),
+    ])
+    expect = "\n".join(" ".join(f"{v:.6f}" for v in row)
+                       for row in mat) + "\n"
+    got = format_motion(mat)
+    if load() is None:
+        assert got == expect  # fallback path is the reference
+    else:
+        assert got == expect, "native formatter diverges from Python"
+    # empty matrix: no text
+    assert format_motion(np.zeros((0, 3))) == ""
+
+
+def test_format_motion_speed_sanity():
+    """The native path should beat pure Python comfortably on a
+    clip-sized block (skipped silently when the toolchain is absent)."""
+    import time
+
+    from gesture2vec_tpu.utils.native import format_motion, load
+    if load() is None:
+        return
+    mat = np.random.default_rng(1).normal(size=(2000, 69))
+    t0 = time.perf_counter()
+    format_motion(mat)
+    native_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    "\n".join(" ".join(f"{v:.6f}" for v in row) for row in mat)
+    py_dt = time.perf_counter() - t0
+    assert native_dt < py_dt, (native_dt, py_dt)
