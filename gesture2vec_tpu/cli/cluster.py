@@ -164,6 +164,19 @@ def main() -> None:
         for ln in lines:
             logging.info(ln)
 
+    # Rep_distance.txt: representation-space smoothness
+    # (ref: Clustering.py:410-505 writes the same artifact)
+    from gesture2vec_tpu.cluster.metrics import \
+        representation_neighbor_distance
+    try:
+        rep = representation_neighbor_distance(data["seq_latents"])
+        with open(os.path.join(out, "Rep_distance.txt"), "w") as f:
+            f.write("\n".join(f"{k}: {v:.6f}" for k, v in rep.items())
+                    + "\n")
+        logging.info("Rep_distance: %s", rep)
+    except ValueError as e:   # corpus too small for the +-2 strides
+        logging.info("Rep_distance skipped: %s", e)
+
 
 if __name__ == "__main__":
     main()
