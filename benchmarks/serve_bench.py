@@ -53,11 +53,51 @@ def pctl(lats, q):
     return s[min(int(q * (len(s) - 1) + 0.5), len(s) - 1)]
 
 
+def run_concurrent(port, all_words, duration):
+    out, lats = [], []
+    threads = [threading.Thread(target=fire,
+                                args=(port, w, duration, out, lats))
+               for w in all_words]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    assert len(out) == len(all_words)
+    return sum(out), dt, lats
+
+
+def window_sweep(gen, all_words, duration, windows_ms):
+    """Latency/throughput curve over the batch window - the
+    micro-batching tradeoff surface. One generator (compiled programs
+    shared), a fresh worker+server per window setting."""
+    from gesture2vec_tpu.serve.server import serve
+
+    print(f"\nbatch-window sweep ({len(all_words)} clients, "
+          f"{duration:.0f}s transcripts):")
+    print(f"{'window':>8} {'frames/s':>10} {'p50 s':>7} {'p99 s':>7}")
+    for w_ms in windows_ms:
+        httpd = serve(gen, port=0, max_batch=len(all_words),
+                      batch_window_s=w_ms / 1000.0,
+                      request_timeout_s=560.0)
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        frames, dt, lats = run_concurrent(port, all_words, duration)
+        print(f"{w_ms:>6.0f}ms {frames / dt:>10,.0f} "
+              f"{pctl(lats, 0.5):>7.3f} {pctl(lats, 0.99):>7.3f}")
+        httpd.shutdown()
+        httpd.worker.close()
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--duration", type=float, default=60.0)
     ap.add_argument("--window-ms", type=float, default=100.0)
+    ap.add_argument("--sweep", action="store_true",
+                    help="also sweep the batch window (10/50/100/200 ms)"
+                         " for the latency/throughput curve")
     args = ap.parse_args()
 
     from gesture2vec_tpu.serve.server import serve
@@ -125,6 +165,10 @@ def main():
     print(f"  worker stats: {stats}  server-side latency: {srv_lat}")
     httpd.shutdown()
     httpd.worker.close()
+
+    if args.sweep:
+        window_sweep(gen, all_words, args.duration,
+                     (10.0, 50.0, 100.0, 200.0))
 
 
 if __name__ == "__main__":
