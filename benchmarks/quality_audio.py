@@ -172,7 +172,10 @@ def main():
         n_frames=n_frames_chunk, sentence_frame_length=sent_len,
         fps=fps, audio_sr=AUDIO_SR, mode="decode", latent_bank=bank)
 
+    import jax
     import jax.numpy as jnp
+    seq_encode = jax.jit(
+        lambda x: seq.apply(seq_vars, x, method=seq.encode))
     gen_toks, gt_toks, gen_lat_list = [], [], []
     for clip in val_store:
         audio = clip.get("audio")
@@ -195,9 +198,7 @@ def main():
         glat = encode_windows_with_dae(
             dae, dae_vars, gfn[:n_chunks * n_frames_chunk].reshape(
                 n_chunks, n_frames_chunk, -1))
-        _, hidden = jax.jit(
-            lambda x: seq.apply(seq_vars, x, method=seq.encode))(
-            jnp.asarray(glat))
+        _, hidden = seq_encode(jnp.asarray(glat))
         L, B, H = hidden.shape
         gen_lat_list.append(np.asarray(
             jnp.transpose(hidden, (1, 0, 2)).reshape(B, L * H)))

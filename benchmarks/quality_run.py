@@ -184,6 +184,10 @@ def eval_generated_vs_gt(gen, store, val_store, dae, dae_vars, seq,
     # FGD on sequence latents: re-encode the GENERATED motion through
     # the frozen teachers and compare to the val corpus latents
     # (ref: Clustering.py:1252-1315 applied to latent_rnn)
+    # jitted ONCE outside the loop: a fresh jax.jit(lambda) per clip
+    # would retrace/recompile every iteration
+    seq_encode = jax.jit(
+        lambda x: seq.apply(seq_vars, x, method=seq.encode))
     gen_lat_list = []
     for gf in gen_frames_list:
         gfn = normalize(gf, store.pose_mean, store.pose_std)
@@ -191,9 +195,7 @@ def eval_generated_vs_gt(gen, store, val_store, dae, dae_vars, seq,
         chunks = gfn[:n_chunks * n_frames_chunk].reshape(
             n_chunks, n_frames_chunk, -1)
         lat = encode_windows_with_dae(dae, dae_vars, chunks)
-        _, hidden = jax.jit(
-            lambda x: seq.apply(seq_vars, x, method=seq.encode))(
-            jnp.asarray(lat))
+        _, hidden = seq_encode(jnp.asarray(lat))
         L, B, H = hidden.shape
         gen_lat_list.append(np.asarray(
             jnp.transpose(hidden, (1, 0, 2)).reshape(B, L * H)))

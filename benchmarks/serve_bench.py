@@ -48,9 +48,7 @@ def fire(port, words, duration_s, out, lats=None):
     out.append(int(payload["frames_shape"][0]))
 
 
-def pctl(lats, q):
-    s = sorted(lats)
-    return s[min(int(q * (len(s) - 1) + 0.5), len(s) - 1)]
+from gesture2vec_tpu.serve.server import nearest_rank as pctl
 
 
 def run_concurrent(port, all_words, duration):

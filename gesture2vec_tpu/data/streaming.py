@@ -33,15 +33,20 @@ from gesture2vec_tpu.data.store import ClipStore
 def _shuffled_stream(items: Iterator[np.ndarray], buffer_rows: int,
                      rng: np.random.Generator) -> Iterator[np.ndarray]:
     """Reservoir shuffle over row-blocks: maintain up to buffer_rows
-    rows; each yield swaps a random resident row out."""
+    rows; each yield swaps a random resident row out.
+
+    Rows are COPIED into the reservoir: a buffered row is a view into
+    its parent block, and one surviving view pins the whole clip array
+    — without the copy, steady-state RAM is ~buffer*ln(rows_per_clip)
+    full clips, not the documented O(shuffle_buffer) bound."""
     buf: list = []
     for block in items:
         for row in block:
             if len(buf) < buffer_rows:
-                buf.append(row)
+                buf.append(row.copy())
                 continue
             j = int(rng.integers(len(buf)))
-            out, buf[j] = buf[j], row
+            out, buf[j] = buf[j], row.copy()
             yield out
     rng.shuffle(buf)
     yield from buf

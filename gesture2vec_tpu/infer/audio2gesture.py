@@ -99,32 +99,14 @@ class AudioGestureGenerator:
             return dae.apply(self.dae_variables, latents,
                              method=dae.decode)
 
-        @jax.jit
-        def dae_decode(latents):
-            return dae.apply(self.dae_variables, latents,
-                             method=dae.decode)
-
         if self.mode == "exemplar":
-            # device-resident bank, in-graph gather (only pick indices
-            # cross the tunnel - same design as GestureGenerator)
-            bank_dev = jnp.asarray(
-                np.asarray(self.latent_bank["dae_latents"], np.float32))
-
-            @jax.jit
-            def exemplar_decode(picks):
-                lats = jnp.take(bank_dev, picks, axis=0)
-                return dae_decode(lats.reshape(-1, lats.shape[-1]))
-
-            self._exemplar_decode = exemplar_decode
+            self._exemplar_decode = self._exemplars.make_decode_fn(
+                dae, self.dae_variables)
 
         self._predict_tokens_all = predict_tokens_all
         self._decode_and_dae = decode_and_dae
-        self._dae_decode = dae_decode
 
     # ------------------------------------------------------------------
-    def _exemplar_latents(self, token: int) -> np.ndarray:
-        return self._exemplars.latents_for(token)
-
     def _mel_windows(self, audio: np.ndarray, n_windows: int) -> np.ndarray:
         from gesture2vec_tpu.io.audio import mel_chunks_per_second
         window_seconds = self.sentence_frame_length // self.fps

@@ -9,6 +9,8 @@ and the retrieval RNG semantics cannot drift between them.
 """
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -31,34 +33,22 @@ class ExemplarBank:
         self._rng = rng
         self._resolve_cache: dict = {}
 
-    def latents_for(self, token: int) -> np.ndarray:
-        """One exemplar window's DAE latents for a gesture token; an
-        unpopulated token falls back to its nearest populated neighbor
-        by codebook distance."""
-        idxs = self._index[token] if token < len(self._index) \
-            else np.array([], np.int64)
-        if len(idxs) == 0:
-            cb = self._codebook
-            pop = self._populated
-            d = np.sum((cb[pop] - cb[token]) ** 2, axis=1)
-            token = int(pop[np.argmin(d)])
-            idxs = self._index[token]
-        pick = int(self._rng.choice(idxs))  # ref :606-612 random exemplar
-        return self._latents[pick]
+    def make_decode_fn(self, dae_model, dae_variables):
+        """Jitted picks -> motion frames. The latent bank stays
+        device-resident and is gathered IN-GRAPH, so only the picked row
+        indices cross the tunnel per request, never the gathered latent
+        windows. Shared by the text and audio generators so the decode
+        half of exemplar retrieval cannot drift between them."""
+        bank_dev = jnp.asarray(np.asarray(self._latents, np.float32))
 
-    def pick_index(self, token: int) -> int:
-        """The pick of latents_for, as a bank row index — for callers
-        that keep the bank device-resident and gather in-graph.
-        Consumes the shared RNG stream identically to latents_for."""
-        idxs = self._index[token] if token < len(self._index) \
-            else np.array([], np.int64)
-        if len(idxs) == 0:
-            cb = self._codebook
-            pop = self._populated
-            d = np.sum((cb[pop] - cb[token]) ** 2, axis=1)
-            token = int(pop[np.argmin(d)])
-            idxs = self._index[token]
-        return int(self._rng.choice(idxs))
+        @jax.jit
+        def exemplar_decode(picks):
+            lats = jnp.take(bank_dev, picks, axis=0)
+            return dae_model.apply(dae_variables,
+                                   lats.reshape(-1, lats.shape[-1]),
+                                   method=dae_model.decode)
+
+        return exemplar_decode
 
     def pick_indices(self, tokens) -> np.ndarray:
         """One fresh random pick per token, in order - vectorized.

@@ -214,18 +214,8 @@ class GestureGenerator:
                              method=dae.decode)
 
         if self.mode == "exemplar":
-            # keep the bank device-resident and gather in-graph: only
-            # the picked row INDICES cross the tunnel per request, not
-            # the gathered latent windows themselves
-            bank_dev = jnp.asarray(
-                np.asarray(self.latent_bank["dae_latents"], np.float32))
-
-            @jax.jit
-            def exemplar_decode(picks):
-                lats = jnp.take(bank_dev, picks, axis=0)
-                return dae_decode(lats.reshape(-1, lats.shape[-1]))
-
-            self._exemplar_decode = exemplar_decode
+            self._exemplar_decode = self._exemplars.make_decode_fn(
+                dae, self.dae_variables)
 
         @jax.jit
         def generate_decode_mode(word_ids, lengths, seed0):
@@ -260,7 +250,6 @@ class GestureGenerator:
 
         self._predict_tokens_all = predict_tokens_all
         self._decode_tokens_all = decode_tokens_all
-        self._dae_decode = dae_decode
         self._generate_decode_mode = generate_decode_mode
         self._generate_decode_batch = generate_decode_batch
         self._predict_tokens_batch = predict_tokens_batch
@@ -281,10 +270,6 @@ class GestureGenerator:
         return np.asarray(self.seq_variables["params"]["vq_layer"]
                           ["codebook"])
 
-    def _exemplar_latents(self, token: int) -> np.ndarray:
-        return self._exemplars.latents_for(token)
-
-    # ------------------------------------------------------------------
     def generate(self, words: List[List], duration_s: float
                  ) -> Tuple[np.ndarray, np.ndarray]:
         """words: [[word, start_s, end_s], ...]. Returns
@@ -390,15 +375,16 @@ class GestureGenerator:
 
         tokens_all = np.asarray(self._predict_tokens_batch(ids_j, len_j,
                                                            seed0))
-        per, bounds, picks = [], [0], []
+        per, bounds = [], [0]
         for b in range(B):
             toks = tokens_all[b, : wins[b] * self.n_steps]
             per.append(toks)
-            picks.extend(self._exemplars.pick_index(int(t))
-                         for t in toks)
             bounds.append(bounds[-1] + len(toks) * self.n_frames)
-        frames = np.asarray(self._exemplar_decode(
-            jnp.asarray(np.array(picks, np.int32))))
+        # one vectorized pick over the concatenated batch: per-token
+        # rng.choice costs ~0.3 ms/call (benchmarks/README.md round 3),
+        # which at serving batch sizes would dominate the fused request
+        picks = self._exemplars.pick_indices(np.concatenate(per))
+        frames = np.asarray(self._exemplar_decode(jnp.asarray(picks)))
         frames = unnormalize(frames, self.pose_mean, self.pose_std)
         return [(frames[bounds[b]: bounds[b + 1]], per[b])
                 for b in range(B)]

@@ -34,6 +34,15 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 import numpy as np
 
 
+def nearest_rank(values: List[float], q: float) -> float:
+    """Nearest-rank percentile over a list (q in [0, 1]). The single
+    definition used by both the server's /healthz latency stats and
+    benchmarks/serve_bench.py, so server- and client-side p50/p99 in
+    one report are always computed identically."""
+    s = sorted(values)
+    return s[min(int(q * (len(s) - 1) + 0.5), len(s) - 1)]
+
+
 @dataclass
 class _Pending:
     words: List[List]
@@ -97,14 +106,12 @@ class BatchingWorker:
         seconds) over the last LATENCY_WINDOW completed requests — the
         micro-batching tradeoff surface (batch window vs tail latency)."""
         with self._lat_lock:
-            lats = sorted(self._latencies)
+            lats = list(self._latencies)
         if not lats:
             return {"latency_n": 0}
-        pick = lambda q: lats[min(int(q * (len(lats) - 1) + 0.5),
-                                  len(lats) - 1)]
         return {"latency_n": len(lats),
-                "latency_p50_s": round(pick(0.50), 4),
-                "latency_p99_s": round(pick(0.99), 4)}
+                "latency_p50_s": round(nearest_rank(lats, 0.50), 4),
+                "latency_p99_s": round(nearest_rank(lats, 0.99), 4)}
 
     def submit(self, words: List[List], duration_s: float,
                timeout_s: float = 120.0) -> Tuple[np.ndarray, np.ndarray]:

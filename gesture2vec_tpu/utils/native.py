@@ -132,6 +132,9 @@ def format_motion(mat: np.ndarray) -> str:
     separated, newline per row) - the exporter's hot loop (~2.5M format
     calls per 30-minute clip in pure Python)."""
     m = np.ascontiguousarray(mat, dtype=np.float64)
+    if not m.size:
+        return "\n"   # byte-parity with the pure-Python writer, which
+        # appended body + "\n" unconditionally (empty body, 0 frames)
     lib = load()
     if lib is not None and m.size:
         cap = int(m.size * 28 + m.shape[0] + 64)
@@ -142,4 +145,4 @@ def format_motion(mat: np.ndarray) -> str:
         if n > 0:
             return buf.raw[:n].decode("ascii")
     return "\n".join(" ".join(f"{v:.6f}" for v in row)
-                     for row in m) + ("\n" if m.size else "")
+                     for row in m) + "\n"

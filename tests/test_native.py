@@ -79,8 +79,9 @@ def test_format_motion_matches_python():
         assert got == expect  # fallback path is the reference
     else:
         assert got == expect, "native formatter diverges from Python"
-    # empty matrix: no text
-    assert format_motion(np.zeros((0, 3))) == ""
+    # empty matrix: a bare newline — byte-parity with the pre-native
+    # writer, which appended body + "\n" unconditionally (empty body)
+    assert format_motion(np.zeros((0, 3))) == "\n"
 
 
 def test_format_motion_speed_sanity():

@@ -21,6 +21,22 @@ def _store(tmp_path, rng, n_clips=5, frames=64):
     return ClipStore(root)
 
 
+def test_shuffled_stream_copies_rows():
+    """Buffered rows must be COPIES, not views: a surviving view pins
+    its whole parent clip array, breaking the O(shuffle_buffer) RAM
+    bound the module documents. Mutating the source block after
+    streaming must not change what was yielded."""
+    from gesture2vec_tpu.data.streaming import _shuffled_stream
+    blocks = [np.full((8, 3), i, np.float32) for i in range(4)]
+    rng = np.random.default_rng(0)
+    out = list(_shuffled_stream(iter(blocks), 8, rng))
+    expect = [row.copy() for row in out]
+    for b in blocks:
+        b[:] = -1.0
+    assert all(np.array_equal(a, e) for a, e in zip(out, expect))
+    assert not any(row.base is b for row in out for b in blocks)
+
+
 def test_streaming_windows_cover_same_data(tmp_path, rng):
     """One streamed epoch yields exactly the windows pose_windows
     materializes (shuffled)."""
