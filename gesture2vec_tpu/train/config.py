@@ -107,6 +107,12 @@ class Config:
 
     # GAN (ref: parse_args.py:97)
     noise_dim: int = 200
+    gan_keep_unrolled: bool = False  # parity switch: the reference's
+    # unrolled-D "restore" is a no-op (state_dict() aliases the live
+    # tensors, train_seq2seq.py:610,645), so the reference actually
+    # KEEPS all 10 unrolled D updates (~11 D steps/iter). False = the
+    # repaired unrolled-GAN semantics (restore D, Metz et al.); True =
+    # reproduce the reference's literal behavior.
 
     # TPU-native additions (not in the reference)
     mesh_shape: Optional[Dict[str, int]] = None   # e.g. {"dp": 8}

@@ -26,6 +26,7 @@ from gesture2vec_tpu.train import checkpoints
 from gesture2vec_tpu.train.config import Config
 from gesture2vec_tpu.train.losses import mse_loss
 from gesture2vec_tpu.train.optim import make_optimizer
+from gesture2vec_tpu.train.token_loop import require_full_batch
 from gesture2vec_tpu.utils.meters import AverageMeter
 
 
@@ -234,6 +235,7 @@ def train_dae(config: Config, train_frames: np.ndarray,
                         "(K-Means codebook re-estimation sweeps it)")
     n = len(train_frames) if streaming else train_frames.shape[0]
     bs = config.batch_size
+    require_full_batch(n, bs, config.name)
     history: Dict[str, list] = {"train_loss": [], "val_loss": []}
     meter = AverageMeter("loss", ":.4f")
 

@@ -5,9 +5,19 @@ Rebuild of train_iter_text2embedding_GAN
 discriminator takes one real update, then `unroll_steps` (10, ref :607)
 further updates on the same batch, the generator steps against the
 unrolled discriminator, and the discriminator is restored to its
-post-first-update state. Functional params make the reference's
-state_dict backup/restore dance (ref :610, :645) a plain variable swap,
-and the whole unroll compiles into one program via lax.fori_loop.
+post-first-update state (the unrolled-GAN recipe, Metz et al. 2016).
+The whole unroll compiles into one program via lax.fori_loop.
+
+Reference defect, repaired here behind a parity switch: the reference's
+restore is a NO-OP - `d_backup = d_net.state_dict()` (ref :610) returns
+references to the live parameter tensors, which `d_optim.step()`
+mutates in place, so `load_state_dict(d_backup)` (ref :645) copies the
+already-mutated values onto themselves. As committed, the reference
+therefore keeps all 10 unrolled updates (~11 effective D steps per
+iteration). The default here implements the intended restore;
+`config.gan_keep_unrolled=True` reproduces the reference's literal
+behavior. The reference also leaves gradient clipping commented out for
+the GAN (ref :646-648), so both optimizers here are unclipped Adam.
 """
 from __future__ import annotations
 
@@ -56,7 +66,8 @@ def init_gan(g: T2GGenerator, d: T2GDiscriminator, rng: jax.Array,
 
 
 def make_gan_step(g: T2GGenerator, d: T2GDiscriminator, g_optimizer,
-                  d_optimizer, unroll_steps: int = 10):
+                  d_optimizer, unroll_steps: int = 10,
+                  keep_unrolled: bool = False):
     def d_loss_fn(d_params, tokens, lengths, real, fake, rng):
         real_logit = d.apply({"params": d_params}, tokens, lengths, real,
                              train=True, rngs={"dropout": rng})
@@ -94,15 +105,15 @@ def make_gan_step(g: T2GGenerator, d: T2GDiscriminator, g_optimizer,
             state.d_params, state.d_opt, tokens, lengths, real_poses,
             fake, rng_d)
 
-        # 3. unroll D further (ref :607-629), then discard
+        # 3. unroll D further (ref :607-629)
         def unroll_body(i, carry):
             dp, dop = carry
             dp, dop, _ = d_update(dp, dop, tokens, lengths, real_poses,
                                   fake, jax.random.fold_in(rng_u, i))
             return dp, dop
 
-        d_unrolled, _ = jax.lax.fori_loop(0, unroll_steps, unroll_body,
-                                          (d_params, d_opt))
+        d_unrolled, d_opt_unrolled = jax.lax.fori_loop(
+            0, unroll_steps, unroll_body, (d_params, d_opt))
 
         # 4. G step against the unrolled D
         def g_loss_fn(g_params):
@@ -120,7 +131,11 @@ def make_gan_step(g: T2GGenerator, d: T2GDiscriminator, g_optimizer,
                                               state.g_params)
         g_params = optax.apply_updates(state.g_params, g_updates)
 
-        # 5. D restored to its post-first-update state (ref :644-645)
+        # 5. D restored to its post-first-update state (the intended
+        # ref :644-645); keep_unrolled reproduces the reference's
+        # literal aliased-backup behavior (see module docstring)
+        if keep_unrolled:
+            d_params, d_opt = d_unrolled, d_opt_unrolled
         new_state = GANTrainState(g_params=g_params, g_opt=g_opt,
                                   g_batch_stats=g_bs, d_params=d_params,
                                   d_opt=d_opt, step=state.step + 1)
@@ -171,15 +186,18 @@ def train_gan(config, data, n_words: int, embedding_weights=None,
 
     g, d = build_gan(config, n_words, data["poses"].shape[-1],
                      embedding_weights=embedding_weights)
-    g_opt = make_optimizer(config.learning_rate)
-    d_opt = make_optimizer(config.learning_rate)
+    # the reference GAN trainer does NOT clip gradients
+    # (train_seq2seq.py:646-648, commented out)
+    g_opt = make_optimizer(config.learning_rate, clip_norm=None)
+    d_opt = make_optimizer(config.learning_rate, clip_norm=None)
     state = init_gan(g, d, jax.random.PRNGKey(max(config.random_seed, 0)),
                      g_opt, d_opt, max_words=data["word_ids"].shape[1])
     mesh, state = prepare_state(state, config.mesh_shape)
     place = batch_placer(mesh)
     if mesh is not None:
         logging.info("training over mesh %s", config.mesh_shape)
-    step = make_gan_step(g, d, g_opt, d_opt)
+    step = make_gan_step(g, d, g_opt, d_opt,
+                         keep_unrolled=config.gan_keep_unrolled)
     bs = config.batch_size
     meter = AverageMeter("g_loss", ":.4f")
     rng = jax.random.PRNGKey(max(config.random_seed, 0) + 1)
@@ -193,7 +211,7 @@ def train_gan(config, data, n_words: int, embedding_weights=None,
         perm = np.random.default_rng(
             max(config.random_seed, 0) + epoch).permutation(n_samples)
         meter.reset()
-        g_losses = []
+        g_losses, d_reals, d_fakes = [], [], []
         for s in range(0, len(perm) - bs + 1, bs):
             take = perm[s:s + bs]
             rng, srng = jax.random.split(rng)
@@ -202,12 +220,15 @@ def train_gan(config, data, n_words: int, embedding_weights=None,
                                   place(data["poses"][take]), srng)
             # deferred metric sync: one device fetch per epoch
             g_losses.append(metrics["g_loss"])
+            d_reals.append(metrics["d_real"])
+            d_fakes.append(metrics["d_fake"])
         epoch_g = (float(jnp.mean(jnp.stack(g_losses)))
                    if g_losses else float("nan"))
         meter.avg = epoch_g
         history["g_loss"].append(epoch_g)
-        history["d_real"].append(float(metrics["d_real"]))
-        history["d_fake"].append(float(metrics["d_fake"]))
+        # epoch means like g_loss (last-batch values are noise)
+        history["d_real"].append(float(jnp.mean(jnp.stack(d_reals))))
+        history["d_fake"].append(float(jnp.mean(jnp.stack(d_fakes))))
         logging.info("EP %d done: g %.4f d_real %.4f d_fake %.4f", epoch,
                      meter.avg, history["d_real"][-1],
                      history["d_fake"][-1])

@@ -24,6 +24,7 @@ from gesture2vec_tpu.train import checkpoints
 from gesture2vec_tpu.train.config import Config
 from gesture2vec_tpu.train.losses import custom_loss
 from gesture2vec_tpu.train.optim import make_optimizer
+from gesture2vec_tpu.train.token_loop import require_full_batch
 from gesture2vec_tpu.utils.meters import AverageMeter
 
 
@@ -90,6 +91,8 @@ def train_baseline(config: Config, data: Dict[str, np.ndarray],
                    embedding_weights=None, save_dir: Optional[str] = None
                    ) -> Tuple[SimpleTrainState, Dict[str, list]]:
     """data: {word_ids (N,S), lengths (N,), poses (N,T,D)}."""
+    require_full_batch(data["word_ids"].shape[0], config.batch_size,
+                       config.name)
     model = make_baseline(config, n_words, data["poses"].shape[-1],
                           embedding_weights)
     optimizer = make_optimizer(config.learning_rate)
@@ -187,6 +190,8 @@ def train_c2g(config: Config, cluster_ids: np.ndarray,
               val_latents: np.ndarray, save_dir: Optional[str] = None
               ) -> Tuple[SimpleTrainState, Dict[str, list]]:
     """cluster_ids (N,), target_latents (N, n_poses, rep_dim)."""
+    require_full_batch(cluster_ids.shape[0], config.batch_size,
+                       config.name)
     model = make_c2g(config, target_latents.shape[-1])
     optimizer = make_optimizer(config.learning_rate)
     rng = jax.random.PRNGKey(max(config.random_seed, 0))

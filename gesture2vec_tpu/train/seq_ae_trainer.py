@@ -22,8 +22,10 @@ from gesture2vec_tpu.models.gru import set_scan_unroll
 from gesture2vec_tpu.models.seq_ae import SeqVQAutoencoder
 from gesture2vec_tpu.train import checkpoints
 from gesture2vec_tpu.train.config import Config
-from gesture2vec_tpu.train.losses import custom_loss, kld_loss_standard
+from gesture2vec_tpu.train.losses import (custom_loss, kld_loss,
+                                          kld_loss_standard)
 from gesture2vec_tpu.train.optim import make_optimizer
+from gesture2vec_tpu.train.token_loop import require_full_batch
 from gesture2vec_tpu.utils.meters import AverageMeter
 
 
@@ -93,9 +95,12 @@ def make_train_step(config: Config, model: SeqVQAutoencoder,
                               var_weight=config.loss_var_weight)
             loss = rec
             if model.use_vae:
-                # annealed standard KLD (ref: train_seq2seq.py:712-729)
+                # annealed standard KLD (ref: train_seq2seq.py:712-729,
+                # kl_start_epoch=0 with a 1-INDEXED epoch loop: its
+                # first epoch already applies weight 0.1*1/N, so our
+                # 0-indexed epoch shifts by one to match the schedule)
                 kld = kld_loss_standard(res["mean"], res["logvar"])
-                loss = loss + kld * 0.1 * epoch / total_epochs
+                loss = loss + kld * 0.1 * (epoch + 1.0) / total_epochs
             if model.use_vq:
                 # vq term scaled by 1/400, applied every epoch: the
                 # reference's epoch loop is 1-indexed
@@ -135,15 +140,25 @@ def make_ssl_train_step(config: Config, model: SeqVQAutoencoder,
     Repaired on purpose: the reference sums `loss_label_weight +
     loss_unlabeled` - adding the scalar WEIGHT, so its labeled loss is a
     no-op (ref :396). Here the labeled term actually contributes:
-    loss = unlabeled + loss_label_weight * mean(+-cos).
+    loss = unlabeled + loss_label_weight * sum(+-cos), with the pair
+    latents taken exactly where the reference's forward returns them -
+    the POST-VQ / post-VAE decoder first hidden of a full train-mode
+    pass over each pair member (ref :366-378: `_, latents_pN = net(
+    stack_pairsN, stack_pairsN)` returns decoder_first_hidden,
+    Autoencoder_VQVAE_model.py:1055-1085), so similarity supervision
+    reaches the quantizer/codebook, not just the raw encoder.
     """
 
-    def latents_of(params, batch_stats, windows, rngs):
-        _, hidden = model.apply(
-            {"params": params, "batch_stats": batch_stats}, windows,
-            method=model.encode, rngs=rngs)
-        L, B, H = hidden.shape
-        return jnp.transpose(hidden, (1, 0, 2)).reshape(B, L * H)
+    def pair_latents(params, batch_stats, windows, rngs):
+        res, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            windows, windows, train=True, rngs=rngs,
+            mutable=["batch_stats"])
+        h = res["first_hidden"]
+        L, B, H = h.shape
+        # hstack of the layer hiddens per batch row (ref :374-378)
+        return (jnp.transpose(h, (1, 0, 2)).reshape(B, L * H),
+                mut["batch_stats"])
 
     def step(state: SeqAETrainState, batch: jnp.ndarray,
              pair_a: jnp.ndarray, pair_b: jnp.ndarray,
@@ -159,22 +174,34 @@ def make_ssl_train_step(config: Config, model: SeqVQAutoencoder,
                               l1_weight=config.loss_l1_weight,
                               cont_weight=config.loss_cont_weight,
                               var_weight=config.loss_var_weight)
-            la = latents_of(params, state.batch_stats, pair_a, rngs)
-            lb = latents_of(params, state.batch_stats, pair_b, rngs)
+            # pair forwards run in train mode with fresh dropout streams,
+            # threading batch stats in the reference's call order
+            # (main batch -> pairs1 -> pairs2, ref :352-370)
+            rngs_a = {"dropout": jax.random.fold_in(rng, 11),
+                      "reparam": jax.random.fold_in(rng, 12)}
+            rngs_b = {"dropout": jax.random.fold_in(rng, 13),
+                      "reparam": jax.random.fold_in(rng, 14)}
+            la, bs1 = pair_latents(params, mut["batch_stats"], pair_a,
+                                   rngs_a)
+            lb, bs2 = pair_latents(params, bs1, pair_b, rngs_b)
             cos = jnp.sum(la * lb, axis=-1) / (
                 jnp.linalg.norm(la, axis=-1) *
                 jnp.linalg.norm(lb, axis=-1) + 1e-8)
             # similar pairs (label 1): maximize cos; dissimilar: minimize
+            # (sum over pairs, not mean: ref :395 torch.sum)
             signed = jnp.where(pair_label > 0.5, -cos, cos)
-            sim_loss = jnp.mean(signed)
+            sim_loss = jnp.sum(signed)
             loss = rec + config.loss_label_weight * sim_loss
             if model.use_vae:
                 # annealed KLD from the reference's 11th epoch: its loop
                 # is 1-indexed and gates `epoch > kl_start_epoch(10)`
                 # with weight 0.1*(epoch-10)/N (ref:
                 # train_seq2seq.py:399-402). Our epochs are 0-indexed, so
-                # shift by one to keep the same schedule.
-                kld = kld_loss_standard(res["mean"], res["logvar"])
+                # shift by one to keep the same schedule. The SSL branch
+                # uses the reference's FIRST KLD formula (ref :352-356;
+                # the overwriting :715-716 variant belongs to the
+                # non-SSL trainer only).
+                kld = kld_loss(res["mean"], res["logvar"])
                 loss = loss + jnp.where(
                     (epoch + 1.0) > 10.0,
                     kld * 0.1 * (epoch + 1.0 - 10.0) / total_epochs, 0.0)
@@ -183,7 +210,7 @@ def make_ssl_train_step(config: Config, model: SeqVQAutoencoder,
                 loss = loss + res["vq"].loss / 400.0
                 perp = res["vq"].perplexity
             return loss, {"rec": rec, "sim": sim_loss, "perplexity": perp,
-                          "batch_stats": mut["batch_stats"]}
+                          "batch_stats": bs2}
 
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
@@ -269,6 +296,7 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
 
     n = len(train_windows) if streaming else train_windows.shape[0]
     bs = config.batch_size
+    require_full_batch(n, bs, config.name)
     history: Dict[str, list] = {"train_loss": [], "val_loss": [],
                                 "perplexity": []}
     meter = AverageMeter("loss", ":.4f")

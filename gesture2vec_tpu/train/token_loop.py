@@ -22,6 +22,18 @@ from gesture2vec_tpu.train.config import Config
 from gesture2vec_tpu.utils.meters import AverageMeter
 
 
+def require_full_batch(n: int, batch_size: int, part: str) -> None:
+    """Fail fast instead of silently training zero batches per epoch:
+    every trainer loop drops the trailing partial batch, so a dataset
+    smaller than batch_size would log NaN losses and checkpoint
+    untrained parameters without any error."""
+    if n < batch_size:
+        raise ValueError(
+            f"{part} training needs at least one full batch: "
+            f"{n} samples < batch_size {batch_size} "
+            f"(lower config.batch_size or provide more data)")
+
+
 def run_token_training(config: Config, state: Any, rng: jax.Array,
                        start_epoch: int,
                        fields: Sequence[str],
@@ -43,6 +55,7 @@ def run_token_training(config: Config, state: Any, rng: jax.Array,
     """
     seed = max(config.random_seed, 0)
     n, bs = data[fields[0]].shape[0], config.batch_size
+    require_full_batch(n, bs, config.name)
     history: Dict[str, List[float]] = {"train_loss": [], "val_loss": [],
                                        "val_acc": []}
     meter = AverageMeter("loss", ":.4f")

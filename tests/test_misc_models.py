@@ -100,6 +100,51 @@ def test_gan_step_runs(rng):
     assert gen.shape == (4, T, D)
 
 
+def test_gan_keep_unrolled_parity_switch(rng):
+    """gan_keep_unrolled=True keeps the unrolled D updates (the
+    reference's literal aliased-state_dict behavior); the default
+    restores D to its post-first-update state. Same inputs/rng: the
+    generator update is identical in both modes (G always steps against
+    the unrolled D), only the surviving D params differ."""
+    cfg = _cfg(epochs=1)
+    data = _text_pose_data(rng, n=8)
+    g, d = build_gan(cfg, N_WORDS, D)
+    g_opt = make_optimizer(1e-3, clip_norm=None)
+    d_opt = make_optimizer(1e-3, clip_norm=None)
+    state0 = init_gan(g, d, jax.random.PRNGKey(0), g_opt, d_opt,
+                      max_words=MAXW)
+    args = (jnp.asarray(data["word_ids"]), jnp.asarray(data["lengths"]),
+            jnp.asarray(data["poses"]), jax.random.PRNGKey(5))
+    restore = make_gan_step(g, d, g_opt, d_opt, unroll_steps=2,
+                            keep_unrolled=False)
+    keep = make_gan_step(g, d, g_opt, d_opt, unroll_steps=2,
+                         keep_unrolled=True)
+    # fresh states (donated): re-init identically
+    s_r, _ = restore(state0, *args)
+    state0b = init_gan(g, d, jax.random.PRNGKey(0), g_opt, d_opt,
+                       max_words=MAXW)
+    s_k, _ = keep(state0b, *args)
+    g_leaves_r = jax.tree_util.tree_leaves(s_r.g_params)
+    g_leaves_k = jax.tree_util.tree_leaves(s_k.g_params)
+    for a, b in zip(g_leaves_r, g_leaves_k):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    d_diff = max(float(jnp.max(jnp.abs(a - b))) for a, b in
+                 zip(jax.tree_util.tree_leaves(s_r.d_params),
+                     jax.tree_util.tree_leaves(s_k.d_params)))
+    assert d_diff > 0.0, "unrolled D updates were not kept"
+
+
+def test_require_full_batch_guard():
+    """Datasets smaller than batch_size fail fast instead of silently
+    training zero batches and checkpointing untrained params."""
+    import pytest
+
+    from gesture2vec_tpu.train.token_loop import require_full_batch
+    require_full_batch(8, 8, "x")
+    with pytest.raises(ValueError, match="at least one full batch"):
+        require_full_batch(7, 8, "x")
+
+
 def test_baseline_inference(rng):
     """Sliding-window baseline generation with seed carry + blending
     (ref: inference.py:53-96)."""
