@@ -83,17 +83,19 @@ class AudioGestureGenerator:
         @jax.jit
         def decode_and_dae(tokens):
             """tokens (N,) -> motion frames (N * n_frames, pose_dim):
-            batched Part-b chunk decode + batched DAE decode."""
+            batched Part-b chunk rollout + batched DAE decode. Every
+            frame is a decoder output (seq.rollout) - the reference's
+            generative rollout never emits its seed frame
+            (inference_text2embedding.py:488-519)."""
             cb = jnp.asarray(
                 self.seq_variables["params"]["vq_layer"]["codebook"])
             L, H = seq.n_layers, seq.hidden_size
             N = tokens.shape[0]
             hidden = jnp.transpose(
                 jnp.take(cb, tokens, axis=0).reshape(N, L, H), (1, 0, 2))
-            seed = jnp.zeros((N, seq.n_frames, seq.rep_dim))
             latents = seq.apply(
-                self.seq_variables, hidden, seed, None,
-                method=seq.decode,
+                self.seq_variables, hidden, jnp.zeros((N, seq.rep_dim)),
+                method=seq.rollout,
                 rngs={"dropout": jax.random.PRNGKey(0)}
             ).reshape(-1, seq.rep_dim)
             return dae.apply(self.dae_variables, latents,

@@ -111,7 +111,7 @@ class GestureGenerator:
             if ok:
                 from gesture2vec_tpu.ops.decoder_pallas import supported
                 ok = supported(seq.hidden_size, seq.rep_dim,
-                               seq.n_frames - 1)
+                               seq.n_frames)
             if not ok:
                 logging.warning("use_fused_decoder unsupported here "
                                 "(needs TPU, 2 layers, no attention, "
@@ -158,9 +158,16 @@ class GestureGenerator:
         def decode_tokens_core(tokens, use_fused):
             """tokens (N,) -> latents (N*n_frames, rep_dim).
 
-            Default: all chunks decode as ONE batch (19 sequential GRU
-            steps total instead of 19*N). chunk_continuity instead scans
-            chunks with the previous chunk's last frame as the seed."""
+            Every frame is a decoder OUTPUT (seq.rollout) - the
+            reference's generative rollout never emits its seed frame
+            (inference_text2embedding.py:489-519), so no chunk starts on
+            a constant token-independent pose. Default: all chunks roll
+            out as ONE batch from zero seeds (n_frames sequential GRU
+            steps total instead of n_frames*N). chunk_continuity
+            reproduces the reference's carried decoder_input exactly
+            (initialized to zeros once, ref :277, then carried across
+            every chunk): a scan over chunks, seeded by the previous
+            chunk's last output."""
             # checkpoint-loaded params may be numpy arrays; make the
             # codebook a jax array before traced indexing
             cb = jnp.asarray(
@@ -172,31 +179,27 @@ class GestureGenerator:
                 hidden = jnp.transpose(jnp.take(cb, tokens,
                                                 axis=0).reshape(N, L, H),
                                        (1, 0, 2))
+                seed0 = jnp.zeros((N, seq.rep_dim))
                 if use_fused:
                     from gesture2vec_tpu.ops.decoder_pallas import \
                         fused_chunk_decode
-                    seed0 = jnp.zeros((N, seq.rep_dim))
                     ys = fused_chunk_decode(
                         seed0, hidden,
                         self.seq_variables["params"]["decoder_step"],
                         self.seq_variables["batch_stats"]["decoder_step"],
-                        n_steps=seq.n_frames - 1)
-                    full = jnp.concatenate([seed0[None], ys], axis=0)
-                    return jnp.transpose(full, (1, 0, 2)).reshape(
+                        n_steps=seq.n_frames)
+                    return jnp.transpose(ys, (1, 0, 2)).reshape(
                         -1, seq.rep_dim)
-                seed = jnp.zeros((N, seq.n_frames, seq.rep_dim))
-                out = seq.apply(self.seq_variables, hidden, seed, None,
-                                method=seq.decode,
+                out = seq.apply(self.seq_variables, hidden, seed0,
+                                method=seq.rollout,
                                 rngs={"dropout": jax.random.PRNGKey(0)})
                 return out.reshape(-1, seq.rep_dim)
 
             def body(prev_last, tok):
                 codevec = jnp.take(cb, tok, axis=0)
                 hidden = jnp.transpose(codevec.reshape(1, L, H), (1, 0, 2))
-                seed = jnp.tile(prev_last[None, None, :],
-                                (1, seq.n_frames, 1))
-                out = seq.apply(self.seq_variables, hidden, seed, None,
-                                method=seq.decode,
+                out = seq.apply(self.seq_variables, hidden,
+                                prev_last[None], method=seq.rollout,
                                 rngs={"dropout": jax.random.PRNGKey(0)})[0]
                 return out[-1], out
 

@@ -267,6 +267,35 @@ class SeqVQAutoencoder(nn.Module):
                                              apply_step_dropout=apply_sd)
         return hidden
 
+    def rollout(self, dec_hidden: jnp.ndarray, seed_frame: jnp.ndarray,
+                train: bool = False) -> jnp.ndarray:
+        """Pure generative rollout for token->motion synthesis
+        (ref: inference_text2embedding.py:488-519): every emitted frame
+        is a DECODER OUTPUT - the seed frame is consumed as the first
+        input, never emitted (unlike decode(), whose outputs[0] is the
+        seed per the training contract, ref :1040) - and there is no
+        teacher forcing (the reference disables it with
+        `t < n_pre_poses and False`, :512). The inference script's own
+        unconditioned-zeroing lines are commented out (:489-491,
+        :517-518) but the decoder MODULE zeroes internally either way
+        (Autoencoder_VQVAE_model.py:568-569), which DecoderStep
+        reproduces. dec_hidden (L, B, H) from the token codebook,
+        seed_frame (B, D) -> (B, n_frames, D)."""
+        apply_sd = train or self.eval_step_dropout
+        if self._dtype is not None:
+            dec_hidden = dec_hidden.astype(self._dtype)
+
+        def body(mdl, carry, t):
+            prev, hidden = carry
+            out, new_hidden, _ = mdl(prev, hidden, None, train=train,
+                                     apply_step_dropout=apply_sd)
+            return (out, new_hidden), out
+
+        scan = make_decoder_scan(body, train)
+        (_, _), outs = scan(self.decoder_step, (seed_frame, dec_hidden),
+                            jnp.arange(self.n_frames))
+        return jnp.transpose(outs, (1, 0, 2))
+
     def decode(self, dec_hidden: jnp.ndarray, out_poses: jnp.ndarray,
                encoder_outputs: Optional[jnp.ndarray],
                train: bool = False) -> jnp.ndarray:

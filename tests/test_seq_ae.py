@@ -81,6 +81,42 @@ def test_tokens_deterministic(rng):
     assert t1.dtype.kind == "i"
 
 
+def test_rollout_emits_only_decoder_outputs(rng):
+    """rollout() is the generative path (ref
+    inference_text2embedding.py:488-519): the seed is CONSUMED as the
+    first input and never emitted. Pinned relationship with decode():
+    with the seed frame tiled as the teacher sequence, decode's
+    outputs are [seed, step1..step_{T-1}] while rollout's are
+    [step1..step_T], so rollout[:, :-1] == decode[:, 1:]."""
+    cfg = _config()
+    model = make_seq_ae(cfg)
+    x = jnp.asarray(_windows(rng, n=4))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)}, x, x,
+                           train=False)
+    B, H, D, T = 4, 32, 24, 10
+    h0 = jnp.asarray(rng.normal(size=(2, B, H)).astype(np.float32))
+    seed = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+
+    roll = model.apply(variables, h0, seed, method=model.rollout)
+    assert roll.shape == (B, T, D)
+    dec = model.apply(variables, h0,
+                      jnp.tile(seed[:, None, :], (1, T, 1)), None,
+                      method=model.decode)
+    np.testing.assert_allclose(np.asarray(roll[:, :-1]),
+                               np.asarray(dec[:, 1:]), atol=1e-5)
+    # no frame of the rollout equals the (token-independent) seed
+    assert not np.allclose(np.asarray(roll[:, 0]), np.asarray(seed))
+
+    # fused Pallas kernel matches rollout exactly at full step count
+    from gesture2vec_tpu.ops.decoder_pallas import fused_chunk_decode
+    ys = fused_chunk_decode(seed, h0, variables["params"]["decoder_step"],
+                            variables["batch_stats"]["decoder_step"],
+                            n_steps=T, interpret=True)
+    np.testing.assert_allclose(np.transpose(np.asarray(ys), (1, 0, 2)),
+                               np.asarray(roll), atol=1e-5)
+
+
 def test_vq_flatten_modes_differ(rng):
     """per_sample and torch_view are different bottleneck semantics; both
     must run, and they should generally produce different tokens."""
