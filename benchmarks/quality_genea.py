@@ -1,0 +1,284 @@
+"""GENEA/TWH-variant quality run: the second dataset family, proven at
+corpus scale.
+
+quality_run.py proves the Trinity-layout chain (135-dim rotation
+matrices, 20 fps). The reference also ships a TWH/TalkingWithHands
+(GENEA 2022) variant: b_* skeleton, 18 upper-body joints, 162-dim
+features at 10 fps via the `test1` extractor (ref:
+scripts/twh_dataset_to_lmdb.py:120-148, config/VQ-VAE_GENEA.yml), with
+its own inference path (ref: scripts/inference_text2embedding_GENEA.py)
+and BVH export (ref: scripts/inference_DAE.py:534-577 make_bvh_TWH).
+tests/test_genea.py proves that chain at unit scale; this script trains
+it to convergence on a word-conditioned motif corpus in the TWH layout
+(bvh/ + tsv/ dirs, 30 fps raw BVH downsampled to 10 fps features) and
+runs the same generated-vs-held-out metric battery as quality_run, so
+the two dataset families' numbers are directly comparable.
+
+    python benchmarks/quality_genea.py /tmp/quality_genea
+    python benchmarks/quality_genea.py /tmp/qg_fast --fast --platform cpu
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+from quality_run import (N_MOTIFS, VOCAB, WORD_DUR,  # noqa: E402
+                         eval_generated_vs_gt, motif_of)
+
+FPS_RAW = 30          # TWH BVH framerate; test1 extracts 10 fps features
+
+
+def make_motif_corpus_twh(root: str, n_files: int, duration_s: float,
+                          seed: int = 0) -> str:
+    """TWH-layout corpus (bvh/ + tsv/) whose motion is word-conditioned,
+    same motif construction as quality_run.make_motif_corpus but on the
+    b_* skeleton with GENEA TSV transcripts."""
+    from tests.fixtures import twh_hierarchy
+
+    os.makedirs(os.path.join(root, "bvh"), exist_ok=True)
+    os.makedirs(os.path.join(root, "tsv"), exist_ok=True)
+    rng = np.random.default_rng(seed)
+
+    hierarchy, channel_joints = twh_hierarchy()
+    n_rot = len(channel_joints) * 3
+
+    base = rng.uniform(-25.0, 25.0, size=(N_MOTIFS, n_rot))
+    amp = rng.uniform(4.0, 18.0, size=(N_MOTIFS, n_rot))
+    freq = rng.uniform(0.8, 3.0, size=(N_MOTIFS, n_rot))
+    phase = rng.uniform(0, 2 * np.pi, size=(N_MOTIFS, n_rot))
+
+    n_frames = int(duration_s * FPS_RAW)
+    t = np.arange(n_frames) / FPS_RAW
+    fade = 0.15
+
+    for i in range(n_files):
+        n_words = int(duration_s / WORD_DUR) - 1
+        words = [VOCAB[rng.integers(len(VOCAB))] for _ in range(n_words)]
+        starts = np.arange(n_words) * WORD_DUR + 0.05
+
+        weights = np.zeros((n_frames, N_MOTIFS))
+        for word, s in zip(words, starts):
+            m = motif_of(word)
+            e = s + WORD_DUR
+            ramp_in = np.clip((t - s) / fade, 0.0, 1.0)
+            ramp_out = np.clip((e - t) / fade, 0.0, 1.0)
+            weights[:, m] += np.minimum(ramp_in, ramp_out) ** 2
+        weights[weights.sum(1) == 0, 0] = 1.0
+        weights /= weights.sum(1, keepdims=True)
+
+        osc = base[None] + amp[None] * np.sin(
+            freq[None] * t[:, None, None] + phase[None])
+        rots = np.einsum("tm,tmc->tc", weights, osc)
+        rots = rots + rng.normal(0, 0.4, size=rots.shape)
+
+        cols, r = [], 0
+        for j in channel_joints:
+            if j == "body_world":
+                # root off-origin, slow drift (RootNormalizer's job)
+                cols += [-35.0 + 1.5 * np.sin(0.4 * t),
+                         0.2 * np.sin(0.8 * t), 12.0 + np.cos(0.3 * t)]
+            else:
+                cols += [np.full(n_frames, 0.01)] * 3
+            cols += [rots[:, r], rots[:, r + 1], rots[:, r + 2]]
+            r += 3
+        motion = np.stack(cols, axis=1)
+
+        name = f"trn_2023_v0_{i:03d}"
+        with open(os.path.join(root, "bvh", name + ".bvh"), "w") as f:
+            f.write(hierarchy)
+            f.write("MOTION\n")
+            f.write(f"Frames: {n_frames}\n")
+            f.write(f"Frame Time: {1.0 / FPS_RAW:.6f}\n")
+            for row in motion:
+                f.write(" ".join(f"{v:.6f}" for v in row) + "\n")
+        with open(os.path.join(root, "tsv", name + ".tsv"), "w") as f:
+            for w, s in zip(words, starts):
+                f.write(f"{s:.2f}\t{s + WORD_DUR - 0.05:.2f}\t{w}\n")
+    return root
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("out", nargs="?", default="/tmp/quality_genea")
+    ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+
+    from gesture2vec_tpu.cluster.latent_dataset import build_latent_dataset
+    from gesture2vec_tpu.data.datasets import all_frames, pose_windows
+    from gesture2vec_tpu.data.ingest import ingest_twh
+    from gesture2vec_tpu.data.sentence import build_sentence_dataset
+    from gesture2vec_tpu.data.store import ClipStore
+    from gesture2vec_tpu.data.teacher import encode_windows_with_dae
+    from gesture2vec_tpu.infer.exporter import frames_to_bvh_twh
+    from gesture2vec_tpu.infer.text2gesture import GestureGenerator
+    from gesture2vec_tpu.mocap.features import TWHFeatureExtractor
+    from gesture2vec_tpu.text.vocab import build_vocab
+    from gesture2vec_tpu.train.config import load_config
+    from gesture2vec_tpu.train.dae_trainer import (make_frame_model,
+                                                   train_dae)
+    from gesture2vec_tpu.train.seq_ae_trainer import (make_seq_ae,
+                                                      train_seq_ae)
+    from gesture2vec_tpu.train.text2token_trainer import (make_text2token,
+                                                          train_text2token)
+
+    logging.basicConfig(level=logging.INFO)
+    print("backend:", jax.devices()[0].platform)
+    os.makedirs(args.out, exist_ok=True)
+
+    fast = args.fast
+    n_files = 4 if fast else 8
+    duration_s = 60.0 if fast else 240.0
+    # GENEA production shapes (configs/VQ-VAE_GENEA.yml): 162-dim
+    # features at 10 fps, 10-frame chunks, 60-frame sentence windows
+    fps, n_chunk, sent_len, rep = 10, 10, 60, 40
+    codes = 32 if fast else 64
+    hid = 64 if fast else 200
+    max_words = 16
+
+    corpus = os.path.join(args.out, "corpus")
+    if not os.path.exists(os.path.join(corpus, "store", "train",
+                                       "meta.msgpack")):
+        make_motif_corpus_twh(corpus, n_files=n_files,
+                              duration_s=duration_s)
+        ingest_twh(corpus, variant="test1", with_audio=False)
+    store = ClipStore(os.path.join(corpus, "store", "train"))
+    val_store = ClipStore(os.path.join(corpus, "store", "val"))
+    print(f"corpus: {len(store)} train clips, {len(val_store)} val, "
+          f"{store.pose_mean.shape[0]}-dim features")
+
+    # ---------------- Part a (DAE_GENEA.yml shapes) ----------------
+    dae_cfg = load_config(dict(
+        name="dae_genea", model="DAE", hidden_size=rep,
+        epochs=(6 if fast else 40), batch_size=512,
+        learning_rate=0.002, input_motion_dim=162, random_seed=0,
+        model_save_path=os.path.join(args.out, "dae")))
+    dae_state, dae_hist = train_dae(
+        dae_cfg, all_frames(store),
+        all_frames(val_store, store.pose_mean, store.pose_std),
+        save_dir=os.path.join(args.out, "dae"), save_every=1000)
+    dae = make_frame_model(dae_cfg)
+    dae_vars = {"params": dae_state.params}
+    print(f"part a: val MSE {dae_hist['val_loss'][-1]:.5f}")
+
+    # ---------------- Part b ----------------
+    train_wins = pose_windows(store, n_chunk, n_chunk // 2)
+    val_wins = pose_windows(val_store, n_chunk, n_chunk // 2,
+                            store.pose_mean, store.pose_std)
+    lat_train = encode_windows_with_dae(dae, dae_vars, train_wins)
+    lat_val = encode_windows_with_dae(dae, dae_vars, val_wins)
+    sq_cfg = load_config(dict(
+        name="vqvae_genea", model="seq2seq", hidden_size=hid, n_layers=2,
+        dropout_prob=0.1, epochs=(8 if fast else 80),
+        batch_size=(32 if fast else 128), learning_rate=0.002,
+        rep_learning_dim=rep, n_poses=n_chunk, n_pre_poses=1,
+        autoencoder_vq=True, autoencoder_vq_components=codes,
+        random_seed=0, model_save_path=os.path.join(args.out, "vqvae")))
+    sq_state, sq_hist = train_seq_ae(
+        sq_cfg, lat_train, lat_val,
+        save_dir=os.path.join(args.out, "vqvae"), save_every=1000)
+    seq = make_seq_ae(sq_cfg)
+    seq_vars = {"params": sq_state.params,
+                "batch_stats": sq_state.batch_stats}
+    print(f"part b: val loss {sq_hist['val_loss'][-1]:.4f}, "
+          f"codebook perplexity {sq_hist['perplexity'][-1]:.1f}/{codes}")
+
+    # ---------------- Part d ----------------
+    vocab = build_vocab("quality_genea",
+                        [[w[0] for w in c["words"]] for c in store],
+                        embedding_dim=100)
+    sent = build_sentence_dataset(
+        store, vocab, dae_model=dae, dae_variables=dae_vars,
+        seq_model=seq, seq_variables=seq_vars,
+        sentence_frame_length=sent_len, stride=15, n_frames=n_chunk,
+        fps=fps, max_words=max_words)
+    sent_val = build_sentence_dataset(
+        val_store, vocab, dae_model=dae, dae_variables=dae_vars,
+        seq_model=seq, seq_variables=seq_vars,
+        sentence_frame_length=sent_len, stride=sent_len,
+        n_frames=n_chunk, fps=fps, max_words=max_words,
+        mean=store.pose_mean, std=store.pose_std)
+    t2t_cfg = load_config(dict(
+        name="t2t_genea", model="seq2seq", hidden_size=hid, n_layers=2,
+        dropout_prob=0.1, epochs=(10 if fast else 120),
+        batch_size=(4 if fast else 32), learning_rate=0.001,
+        sentence_frame_length=sent_len, n_poses=n_chunk, n_pre_poses=1,
+        autoencoder_vq=True, autoencoder_vq_components=codes,
+        autoencoder_att=True, wordembed_dim=100, random_seed=0,
+        model_save_path=os.path.join(args.out, "t2t")))
+    t2t_state, t2t_hist = train_text2token(
+        t2t_cfg, sent, sent_val, vocab.n_words,
+        embedding_weights=vocab.word_embedding_weights,
+        save_dir=os.path.join(args.out, "t2t"), save_every=1000)
+    t2t = make_text2token(t2t_cfg, vocab.n_words)
+    t2t_vars = {"params": t2t_state.params,
+                "batch_stats": t2t_state.batch_stats}
+    print(f"part d: val CE {t2t_hist['val_loss'][-1]:.4f}, "
+          f"val acc {t2t_hist['val_acc'][-1]:.3f}")
+
+    # ------------- generated vs ground truth on VAL -------------
+    bank = build_latent_dataset(store, dae_model=dae,
+                                dae_variables=dae_vars, seq_model=seq,
+                                seq_variables=seq_vars, n_poses=n_chunk,
+                                stride=n_chunk)
+    bank_val = build_latent_dataset(
+        val_store, dae_model=dae, dae_variables=dae_vars, seq_model=seq,
+        seq_variables=seq_vars, n_poses=n_chunk, stride=n_chunk,
+        mean=store.pose_mean, std=store.pose_std)
+    gen = GestureGenerator(
+        t2t_model=t2t, t2t_variables=t2t_vars, seq_model=seq,
+        seq_variables=seq_vars, dae_model=dae, dae_variables=dae_vars,
+        vocab=vocab, pose_mean=store.pose_mean, pose_std=store.pose_std,
+        n_frames=n_chunk, sentence_frame_length=sent_len, fps=fps,
+        max_words=max_words, mode="decode", latent_bank=bank, seed=0)
+
+    gvg, gen_frames_list = eval_generated_vs_gt(
+        gen, store, val_store, dae, dae_vars, seq, seq_vars, n_chunk,
+        codes, bank_val, bank, fps)
+    gvg.pop("_hist_gen"), gvg.pop("_hist_gt")
+
+    metrics = {
+        "corpus": {"n_files": n_files, "duration_s": duration_s,
+                   "codes": codes, "hidden": hid, "variant": "test1",
+                   "feature_dim": int(store.pose_mean.shape[0]),
+                   "fps": fps,
+                   "train_windows": int(lat_train.shape[0]),
+                   "train_sentences": int(sent["tokens"].shape[0])},
+        "part_a": {"val_mse_first": dae_hist["val_loss"][0],
+                   "val_mse_last": dae_hist["val_loss"][-1]},
+        "part_b": {"val_loss_first": sq_hist["val_loss"][0],
+                   "val_loss_last": sq_hist["val_loss"][-1],
+                   "codebook_perplexity": sq_hist["perplexity"][-1]},
+        "part_d": {"val_ce_first": t2t_hist["val_loss"][0],
+                   "val_ce_last": t2t_hist["val_loss"][-1],
+                   "val_acc": t2t_hist["val_acc"][-1]},
+        "generated_vs_ground_truth": gvg,
+    }
+    with open(os.path.join(args.out, "metrics_genea.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps(metrics["generated_vs_ground_truth"], indent=2))
+
+    # TWH BVH artifact through the variant-aware inverse
+    fe = TWHFeatureExtractor.load(
+        os.path.join(corpus, "store", "data_pipe.json"), variant="test1")
+    frames_to_bvh_twh(gen_frames_list[0][:60 * fps], fe,
+                      path=os.path.join(args.out, "generated_twh.bvh"))
+    frames_to_bvh_twh(val_store[0]["poses"][:60 * fps], fe,
+                      path=os.path.join(args.out,
+                                        "ground_truth_twh.bvh"))
+    print("artifacts in", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -98,13 +98,11 @@ _TWH_SKELETON = [
 _TWH_LEAVES = {"b_head", "b_l_wrist", "b_r_wrist", "b_l_leg", "b_r_leg"}
 
 
-def make_synthetic_twh_bvh(n_frames: int = 300, fps: int = 30,
-                           seed: int = 0) -> str:
-    """TWH/GENEA-like BVH: b_* joint names, 6 channels on every joint
-    (TalkingWithHands convention), root offset away from origin so
-    RootNormalizer has work to do."""
-    rng = np.random.default_rng(seed)
-
+def twh_hierarchy() -> "tuple[str, list[str]]":
+    """HIERARCHY text + channel-joint order for the synthetic TWH
+    skeleton (b_* names, 6 channels per joint, TalkingWithHands
+    convention). Shared by make_synthetic_twh_bvh and the corpus-scale
+    GENEA quality harness (benchmarks/quality_genea.py)."""
     def children(name):
         return [n for n, p, _ in _TWH_SKELETON if p == name]
 
@@ -131,6 +129,16 @@ def make_synthetic_twh_bvh(n_frames: int = 300, fps: int = 30,
         lines.append(f"{tab}}}")
 
     emit("body_world", 0)
+    return "\n".join(lines) + "\n", channel_joints
+
+
+def make_synthetic_twh_bvh(n_frames: int = 300, fps: int = 30,
+                           seed: int = 0) -> str:
+    """TWH/GENEA-like BVH: b_* joint names, 6 channels on every joint
+    (TalkingWithHands convention), root offset away from origin so
+    RootNormalizer has work to do."""
+    rng = np.random.default_rng(seed)
+    hierarchy, channel_joints = twh_hierarchy()
 
     t = np.arange(n_frames) / fps
     cols = []
@@ -152,7 +160,7 @@ def make_synthetic_twh_bvh(n_frames: int = 300, fps: int = 30,
     motion = np.stack(cols, axis=1)
 
     buf = io.StringIO()
-    buf.write("\n".join(lines) + "\n")
+    buf.write(hierarchy)
     buf.write("MOTION\n")
     buf.write(f"Frames: {n_frames}\n")
     buf.write(f"Frame Time: {1.0 / fps:.6f}\n")

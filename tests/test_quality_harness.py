@@ -1,0 +1,84 @@
+"""Units for the quality-harness helpers (benchmarks/quality_*.py).
+
+The harnesses themselves are corpus-scale TPU runs (results committed
+in QUALITY.md); these tests pin the host-side data plumbing they rely
+on so a refactor can't silently skew the committed metrics' meaning.
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                "benchmarks"))
+
+
+def _fake_clip(n_frames, words, dim=6):
+    rng = np.random.default_rng(0)
+    return {"poses": rng.normal(2.0, 3.0, size=(n_frames, dim))
+            .astype(np.float32),
+            "words": words}
+
+
+class _Vocab:
+    def words_to_ids(self, words, add_sos_eos=True):
+        ids = [10 + len(w) for w in words]
+        return [1] + ids + [2] if add_sos_eos else ids
+
+
+def test_word_windows_shapes_and_alignment():
+    from quality_misc import word_windows
+
+    fps = 10
+    # words cover [0.0, 2.0) and [3.0, 4.0): the middle second is silent
+    clip = _fake_clip(60, [["aa", 0.0, 2.0], ["bbb", 3.0, 4.0]])
+    mean = np.zeros(6, np.float32)
+    std = np.ones(6, np.float32)
+    out = word_windows([clip], _Vocab(), n_frames=10, stride=10,
+                       max_words=5, fps=fps, mean=mean, std=std)
+    # 6 candidate 1s windows; the wordless ones at seconds [2,3),
+    # [4,5), [5,6) are dropped (the reference's >=1-word filter),
+    # keeping [0,1) and [1,2) ("aa") and [3,4) ("bbb")
+    assert out["word_ids"].shape == (3, 5)
+    assert out["poses"].shape == (3, 10, 6)
+    # first window overlaps only "aa": SOS + id + EOS, padded to 5
+    assert out["word_ids"][0].tolist() == [1, 12, 2, 0, 0]
+    assert out["word_ids"][2].tolist() == [1, 13, 2, 0, 0]
+    assert out["lengths"].tolist() == [3, 3, 3]
+
+
+def test_word_windows_normalizes_with_given_stats():
+    from quality_misc import word_windows
+
+    clip = _fake_clip(20, [["w", 0.0, 2.0]])
+    mean = clip["poses"].mean(0)
+    std = clip["poses"].std(0) + 0.1
+    out = word_windows([clip], _Vocab(), n_frames=20, stride=20,
+                       max_words=4, fps=10, mean=mean, std=std)
+    expect = (clip["poses"] - mean) / np.maximum(std, 0.01)
+    np.testing.assert_allclose(out["poses"][0], expect, rtol=1e-5)
+
+
+def test_word_windows_truncates_long_sentences():
+    from quality_misc import word_windows
+
+    words = [[f"w{i}", 0.1 * i, 0.1 * i + 0.05] for i in range(30)]
+    clip = _fake_clip(40, words)
+    out = word_windows([clip], _Vocab(), n_frames=40, stride=40,
+                       max_words=8, fps=10, mean=np.zeros(6),
+                       std=np.ones(6))
+    assert out["word_ids"].shape == (1, 8)
+    assert out["lengths"][0] == 8
+
+
+def test_twh_hierarchy_matches_fixture_bvh():
+    from tests.fixtures import make_synthetic_twh_bvh, twh_hierarchy
+
+    hierarchy, joints = twh_hierarchy()
+    assert len(joints) == 24 and joints[0] == "body_world"
+    # the fixture BVH is built from the same hierarchy text
+    assert make_synthetic_twh_bvh(n_frames=5).startswith(hierarchy)
+    # column count: 6 channels per joint
+    from gesture2vec_tpu.io.bvh import parse_bvh
+    bvh = parse_bvh(make_synthetic_twh_bvh(n_frames=5), from_text=True)
+    assert bvh.values.shape == (5, 6 * len(joints))
