@@ -155,6 +155,18 @@ def main():
         ingest_twh(corpus, variant="test1", with_audio=False)
     store = ClipStore(os.path.join(corpus, "store", "train"))
     val_store = ClipStore(os.path.join(corpus, "store", "val"))
+    # fail fast if a cached corpus from a different --fast/size run
+    # would diverge from the sizes metrics_genea.json records (TWH
+    # ingest: no mirror augmentation, every 100th file -> val; features
+    # are 10 fps from 30 fps raw)
+    if (len(store) != n_files - 1
+            or abs(store[0]["poses"].shape[0] - duration_s * fps) > fps):
+        raise SystemExit(
+            f"cached corpus at {corpus} does not match the requested "
+            f"sizes (found {len(store)} train clips of "
+            f"{store[0]['poses'].shape[0]} frames, expected "
+            f"{n_files - 1} of ~{int(duration_s * fps)}); delete it or "
+            f"use a fresh out dir")
     print(f"corpus: {len(store)} train clips, {len(val_store)} val, "
           f"{store.pose_mean.shape[0]}-dim features")
 

@@ -42,12 +42,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def word_windows(clips, vocab, n_frames: int, stride: int,
-                 max_words: int, fps: int, mean, std):
+                 max_words: int, fps: int, mean, std,
+                 drop_wordless: bool = True):
     """Fixed-shape (word_ids, lengths, poses) windows for the baseline
     and GAN trainers (ref: TrinityDataset + word_seq_collate_fn,
     lmdb_data_loader.py:29-125). Windows with no spoken words are
-    dropped, matching the reference's >=1-word filter. `clips` is any
-    iterable of store records; normalization stats are the TRAIN
+    dropped by default, matching the reference's >=1-word filter;
+    pass drop_wordless=False for EVAL windows that must stay
+    time-aligned with the clip (a dropped window would silently shift
+    every later generated chunk against the ground truth). `clips` is
+    any iterable of store records; normalization stats are the TRAIN
     corpus stats (pass them explicitly for val clips)."""
     from gesture2vec_tpu.data.datasets import normalize
 
@@ -58,7 +62,7 @@ def word_windows(clips, vocab, n_frames: int, stride: int,
         for s in range(0, poses.shape[0] - n_frames + 1, stride):
             t0, t1 = s / fps, (s + n_frames) / fps
             inside = [w[0] for w in words if w[2] > t0 and w[1] < t1]
-            if not inside:
+            if not inside and drop_wordless:
                 continue
             wid = vocab.words_to_ids(inside)[:max_words]
             row = np.zeros(max_words, np.int32)
@@ -76,22 +80,13 @@ def teacher_metrics(gen_frames_per_clip, val_store, store, dae, dae_vars,
                     normalized_input=False):
     """Score generated motion with the reference's metric battery:
     tokenize generated + real held-out motion through the frozen a/b
-    teachers, then Hellinger/BLEU/perplexity on tokens and Frechet on
-    seq latents (ref: Clustering.py:1353-1628)."""
-    import jax
-    import jax.numpy as jnp
+    teachers, then pool via quality_run.token_latent_battery (the one
+    shared implementation of the Clustering.py:1353-1628 metrics)."""
+    from quality_run import token_latent_battery
 
-    from gesture2vec_tpu.cluster.metrics import (corpus_bleu,
-                                                 frechet_distance,
-                                                 hellinger,
-                                                 token_histogram,
-                                                 token_perplexity)
     from gesture2vec_tpu.data.datasets import normalize
     from gesture2vec_tpu.data.teacher import (encode_windows_with_dae,
                                               tokenize_windows)
-
-    seq_encode = jax.jit(
-        lambda x: seq.apply(seq_vars, x, method=seq.encode))
 
     def frames_to_tokens_latents(frames, already_norm):
         fn = frames if already_norm else normalize(
@@ -99,11 +94,9 @@ def teacher_metrics(gen_frames_per_clip, val_store, store, dae, dae_vars,
         n = fn.shape[0] // n_chunk
         chunks = fn[:n * n_chunk].reshape(n, n_chunk, -1)
         lat = encode_windows_with_dae(dae, dae_vars, chunks)
-        tok, _ = tokenize_windows(seq, seq_vars, lat)
-        _, hidden = seq_encode(jnp.asarray(lat))
-        L, B, H = hidden.shape
-        seq_lat = np.asarray(
-            jnp.transpose(hidden, (1, 0, 2)).reshape(B, L * H))
+        # tokenize_windows returns the flattened (N, L*H) seq latents
+        # alongside the tokens - one device pass serves both
+        tok, seq_lat = tokenize_windows(seq, seq_vars, lat)
         return np.asarray(tok).reshape(-1), seq_lat
 
     pairs, gen_lat_list = [], []
@@ -114,22 +107,10 @@ def teacher_metrics(gen_frames_per_clip, val_store, store, dae, dae_vars,
         n = min(len(g_tok), len(r_tok))
         pairs.append((g_tok[:n], r_tok[:n]))
         gen_lat_list.append(g_lat)
-    g = np.concatenate([p[0] for p in pairs])
-    r = np.concatenate([p[1] for p in pairs])
-    return {
-        "hellinger": float(hellinger(token_histogram(g, codes),
-                                     token_histogram(r, codes))),
-        "bleu": float(corpus_bleu([p[0].tolist() for p in pairs],
-                                  [p[1].tolist() for p in pairs])),
-        "token_accuracy_e2e": float((g == r).mean()),
-        "token_perplexity_generated": float(token_perplexity(g, codes)),
-        "token_perplexity_ground_truth": float(token_perplexity(r, codes)),
-        "frechet_seq_latents": float(frechet_distance(
-            np.concatenate(gen_lat_list), bank_val["seq_latents"])),
-        "frechet_floor_train_vs_val": float(frechet_distance(
-            bank["seq_latents"], bank_val["seq_latents"])),
-        "n_tokens_compared": int(len(g)),
-    }
+    metrics = token_latent_battery(pairs, np.concatenate(gen_lat_list),
+                                   bank, bank_val, codes)
+    metrics.pop("_hist_gen"), metrics.pop("_hist_gt")
+    return metrics
 
 
 def main():
@@ -165,7 +146,13 @@ def main():
     corpus = os.path.join(args.out, "corpus")
 
     def latest(pat):
-        return sorted(glob.glob(os.path.join(args.out, pat)))[-1]
+        hits = sorted(glob.glob(os.path.join(args.out, pat)))
+        if not hits:
+            raise SystemExit(
+                f"no checkpoint matches {pat} under {args.out}: run "
+                f"`python benchmarks/quality_run.py {args.out}` first "
+                f"(this harness reuses its frozen a/b teachers)")
+        return hits[-1]
 
     dae, dae_vars, _ = checkpoints.load_checkpoint_and_model(
         latest("dae/*.bin"), "DAE")
@@ -271,12 +258,9 @@ def main():
         lat_mse = float(np.mean(
             (dec_lat - bank_val["dae_latents"]) ** 2))
         # seq-latent FGD of the decoded motion vs the real val corpus
-        seq_encode = jax.jit(
-            lambda x: seq.apply(seq_vars, x, method=seq.encode))
-        _, hidden = seq_encode(jnp.asarray(dec_lat))
-        L, B, H = hidden.shape
-        dec_seq_lat = np.asarray(
-            jnp.transpose(hidden, (1, 0, 2)).reshape(B, L * H))
+        # (tokenize_windows' second return IS the flattened seq latent)
+        from gesture2vec_tpu.data.teacher import tokenize_windows
+        _, dec_seq_lat = tokenize_windows(seq, seq_vars, dec_lat)
         from gesture2vec_tpu.cluster.metrics import frechet_distance
         metrics["c2g"] = {
             **val_curve(c2g_hist),
@@ -312,12 +296,15 @@ def main():
         g_run = jax.jit(lambda ids, lens, noise, seed: g_model.apply(
             g_variables, ids, lens, noise, seed, train=False))
         # batched generation: all non-overlapping windows of each val
-        # clip in ONE device call (zero seed frame = corpus mean pose)
+        # clip in ONE device call (zero seed frame = corpus mean pose).
+        # drop_wordless=False: eval windows must stay time-aligned with
+        # the clip, wordless ones generate from SOS/EOS alone
         rng = np.random.default_rng(0)
         gen_frames = []
         for clip in val_store:
             vw = word_windows([clip], vocab, T, T, 12, fps,
-                              store.pose_mean, store.pose_std)
+                              store.pose_mean, store.pose_std,
+                              drop_wordless=False)
             noise = rng.normal(size=(vw["word_ids"].shape[0],
                                      gan_cfg.noise_dim)).astype(np.float32)
             seed = np.zeros((vw["word_ids"].shape[0],

@@ -121,6 +121,48 @@ def make_motif_corpus(root: str, n_files: int, duration_s: float,
     return root
 
 
+def token_latent_battery(pairs, gen_seq_latents, bank_train, bank_val,
+                         codes):
+    """Pooled generated-vs-ground-truth metric battery shared by every
+    quality harness (quality_run/quality_genea/quality_misc), mirroring
+    the reference's Metrics_analysis (ref: Clustering.py:1353-1628).
+
+    pairs: per-clip (gen_tokens, gt_tokens) arrays, already aligned and
+    trimmed to equal length; gen_seq_latents (N, L*H) from re-encoding
+    the generated motion through the frozen teachers."""
+    from gesture2vec_tpu.cluster.metrics import (corpus_bleu,
+                                                 frechet_distance,
+                                                 hellinger,
+                                                 token_histogram,
+                                                 token_perplexity,
+                                                 wasserstein_distance)
+
+    gen_tokens = np.concatenate([p[0] for p in pairs])
+    gt_tokens = np.concatenate([p[1] for p in pairs])
+    hist_gen = token_histogram(gen_tokens, codes)
+    hist_gt = token_histogram(gt_tokens, codes)
+    return {
+        "hellinger": float(hellinger(hist_gen, hist_gt)),
+        "frechet_seq_latents": float(frechet_distance(
+            gen_seq_latents, bank_val["seq_latents"])),
+        "frechet_floor_train_vs_val": float(frechet_distance(
+            bank_train["seq_latents"], bank_val["seq_latents"])),
+        "token_perplexity_generated": float(
+            token_perplexity(gen_tokens, codes)),
+        "token_perplexity_ground_truth": float(
+            token_perplexity(gt_tokens, codes)),
+        "wasserstein": float(wasserstein_distance(gen_tokens,
+                                                  gt_tokens)),
+        "bleu": float(corpus_bleu([p[0].tolist() for p in pairs],
+                                  [p[1].tolist() for p in pairs],
+                                  max_n=4)),
+        "token_accuracy": float((gen_tokens == gt_tokens).mean()),
+        "n_tokens_compared": int(len(gen_tokens)),
+        "_hist_gen": hist_gen.tolist(),
+        "_hist_gt": hist_gt.tolist(),
+    }
+
+
 def eval_generated_vs_gt(gen, store, val_store, dae, dae_vars, seq,
                          seq_vars, n_frames_chunk, codes, bank_val,
                          bank_train, fps, smooth_generated=False):
@@ -136,12 +178,6 @@ def eval_generated_vs_gt(gen, store, val_store, dae, dae_vars, seq,
     import jax
     import jax.numpy as jnp
 
-    from gesture2vec_tpu.cluster.metrics import (corpus_bleu,
-                                                 frechet_distance,
-                                                 hellinger,
-                                                 token_histogram,
-                                                 token_perplexity,
-                                                 wasserstein_distance)
     from gesture2vec_tpu.data.datasets import normalize
     from gesture2vec_tpu.data.teacher import (encode_windows_with_dae,
                                               tokenize_windows)
@@ -172,14 +208,6 @@ def eval_generated_vs_gt(gen, store, val_store, dae, dae_vars, seq,
     # trim to aligned lengths per clip, then pool
     pairs = [(g[:min(len(g), len(r))], r[:min(len(g), len(r))])
              for g, r in zip(gen_tokens_all, gt_tokens_all)]
-    gen_tokens = np.concatenate([p[0] for p in pairs])
-    gt_tokens = np.concatenate([p[1] for p in pairs])
-
-    hist_gen = token_histogram(gen_tokens, codes)
-    hist_gt = token_histogram(gt_tokens, codes)
-    token_acc = float((gen_tokens == gt_tokens).mean())
-    bleu = corpus_bleu([p[0].tolist() for p in pairs],
-                       [p[1].tolist() for p in pairs], max_n=4)
 
     # FGD on sequence latents: re-encode the GENERATED motion through
     # the frozen teachers and compare to the val corpus latents
@@ -200,26 +228,9 @@ def eval_generated_vs_gt(gen, store, val_store, dae, dae_vars, seq,
         gen_lat_list.append(np.asarray(
             jnp.transpose(hidden, (1, 0, 2)).reshape(B, L * H)))
     gen_seq_latents = np.concatenate(gen_lat_list, axis=0)
-    fgd = frechet_distance(gen_seq_latents, bank_val["seq_latents"])
-    fgd_floor = frechet_distance(bank_train["seq_latents"],
-                                 bank_val["seq_latents"])
 
-    metrics = {
-        "hellinger": float(hellinger(hist_gen, hist_gt)),
-        "frechet_seq_latents": float(fgd),
-        "frechet_floor_train_vs_val": float(fgd_floor),
-        "token_perplexity_generated": float(
-            token_perplexity(gen_tokens, codes)),
-        "token_perplexity_ground_truth": float(
-            token_perplexity(gt_tokens, codes)),
-        "wasserstein": float(wasserstein_distance(gen_tokens,
-                                                  gt_tokens)),
-        "bleu": float(bleu),
-        "token_accuracy": token_acc,
-        "n_tokens_compared": int(len(gen_tokens)),
-        "_hist_gen": hist_gen.tolist(),
-        "_hist_gt": hist_gt.tolist(),
-    }
+    metrics = token_latent_battery(pairs, gen_seq_latents, bank_train,
+                                   bank_val, codes)
     return metrics, gen_frames_list
 
 
@@ -286,6 +297,18 @@ def main():
         ingest_trinity(corpus, tgt_fps=fps, with_audio=False)
     store = ClipStore(os.path.join(corpus, "store", "train"))
     val_store = ClipStore(os.path.join(corpus, "store", "val"))
+    # a cached corpus from a different --fast/size run would silently
+    # train on the wrong data while metrics.json records the requested
+    # sizes - fail fast on mismatch (mirror augmentation doubles clips,
+    # first file + its mirror are held out)
+    if (len(store) != 2 * (n_files - 1)
+            or abs(store[0]["poses"].shape[0] - duration_s * fps) > fps):
+        raise SystemExit(
+            f"cached corpus at {corpus} does not match the requested "
+            f"sizes (found {len(store)} train clips of "
+            f"{store[0]['poses'].shape[0]} frames, expected "
+            f"{2 * (n_files - 1)} of ~{int(duration_s * fps)}); delete "
+            f"it or use a fresh out dir")
     print(f"corpus: {len(store)} train clips, {len(val_store)} val")
 
     # ---------------- Part a ----------------

@@ -47,6 +47,22 @@ def test_word_windows_shapes_and_alignment():
     assert out["lengths"].tolist() == [3, 3, 3]
 
 
+def test_word_windows_keeps_alignment_when_not_dropping():
+    from quality_misc import word_windows
+
+    clip = _fake_clip(60, [["aa", 0.0, 2.0], ["bbb", 3.0, 4.0]])
+    out = word_windows([clip], _Vocab(), n_frames=10, stride=10,
+                       max_words=5, fps=10, mean=np.zeros(6),
+                       std=np.ones(6), drop_wordless=False)
+    # all 6 windows kept: position i covers second [i, i+1) exactly,
+    # so generated chunks stay time-aligned with the ground truth
+    assert out["word_ids"].shape == (6, 5)
+    # wordless windows carry SOS+EOS only
+    assert out["word_ids"][2].tolist() == [1, 2, 0, 0, 0]
+    np.testing.assert_array_equal(
+        out["poses"].reshape(-1, 6), clip["poses"])
+
+
 def test_word_windows_normalizes_with_given_stats():
     from quality_misc import word_windows
 
