@@ -25,7 +25,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-from quality_run import VOCAB, WORD_DUR, motif_of  # noqa: E402
+from quality_run import (VOCAB, WORD_DUR, motif_of,  # noqa: E402
+                         token_latent_battery)
 
 AUDIO_SR = 16000
 
@@ -69,11 +70,6 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     import jax
 
-    from gesture2vec_tpu.cluster.metrics import (corpus_bleu,
-                                                 frechet_distance,
-                                                 hellinger,
-                                                 token_histogram,
-                                                 token_perplexity)
     from gesture2vec_tpu.cluster.latent_dataset import build_latent_dataset
     from gesture2vec_tpu.data.datasets import normalize
     from gesture2vec_tpu.data.ingest import ingest_trinity
@@ -172,10 +168,6 @@ def main():
         n_frames=n_frames_chunk, sentence_frame_length=sent_len,
         fps=fps, audio_sr=AUDIO_SR, mode="decode", latent_bank=bank)
 
-    import jax
-    import jax.numpy as jnp
-    seq_encode = jax.jit(
-        lambda x: seq.apply(seq_vars, x, method=seq.encode))
     gen_toks, gt_toks, gen_lat_list = [], [], []
     for clip in val_store:
         audio = clip.get("audio")
@@ -198,32 +190,20 @@ def main():
         glat = encode_windows_with_dae(
             dae, dae_vars, gfn[:n_chunks * n_frames_chunk].reshape(
                 n_chunks, n_frames_chunk, -1))
-        _, hidden = seq_encode(jnp.asarray(glat))
-        L, B, H = hidden.shape
-        gen_lat_list.append(np.asarray(
-            jnp.transpose(hidden, (1, 0, 2)).reshape(B, L * H)))
+        # tokenize_windows' second return is the flattened (N, L*H)
+        # seq latent - the generated tokens themselves come from the
+        # generator above, not this teacher pass
+        _, gen_lat = tokenize_windows(seq, seq_vars, glat)
+        gen_lat_list.append(gen_lat)
 
     pairs = [(g[:min(len(g), len(r))], r[:min(len(g), len(r))])
              for g, r in zip(gen_toks, gt_toks)]
-    g = np.concatenate([p[0] for p in pairs])
-    r = np.concatenate([p[1] for p in pairs])
-    metrics = {
-        "val_ce": hist["val_loss"][-1],
-        "val_token_accuracy_teacher_forced": hist["val_acc"][-1],
-        "hellinger": float(hellinger(token_histogram(g, codes),
-                                     token_histogram(r, codes))),
-        "bleu": float(corpus_bleu([p[0].tolist() for p in pairs],
-                                  [p[1].tolist() for p in pairs])),
-        "token_accuracy_e2e": float((g == r).mean()),
-        "token_perplexity_generated": float(token_perplexity(g, codes)),
-        "token_perplexity_ground_truth": float(
-            token_perplexity(r, codes)),
-        "frechet_seq_latents": float(frechet_distance(
-            np.concatenate(gen_lat_list), bank_val["seq_latents"])),
-        "frechet_floor_train_vs_val": float(frechet_distance(
-            bank["seq_latents"], bank_val["seq_latents"])),
-        "n_tokens_compared": int(len(g)),
-    }
+    metrics = token_latent_battery(pairs, np.concatenate(gen_lat_list),
+                                   bank, bank_val, codes)
+    metrics.pop("_hist_gen"), metrics.pop("_hist_gt")
+    metrics = {"val_ce": hist["val_loss"][-1],
+               "val_token_accuracy_teacher_forced": hist["val_acc"][-1],
+               **metrics}
     with open(os.path.join(args.out, "metrics_audio.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     print(json.dumps(metrics, indent=2))

@@ -87,6 +87,58 @@ def test_word_windows_truncates_long_sentences():
     assert out["lengths"][0] == 8
 
 
+def test_token_latent_battery_matches_direct_metrics():
+    """The pooled battery (quality_run.token_latent_battery) is the one
+    metric path shared by quality_run/quality_audio/quality_misc/
+    quality_genea; pin its outputs against the underlying metric
+    functions so a battery refactor can't silently change what the
+    committed QUALITY.md numbers mean."""
+    from quality_run import token_latent_battery
+
+    from gesture2vec_tpu.cluster.metrics import (corpus_bleu,
+                                                 frechet_distance,
+                                                 hellinger,
+                                                 token_histogram,
+                                                 token_perplexity,
+                                                 wasserstein_distance)
+
+    rng = np.random.default_rng(3)
+    codes = 8
+    pairs = [(rng.integers(0, codes, size=n),
+              rng.integers(0, codes, size=n)) for n in (5, 7, 11)]
+    gen_lat = rng.normal(size=(23, 6))
+    bank_train = {"seq_latents": rng.normal(size=(40, 6))}
+    bank_val = {"seq_latents": rng.normal(size=(30, 6))}
+
+    out = token_latent_battery(pairs, gen_lat, bank_train, bank_val,
+                               codes)
+
+    g = np.concatenate([p[0] for p in pairs])
+    r = np.concatenate([p[1] for p in pairs])
+    assert out["n_tokens_compared"] == len(g) == 23
+    assert out["token_accuracy"] == float((g == r).mean())
+    assert out["hellinger"] == float(hellinger(
+        token_histogram(g, codes), token_histogram(r, codes)))
+    assert out["wasserstein"] == float(wasserstein_distance(g, r))
+    assert out["bleu"] == float(corpus_bleu(
+        [p[0].tolist() for p in pairs],
+        [p[1].tolist() for p in pairs], max_n=4))
+    assert out["token_perplexity_generated"] == float(
+        token_perplexity(g, codes))
+    assert out["frechet_seq_latents"] == float(
+        frechet_distance(gen_lat, bank_val["seq_latents"]))
+    assert out["frechet_floor_train_vs_val"] == float(frechet_distance(
+        bank_train["seq_latents"], bank_val["seq_latents"]))
+    # histograms ride along (underscore keys) for downstream plots and
+    # are dropped before metrics files are written
+    np.testing.assert_allclose(np.asarray(out["_hist_gen"]),
+                               token_histogram(g, codes))
+    assert set(k for k in out if not k.startswith("_")) == {
+        "hellinger", "frechet_seq_latents", "frechet_floor_train_vs_val",
+        "token_perplexity_generated", "token_perplexity_ground_truth",
+        "wasserstein", "bleu", "token_accuracy", "n_tokens_compared"}
+
+
 def test_twh_hierarchy_matches_fixture_bvh():
     from tests.fixtures import make_synthetic_twh_bvh, twh_hierarchy
 
