@@ -12,6 +12,11 @@ motion generated from val AUDIO alone.
 
     python benchmarks/quality_run.py /tmp/quality_out    # first
     python benchmarks/quality_audio.py /tmp/quality_out  # then this
+
+--fusion both trains/evaluates the repaired text+audio fusion encoder
+instead (ref Helper_models.py both=True branch; word ids + raw 1 s wav
+chunks -> WavEncoderTri + embedding -> fused biGRU) and writes
+metrics_audio_both.json.
 """
 from __future__ import annotations
 
@@ -63,6 +68,11 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("out", nargs="?", default="/tmp/quality_out")
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--fusion", choices=["audio", "both"],
+                    default="audio",
+                    help="'both' trains/evaluates the text+audio "
+                         "fusion encoder (repaired ref both=True "
+                         "branch) and writes metrics_audio_both.json")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -112,37 +122,47 @@ def main():
     for c in store:
         vocab.index_words([w[0] for w in c["words"]])
 
+    both = args.fusion == "both"
     sent = build_sentence_dataset(
         store, vocab, dae_model=dae, dae_variables=dae_vars,
         seq_model=seq, seq_variables=seq_vars,
         sentence_frame_length=sent_len, stride=30,
         n_frames=n_frames_chunk, fps=fps, max_words=24,
-        include_audio=True, audio_sr=AUDIO_SR)
+        include_audio=not both, include_raw_audio=both,
+        audio_sr=AUDIO_SR)
     sent_val = build_sentence_dataset(
         val_store, vocab, dae_model=dae, dae_variables=dae_vars,
         seq_model=seq, seq_variables=seq_vars,
         sentence_frame_length=sent_len, stride=sent_len,
         n_frames=n_frames_chunk, fps=fps, max_words=24,
-        include_audio=True, audio_sr=AUDIO_SR,
+        include_audio=not both, include_raw_audio=both,
+        audio_sr=AUDIO_SR,
         mean=store.pose_mean, std=store.pose_std)
-    data = {"mel": sent["mel"], "tokens": sent["tokens"]}
-    val = {"mel": sent_val["mel"], "tokens": sent_val["tokens"]}
-    print(f"audio dataset: {data['mel'].shape} train, "
-          f"{val['mel'].shape} val")
+    keys = ("word_ids", "wav") if both else ("mel",)
+    data = {k: sent[k] for k in keys} | {"tokens": sent["tokens"]}
+    val = {k: sent_val[k] for k in keys} | {"tokens": sent_val["tokens"]}
+    print(f"audio dataset ({args.fusion}): "
+          f"{data[keys[-1]].shape} train, {val[keys[-1]].shape} val")
 
     a2t_cfg = load_config(dict(
-        name="a2t", model="seq2seq",
+        name="a2t" + ("_both" if both else ""), model="seq2seq",
         hidden_size=(32 if args.fast else cfg_b.hidden_size),
         n_layers=2, dropout_prob=0.1,
         epochs=(6 if args.fast else 60),
         batch_size=(8 if args.fast else 32), learning_rate=0.001,
         sentence_frame_length=sent_len, n_poses=n_frames_chunk,
         n_pre_poses=1, autoencoder_vq_components=codes,
-        autoencoder_att=True, random_seed=0))
+        autoencoder_att=True, random_seed=0,
+        audio_fusion=args.fusion,
+        wordembed_dim=(16 if args.fast else 100)))
     a2t_state, hist = train_audio2token(
-        a2t_cfg, data, val, save_dir=os.path.join(args.out, "a2t"),
-        save_every=1000)
-    a2t = make_audio2token(a2t_cfg)
+        a2t_cfg, data, val,
+        save_dir=os.path.join(args.out, "a2t" + ("_both" if both
+                                                 else "")),
+        save_every=1000, n_words=(vocab.n_words if both else 0),
+        lang_model_state=(vocab.state_dict() if both else None))
+    a2t = make_audio2token(a2t_cfg,
+                           n_words=(vocab.n_words if both else 0))
     a2t_vars = {"params": a2t_state.params,
                 "batch_stats": a2t_state.batch_stats}
     print(f"audio2token: val CE {hist['val_loss'][-1]:.4f}, "
@@ -166,7 +186,8 @@ def main():
         seq_variables=seq_vars, dae_model=dae, dae_variables=dae_vars,
         pose_mean=store.pose_mean, pose_std=store.pose_std,
         n_frames=n_frames_chunk, sentence_frame_length=sent_len,
-        fps=fps, audio_sr=AUDIO_SR, mode="decode", latent_bank=bank)
+        fps=fps, audio_sr=AUDIO_SR, mode="decode", latent_bank=bank,
+        vocab=vocab, max_words=24)
 
     gen_toks, gt_toks, gen_lat_list = [], [], []
     for clip in val_store:
@@ -174,7 +195,9 @@ def main():
         if audio is None:
             continue
         dur = clip["poses"].shape[0] / fps
-        frames, tokens = gen.generate(audio, duration_s=dur)
+        frames, tokens = gen.generate(
+            audio, duration_s=dur,
+            words=(clip["words"] if both else None))
         n_tok_real = int(clip["poses"].shape[0] // n_frames_chunk)
         gen_toks.append(np.asarray(tokens).reshape(-1)[:n_tok_real])
         gt_norm = normalize(clip["poses"], store.pose_mean,
@@ -204,7 +227,9 @@ def main():
     metrics = {"val_ce": hist["val_loss"][-1],
                "val_token_accuracy_teacher_forced": hist["val_acc"][-1],
                **metrics}
-    with open(os.path.join(args.out, "metrics_audio.json"), "w") as f:
+    out_name = ("metrics_audio_both.json" if both
+                else "metrics_audio.json")
+    with open(os.path.join(args.out, out_name), "w") as f:
         json.dump(metrics, f, indent=2)
     print(json.dumps(metrics, indent=2))
 

@@ -30,6 +30,10 @@ def main() -> None:
     parser.add_argument("--latent-bank", default=None,
                         help="org_latent_clustering_data.npz "
                              "(required for exemplar mode)")
+    parser.add_argument("--transcript", default=None,
+                        help="subtitle JSON/TSV; required when the "
+                             "checkpoint was trained with "
+                             "audio_fusion='both' (text+audio fusion)")
     parser.add_argument("--out", default="generated_audio.bvh")
     parser.add_argument("--duration", type=float, default=None)
     parser.add_argument("--seed", type=int, default=0)
@@ -70,6 +74,25 @@ def main() -> None:
 
     bank = (load_latent_dataset(args.latent_bank)
             if args.latent_bank else None)
+
+    # text+audio fusion checkpoints need the transcript + vocab
+    # (ref both=True branch; vocab from the checkpoint's lang_model,
+    # else rebuilt from the training store like cli/infer.py)
+    words, vocab = None, None
+    if getattr(a2t_model, "fusion", "audio") == "both":
+        if not args.transcript:
+            parser.error("this checkpoint was trained with "
+                         "audio_fusion='both'; pass --transcript")
+        from gesture2vec_tpu.io.subtitles import read_subtitles
+        from gesture2vec_tpu.text.vocab import Vocab, build_vocab
+        words = read_subtitles(args.transcript)
+        if a2t_payload.get("lang_model"):
+            vocab = Vocab.from_state_dict(a2t_payload["lang_model"])
+        else:
+            vocab = build_vocab("corpus",
+                                [[w[0] for w in c["words"]] for c in store],
+                                cfg.wordembed_path, cfg.wordembed_dim)
+
     gen = AudioGestureGenerator(
         a2t_model=a2t_model, a2t_variables=a2t_vars,
         seq_model=seq_model, seq_variables=seq_vars,
@@ -78,10 +101,10 @@ def main() -> None:
         n_frames=cfg.n_poses,
         sentence_frame_length=cfg.sentence_frame_length,
         fps=cfg.motion_resampling_framerate, audio_sr=sr,
-        mode=args.mode, latent_bank=bank, seed=args.seed)
+        mode=args.mode, latent_bank=bank, seed=args.seed, vocab=vocab)
 
     t0 = time.time()
-    frames, tokens = gen.generate(wave, args.duration)
+    frames, tokens = gen.generate(wave, args.duration, words=words)
     dt = time.time() - t0
     logging.info("generated %d frames (%d tokens) in %.2fs "
                  "(%.0f frames/s)", frames.shape[0], len(tokens), dt,

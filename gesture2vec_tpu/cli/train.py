@@ -198,13 +198,17 @@ def main() -> None:
     assert cfg.autoencoder_checkpoint, "--autoencoder-checkpoint required"
     seq_model, seq_vars, _ = checkpoints.load_checkpoint_and_model(
         cfg.autoencoder_checkpoint, "autoencoder_vq")
+    # audio_fusion='both' (the repaired text+audio branch) trains on
+    # word ids + raw 1 s wav chunks instead of mel chunks
+    both = args.part == "audio" and cfg.audio_fusion == "both"
     kw = dict(dae_model=dae_model, dae_variables=dae_vars,
               seq_model=seq_model, seq_variables=seq_vars,
               sentence_frame_length=cfg.sentence_frame_length,
               stride=cfg.subdivision_stride_sentence,
               n_frames=cfg.n_poses,
               fps=cfg.motion_resampling_framerate, mean=mean, std=std,
-              include_audio=args.part == "audio")
+              include_audio=args.part == "audio" and not both,
+              include_raw_audio=both)
     sent = build_sentence_dataset(train_store, vocab, **kw)
     sent_val = build_sentence_dataset(val_store, vocab, **kw)
 
@@ -213,9 +217,11 @@ def main() -> None:
         # Helper_models.py:179-317): mel chunks -> gesture tokens
         from gesture2vec_tpu.train.audio2token_trainer import \
             train_audio2token
-        _, hist = train_audio2token(cfg, sent, sent_val,
-                                    save_dir=save_dir,
-                                    resume_from=args.resume)
+        _, hist = train_audio2token(
+            cfg, sent, sent_val, save_dir=save_dir,
+            resume_from=args.resume,
+            n_words=(vocab.n_words if both else 0),
+            lang_model_state=(vocab.state_dict() if both else None))
         _plot(hist)
         return
 

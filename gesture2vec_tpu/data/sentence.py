@@ -31,6 +31,7 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
                            mean: Optional[np.ndarray] = None,
                            std: Optional[np.ndarray] = None,
                            include_audio: bool = False,
+                           include_raw_audio: bool = False,
                            audio_sr: int = 16000,
                            sentence_embedding=None
                            ) -> Dict[str, np.ndarray]:
@@ -41,6 +42,10 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
       poses    (N, sentence_frame_length, D) float32 normalized
       mel      (N, seconds, 128, frames) when include_audio (per-second
                mel chunks, ref: data_preprocessor.py:248-263)
+      wav      (N, seconds, audio_sr) when include_raw_audio: 1-second
+               raw waveform chunks for the text+audio fusion encoder
+               (WavEncoderTri pins the chunk to exactly 1 s @ 16 kHz,
+               ref: Helper_models.py:325-368)
       sentence_emb (N, dim) when a sentence_embedding provider is given
                (the reference's GPT3_Embedding batch slot, ref:
                lmdb_data_loader.py:67-119 + data_preprocessor.py:459-472
@@ -84,29 +89,31 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
         out["sentence_emb"] = sentence_embedding.embed_batch(sentences) \
             .astype(np.float32)
 
-    if include_audio:
+    if include_audio or include_raw_audio:
         from gesture2vec_tpu.io.audio import mel_chunks_per_second
         import math
         window_seconds = sentence_frame_length // fps
-        mels = []
+        mels, wavs = [], []
         for w in wins:
             clip = clips[w["clip"]]
             audio = clip.get("audio")
             if audio is None:
-                # placeholder shape must match real chunks:
-                # mel_chunks_per_second yields 1 + sr // hop frames
-                n_frames_mel = 1 + audio_sr // 512
-                mels.append(np.zeros((window_seconds, 128, n_frames_mel),
-                                     np.float32))
-                continue
-            # map frames -> samples by position ratio
-            # (ref: data_preprocessor.py:251-253)
-            a0 = math.floor(w["frame0"] / clip["poses"].shape[0]
-                            * len(audio))
-            seg = audio[a0:a0 + window_seconds * audio_sr]
-            if len(seg) < window_seconds * audio_sr:
-                seg = np.pad(seg,
-                             (0, window_seconds * audio_sr - len(seg)))
-            mels.append(mel_chunks_per_second(seg, audio_sr))
-        out["mel"] = np.stack(mels, axis=0).astype(np.float32)
+                seg = np.zeros((window_seconds * audio_sr,), np.float32)
+            else:
+                # map frames -> samples by position ratio
+                # (ref: data_preprocessor.py:251-253)
+                a0 = math.floor(w["frame0"] / clip["poses"].shape[0]
+                                * len(audio))
+                seg = audio[a0:a0 + window_seconds * audio_sr]
+                if len(seg) < window_seconds * audio_sr:
+                    seg = np.pad(
+                        seg, (0, window_seconds * audio_sr - len(seg)))
+            if include_audio:
+                mels.append(mel_chunks_per_second(seg, audio_sr))
+            if include_raw_audio:
+                wavs.append(seg.reshape(window_seconds, audio_sr))
+        if include_audio:
+            out["mel"] = np.stack(mels, axis=0).astype(np.float32)
+        if include_raw_audio:
+            out["wav"] = np.stack(wavs, axis=0).astype(np.float32)
     return out

@@ -13,7 +13,7 @@ one lax.scan carries the teacher-forced seed across windows
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,6 +24,12 @@ from gesture2vec_tpu.data.datasets import unnormalize
 
 @dataclasses.dataclass
 class AudioGestureGenerator:
+    """When the Audio2Token model was trained with audio_fusion="both"
+    (the reference's repaired text+audio branch, Helper_models.py
+    :246-253), `generate` additionally needs the transcript words and a
+    `vocab`; the encoder then consumes (word_ids, 1-second raw wav
+    chunks) per window instead of mel chunks."""
+
     a2t_model: object
     a2t_variables: dict
     seq_model: object
@@ -39,9 +45,12 @@ class AudioGestureGenerator:
     mode: str = "decode"              # "decode" | "exemplar"
     latent_bank: Optional[Dict[str, np.ndarray]] = None
     seed: int = 0
+    vocab: Optional[object] = None    # required for fusion="both"
+    max_words: int = 48
 
     def __post_init__(self):
         self.n_steps = self.sentence_frame_length // self.n_frames
+        self.fusion = getattr(self.a2t_model, "fusion", "audio")
         self._rng = np.random.default_rng(self.seed)
         if self.mode == "exemplar":
             assert self.latent_bank is not None, \
@@ -56,13 +65,15 @@ class AudioGestureGenerator:
         n_pre, n_steps = a2t.n_pre_poses, self.n_steps
 
         @jax.jit
-        def predict_tokens_all(mel_windows, seed0):
-            """mel_windows (W, S, n_mels, frames), seed0 (n_steps,) ->
-            tokens (W * n_steps,). One batched audio encode, then a scan
-            over windows carrying the trailing predictions as the next
-            teacher prefix (ref :369-374)."""
+        def predict_tokens_all(enc_in, seed0):
+            """enc_in: mel_windows (W, S, n_mels, frames), or a
+            (word_ids (W, T), wav_chunks (W, S, samples)) tuple when
+            fusion="both". seed0 (n_steps,) -> tokens (W * n_steps,).
+            One batched audio encode, then a scan over windows carrying
+            the trailing predictions as the next teacher prefix
+            (ref :369-374)."""
             enc_outs, dec_hidden = a2t.apply(
-                self.a2t_variables, mel_windows,
+                self.a2t_variables, enc_in,
                 method=a2t.encode_audio)          # (S, W, H), (L, W, H)
 
             def body(seed_tokens, w):
@@ -76,8 +87,10 @@ class AudioGestureGenerator:
                     .at[:n_pre].set(toks[-n_pre:])
                 return next_seed, toks
 
+            n_windows = (enc_in[1] if isinstance(enc_in, tuple)
+                         else enc_in).shape[0]
             _, all_toks = jax.lax.scan(body, seed0,
-                                       jnp.arange(mel_windows.shape[0]))
+                                       jnp.arange(n_windows))
             return all_toks.reshape(-1)
 
         @jax.jit
@@ -122,21 +135,55 @@ class AudioGestureGenerator:
             wins.append(mel_chunks_per_second(seg, self.audio_sr))
         return np.stack(wins, axis=0).astype(np.float32)
 
+    def _wav_windows(self, audio: np.ndarray, n_windows: int) -> np.ndarray:
+        """(W, S, audio_sr): per-window 1-second raw chunks for the
+        fusion encoder (WavEncoderTri pins the 1 s @ 16 kHz chunk)."""
+        window_seconds = self.sentence_frame_length // self.fps
+        need = n_windows * window_seconds * self.audio_sr
+        if len(audio) < need:
+            audio = np.pad(audio, (0, need - len(audio)))
+        return audio[:need].reshape(
+            n_windows, window_seconds, self.audio_sr).astype(np.float32)
+
+    def _window_word_ids(self, words: List[List], n_windows: int
+                         ) -> np.ndarray:
+        """(W, max_words) int32: words overlapping each window's time
+        range (same overlap rule as infer/text2gesture.py, ref:
+        data_preprocessor.get_words_in_time_range :335-363)."""
+        unit = self.sentence_frame_length / self.fps
+        out = np.zeros((n_windows, self.max_words), np.int32)
+        for w in range(n_windows):
+            t0, t1 = w * unit, (w + 1) * unit
+            inside = [t[0] for t in words if t[2] > t0 and t[1] < t1]
+            ids = self.vocab.words_to_ids(inside)[: self.max_words]
+            out[w, :len(ids)] = ids
+        return out
+
     # ------------------------------------------------------------------
     def generate(self, audio: np.ndarray,
-                 duration_s: Optional[float] = None
+                 duration_s: Optional[float] = None,
+                 words: Optional[List[List]] = None
                  ) -> Tuple[np.ndarray, np.ndarray]:
-        """audio: mono waveform at audio_sr. Returns
-        (motion (T, pose_dim) unnormalized, tokens (n_windows*n_steps,))."""
+        """audio: mono waveform at audio_sr; words: [[word, start_s,
+        end_s], ...], required when the model was trained with
+        audio_fusion="both". Returns (motion (T, pose_dim) unnormalized,
+        tokens (n_windows*n_steps,))."""
         if duration_s is None:
             duration_s = len(audio) / self.audio_sr
         unit = self.sentence_frame_length / self.fps
         n_windows = max(int(np.ceil(duration_s / unit)), 1)
-        mel = self._mel_windows(np.asarray(audio, np.float32), n_windows)
+        audio = np.asarray(audio, np.float32)
+        if self.fusion == "both":
+            if words is None or self.vocab is None:
+                raise ValueError("audio_fusion='both' generation needs "
+                                 "the transcript words and a vocab")
+            enc_in = (jnp.asarray(self._window_word_ids(words, n_windows)),
+                      jnp.asarray(self._wav_windows(audio, n_windows)))
+        else:
+            enc_in = jnp.asarray(self._mel_windows(audio, n_windows))
 
         seed0 = jnp.zeros((self.n_steps,), jnp.int32)
-        tokens = np.asarray(self._predict_tokens_all(jnp.asarray(mel),
-                                                     seed0))
+        tokens = np.asarray(self._predict_tokens_all(enc_in, seed0))
         if self.mode == "decode":
             frames = np.asarray(self._decode_and_dae(jnp.asarray(tokens)))
         else:

@@ -129,11 +129,13 @@ def train_audio2token(config: Config, data: Dict[str, np.ndarray],
                       save_dir=None, save_every: int = 20,
                       log_every: int = 50,
                       resume_from: Optional[str] = None,
-                      n_words: int = 0
+                      n_words: int = 0,
+                      lang_model_state: Optional[dict] = None
                       ) -> Tuple[A2TTrainState, Dict[str, list]]:
     """data: {mel (N, S, n_mels, frames), tokens (N, n_steps)} for
     audio_fusion="audio"; {word_ids (N, T), wav (N, S, samples),
-    tokens} plus n_words for audio_fusion="both"."""
+    tokens} plus n_words (and optionally lang_model_state, the vocab
+    saved into checkpoints for inference) for audio_fusion="both"."""
     seed = max(config.random_seed, 0)
     rng = jax.random.PRNGKey(seed)
     model = make_audio2token(config, n_words=n_words)
@@ -163,6 +165,7 @@ def train_audio2token(config: Config, data: Dict[str, np.ndarray],
         checkpoints.save_checkpoint(
             path, config=config, epoch=epoch1, params=st.params,
             pose_dim=config.autoencoder_vq_components,
+            lang_model=lang_model_state,
             extra={"batch_stats": st.batch_stats,
                    "mel_shape": list(data[audio_key].shape[1:]),
                    "n_words": n_words,

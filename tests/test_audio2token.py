@@ -172,6 +172,82 @@ def test_audio_generator_end_to_end(rng):
     assert (tokens >= 0).all() and (tokens < CODES).all()
 
 
+def test_audio_generator_both_fusion_end_to_end(rng):
+    """Fusion (text+audio) generation: transcript words + waveform ->
+    (word_ids, 1-second raw chunks) per window -> tokens -> motion.
+    Covers the inference side of the repaired both=True branch
+    (ref: Helper_models.py:246-253)."""
+    from gesture2vec_tpu.infer.audio2gesture import AudioGestureGenerator
+    from gesture2vec_tpu.train.dae_trainer import (init_state as dae_init,
+                                                   make_frame_model)
+    from gesture2vec_tpu.train.optim import make_optimizer
+    from gesture2vec_tpu.train.seq_ae_trainer import (init_state as sq_init,
+                                                      make_seq_ae)
+
+    class _Vocab:
+        def words_to_ids(self, words, add_sos_eos=True):
+            ids = [4 + (len(w) % 5) for w in words]
+            return [1] + ids + [2] if add_sos_eos else ids
+
+    rep, fps, n_words = 12, 10, 16
+    a2t_cfg = _cfg(hidden_size=16, audio_fusion="both", wordembed_dim=8)
+    a2t = make_audio2token(a2t_cfg, n_words=n_words)
+    key = jax.random.PRNGKey(0)
+    # window_seconds = SENT_LEN / fps = 2 -> 2 raw 1 s chunks per window
+    enc0 = (jnp.zeros((2, 8), jnp.int32),
+            jnp.zeros((2, SENT_LEN // fps, 16000), jnp.float32))
+    tgt0 = jnp.zeros((2, SENT_LEN // N_POSES), jnp.int32)
+    a2t_vars = a2t.init({"params": key,
+                         "dropout": jax.random.fold_in(key, 1)},
+                        enc0, tgt0, train=False)
+    a2t_vars = {"params": a2t_vars["params"],
+                "batch_stats": a2t_vars.get("batch_stats", {})}
+
+    dae_cfg = load_config(dict(name="d", model="DAE", hidden_size=rep,
+                               input_motion_dim=30, epochs=1,
+                               batch_size=4, random_seed=0))
+    dae = make_frame_model(dae_cfg)
+    dae_state = dae_init(dae_cfg, dae, jax.random.fold_in(key, 2),
+                         make_optimizer(1e-3))
+    sq_cfg = load_config(dict(name="s", model="seq2seq", hidden_size=16,
+                              n_layers=2, dropout_prob=0.0, epochs=1,
+                              batch_size=4, learning_rate=1e-3,
+                              rep_learning_dim=rep, n_poses=N_POSES,
+                              n_pre_poses=1, autoencoder_vq=True,
+                              autoencoder_vq_components=CODES,
+                              autoencoder_att=False,
+                              autoencoder_conditioned=True, random_seed=0))
+    seq = make_seq_ae(sq_cfg)
+    sq_state = sq_init(sq_cfg, seq, jax.random.fold_in(key, 3),
+                       make_optimizer(1e-3))
+
+    gen = AudioGestureGenerator(
+        a2t_model=a2t, a2t_variables=a2t_vars,
+        seq_model=seq,
+        seq_variables={"params": sq_state.params,
+                       "batch_stats": sq_state.batch_stats},
+        dae_model=dae, dae_variables={"params": dae_state.params},
+        pose_mean=np.zeros(30, np.float32),
+        pose_std=np.ones(30, np.float32),
+        n_frames=N_POSES, sentence_frame_length=SENT_LEN, fps=fps,
+        audio_sr=16000, mode="decode", vocab=_Vocab(), max_words=8)
+    assert gen.fusion == "both"
+
+    audio = rng.normal(scale=0.1, size=(16000 * 4,)).astype(np.float32)
+    words = [["hello", 0.2, 0.8], ["there", 1.0, 1.9],
+             ["friend", 2.2, 3.6]]
+    frames, tokens = gen.generate(audio, words=words)
+    n_windows = 2  # 4 s / 2 s per window
+    assert tokens.shape == (n_windows * SENT_LEN // N_POSES,)
+    assert frames.shape == (n_windows * SENT_LEN, 30)
+    assert np.isfinite(frames).all()
+    assert (tokens >= 0).all() and (tokens < CODES).all()
+
+    # words are required in fusion mode
+    with pytest.raises(ValueError):
+        gen.generate(audio)
+
+
 def test_audio2token_bf16_trains(rng):
     """compute_dtype=bfloat16 for the audio variant: encoder GRU +
     decoder in bf16, logits/params fp32, loss falls."""

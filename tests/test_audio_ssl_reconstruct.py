@@ -250,9 +250,17 @@ def test_sentence_dataset_with_audio(tmp_path):
                                   seq_variables=seq_vars,
                                   sentence_frame_length=40, stride=20,
                                   n_frames=10, fps=20, max_words=16,
-                                  include_audio=True)
+                                  include_audio=True,
+                                  include_raw_audio=True)
     assert "mel" in sent
     # 40 frames / 20 fps = 2 seconds -> 2 one-second mel chunks
     assert sent["mel"].shape[1] == 2
     assert sent["mel"].shape[2] == 128
     assert np.isfinite(sent["mel"]).all()
+    # raw 1-second chunks for the fusion encoder: same windows/segments
+    # as the mel chunks (mel of wav[i] == mel[i])
+    from gesture2vec_tpu.io.audio import mel_chunks_per_second
+    assert sent["wav"].shape == (sent["mel"].shape[0], 2, 16000)
+    np.testing.assert_allclose(
+        mel_chunks_per_second(sent["wav"][0].reshape(-1), 16000),
+        sent["mel"][0], atol=1e-5)

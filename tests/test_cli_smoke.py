@@ -129,6 +129,35 @@ def test_full_cli_workflow(workdir):
           "generated_audio.bvh", "--platform", "cpu"], root)
     assert os.path.getsize(os.path.join(root, "generated_audio.bvh")) > 10000
 
+    # text+audio fusion variant (audio_fusion='both', the repaired ref
+    # both=True branch): word ids + raw 1 s chunks; inference needs the
+    # transcript
+    _write_cfg(os.path.join(root, "a2t_both.yml"), name="a2tb",
+               model="seq2seq", train_data_path="corpus/store/train",
+               val_data_path="corpus/store/val",
+               model_save_path="out/a2t_both", hidden_size=24,
+               n_layers=2, dropout_prob=0.1, epochs=1, batch_size=8,
+               learning_rate=0.003, random_seed=0, wordembed_dim=24,
+               n_poses=10, n_pre_poses=1, sentence_frame_length=40,
+               subdivision_stride_sentence=20,
+               motion_resampling_framerate=20, autoencoder_vq=True,
+               autoencoder_vq_components=16, autoencoder_att=True,
+               audio_fusion="both")
+    _run(["gesture2vec_tpu.cli.train", "-c", "a2t_both.yml", "--part",
+          "audio", "--rep-checkpoint", dae_ckpt,
+          "--autoencoder-checkpoint", vq_ckpt, "--platform", "cpu"],
+         root)
+    a2tb_ckpt = "out/a2t_both/a2tb_checkpoint_001.bin"
+    assert os.path.exists(os.path.join(root, a2tb_ckpt))
+    _run(["gesture2vec_tpu.cli.infer_audio", a2tb_ckpt,
+          "corpus/Audio/Recording_001.wav", dae_ckpt, vq_ckpt,
+          "--mode", "decode", "--store", "corpus/store/train",
+          "--transcript", "corpus/Transcripts/Recording_001.json",
+          "--pipeline", "corpus/store/data_pipe.json", "--out",
+          "generated_audio_both.bvh", "--platform", "cpu"], root)
+    assert os.path.getsize(
+        os.path.join(root, "generated_audio_both.bvh")) > 10000
+
     _run(["gesture2vec_tpu.cli.cluster", dae_ckpt, vq_ckpt, "--store",
           "corpus/store/train", "--platform", "cpu"], root)
     bank = "out/vq/clusters/org_latent_clustering_data.npz"
