@@ -145,6 +145,10 @@ def main() -> None:
     assert cfg.rep_learning_checkpoint, "--rep-checkpoint required"
     dae_model, dae_vars, dae_payload = checkpoints.load_checkpoint_and_model(
         cfg.rep_learning_checkpoint, "DAE")
+    # teacher sweeps row-shard the corpus axis over the same mesh the
+    # trainer uses (data/teacher._sweep_setup)
+    from gesture2vec_tpu.parallel.mesh import make_mesh
+    sweep_mesh = make_mesh(cfg.mesh_shape)
     if cfg.rep_learning_dim <= 0:
         cfg = cfg.replace(
             rep_learning_dim=dae_payload["config"].hidden_size)
@@ -154,11 +158,13 @@ def main() -> None:
         tw = encode_windows_with_dae(
             dae_model, dae_vars,
             pose_windows(train_store, cfg.n_poses,
-                         cfg.subdivision_stride, mean, std))
+                         cfg.subdivision_stride, mean, std),
+            mesh=sweep_mesh)
         vw = encode_windows_with_dae(
             dae_model, dae_vars,
             pose_windows(val_store, cfg.n_poses,
-                         cfg.subdivision_stride, mean, std))
+                         cfg.subdivision_stride, mean, std),
+            mesh=sweep_mesh)
         _, hist = train_seq_ae(cfg, tw, vw, save_dir=save_dir,
                                plot_every=args.plot_every,
                                resume_from=args.resume)
@@ -177,13 +183,17 @@ def main() -> None:
         tw = encode_windows_with_dae(
             dae_model, dae_vars,
             pose_windows(train_store, cfg.n_poses,
-                         cfg.subdivision_stride, mean, std))
+                         cfg.subdivision_stride, mean, std),
+            mesh=sweep_mesh)
         vw = encode_windows_with_dae(
             dae_model, dae_vars,
             pose_windows(val_store, cfg.n_poses,
-                         cfg.subdivision_stride, mean, std))
-        t_tokens, _ = tokenize_windows(seq_model, seq_vars, tw)
-        v_tokens, _ = tokenize_windows(seq_model, seq_vars, vw)
+                         cfg.subdivision_stride, mean, std),
+            mesh=sweep_mesh)
+        t_tokens, _ = tokenize_windows(seq_model, seq_vars, tw,
+                                       mesh=sweep_mesh)
+        v_tokens, _ = tokenize_windows(seq_model, seq_vars, vw,
+                                       mesh=sweep_mesh)
         train_c2g(cfg, t_tokens, tw, v_tokens, vw, save_dir=save_dir)
         return
 
@@ -208,7 +218,7 @@ def main() -> None:
               n_frames=cfg.n_poses,
               fps=cfg.motion_resampling_framerate, mean=mean, std=std,
               include_audio=args.part == "audio" and not both,
-              include_raw_audio=both)
+              include_raw_audio=both, mesh=sweep_mesh)
     sent = build_sentence_dataset(train_store, vocab, **kw)
     sent_val = build_sentence_dataset(val_store, vocab, **kw)
 

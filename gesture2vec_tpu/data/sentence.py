@@ -33,7 +33,8 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
                            include_audio: bool = False,
                            include_raw_audio: bool = False,
                            audio_sr: int = 16000,
-                           sentence_embedding=None
+                           sentence_embedding=None,
+                           mesh=None
                            ) -> Dict[str, np.ndarray]:
     """Returns arrays:
       word_ids (N, max_words) int32 padded with PAD=0, SOS/EOS included
@@ -76,9 +77,10 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
     # frozen-teacher tokenization: DAE latents -> per-chunk tokens
     n_steps = sentence_frame_length // n_frames
     latents = encode_windows_with_dae(dae_model, dae_variables,
-                                      poses)            # (N, F, rep)
+                                      poses, mesh=mesh)  # (N, F, rep)
     chunks = latents.reshape(N * n_steps, n_frames, -1)
-    tokens, _ = tokenize_windows(seq_model, seq_variables, chunks)
+    tokens, _ = tokenize_windows(seq_model, seq_variables, chunks,
+                                 mesh=mesh)
     tokens = tokens.reshape(N, n_steps).astype(np.int32)
 
     out = {"word_ids": word_ids, "lengths": lengths, "tokens": tokens,

@@ -151,3 +151,55 @@ def test_rvq_mesh_matches_single_device(rng):
                          w, w[:16])
     np.testing.assert_allclose(h1["train_loss"], h2["train_loss"],
                                rtol=1e-4)
+
+
+def test_teacher_sweeps_on_mesh_match_single_device(rng):
+    """Corpus-axis ("sp") sharded teacher sweeps: encode_windows_with_dae
+    and tokenize_windows under a mesh must reproduce the single-device
+    sweep — latents to float tolerance, token ids exactly (the sweep is
+    row-wise; sharding only changes placement, data/teacher._sweep_setup)."""
+    import jax.numpy as jnp
+    from gesture2vec_tpu.data.teacher import (encode_windows_with_dae,
+                                              tokenize_windows)
+    from gesture2vec_tpu.parallel.mesh import make_mesh
+    from gesture2vec_tpu.train.config import load_config
+    from gesture2vec_tpu.train.dae_trainer import make_frame_model
+    from gesture2vec_tpu.train.seq_ae_trainer import make_seq_ae
+
+    dae_cfg = load_config(dict(name="sp_dae", model="DAE", hidden_size=6,
+                               epochs=1, batch_size=8, learning_rate=1e-3,
+                               input_motion_dim=12, random_seed=0))
+    dae = make_frame_model(dae_cfg)
+    dae_vars = dae.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((2, 12), jnp.float32))
+
+    sq_cfg = load_config(dict(name="sp_sq", model="seq2seq", hidden_size=10,
+                              n_layers=2, dropout_prob=0.0, epochs=1,
+                              batch_size=8, learning_rate=1e-3,
+                              rep_learning_dim=6, n_poses=4, n_pre_poses=1,
+                              autoencoder_vq=True,
+                              autoencoder_vq_components=12,
+                              autoencoder_att=False,
+                              autoencoder_conditioned=True, random_seed=0))
+    seq = make_seq_ae(sq_cfg)
+    seq_vars = seq.init({"params": jax.random.PRNGKey(1),
+                         "dropout": jax.random.PRNGKey(2)},
+                        jnp.zeros((2, 4, 6), jnp.float32),
+                        jnp.zeros((2, 4, 6), jnp.float32), train=False)
+    seq_vars = {"params": seq_vars["params"],
+                "batch_stats": seq_vars.get("batch_stats", {})}
+
+    # 37 windows: deliberately NOT a multiple of the device count so the
+    # pad-and-trim path is exercised
+    windows = rng.normal(size=(37, 4, 12)).astype(np.float32)
+    mesh = make_mesh({"sp": 8})
+
+    lat0 = encode_windows_with_dae(dae, dae_vars, windows, batch=16)
+    lat1 = encode_windows_with_dae(dae, dae_vars, windows, batch=16,
+                                   mesh=mesh)
+    np.testing.assert_allclose(lat0, lat1, rtol=1e-6, atol=1e-6)
+
+    tok0, sl0 = tokenize_windows(seq, seq_vars, lat0, batch=16)
+    tok1, sl1 = tokenize_windows(seq, seq_vars, lat0, batch=16, mesh=mesh)
+    np.testing.assert_array_equal(tok0, tok1)
+    np.testing.assert_allclose(sl0, sl1, rtol=1e-5, atol=1e-6)
