@@ -127,6 +127,12 @@ class Config:
     # parity) | "rvq" (residual VQ: tighter reconstruction at the same
     # token granularity; stage 0 stays THE gesture token)
     rvq_stages: int = 2
+    rvq_reestimate_every: int = 10  # epochs between K-Means re-fits of
+    # the residual-VQ stage codebooks (0 disables). Gradient-trained
+    # hard-assign codebooks collapse at corpus scale — dead codes never
+    # receive gradient (measured: 2/64 codes used without this,
+    # benchmarks/quality_vq_ablation.py); the periodic per-stage re-fit
+    # mirrors the Part-a codebook trick (ref: train_DAE.py:241-263)
     eval_dropout_quirk: bool = True  # reproduce the reference's eval-time
     # 0.95 decoder dropout (ref: Autoencoder_VQVAE_model.py:570)
     audio_fusion: str = "audio"  # audio2token encoder: "audio" (the

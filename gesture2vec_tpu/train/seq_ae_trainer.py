@@ -240,6 +240,59 @@ def make_eval_step(config: Config, model: SeqVQAutoencoder):
     return jax.jit(step)
 
 
+def reestimate_rvq_codebooks(model: SeqVQAutoencoder,
+                             state: SeqAETrainState,
+                             windows: np.ndarray, k: int, stages: int,
+                             batch: int = 512,
+                             max_rows: int = 20000) -> SeqAETrainState:
+    """K-Means re-fit of every residual-VQ stage codebook over the
+    current encoder latents: stage 0 fits the flattened decoder-initial
+    hiddens, stage s fits the residual left by stages <s (mirrors the
+    Part-a codebook trick, ref: train_DAE.py:241-263, applied per
+    stage). Gradient training alone collapses hard-assign codebooks —
+    dead codes never receive gradient — so the trainer calls this every
+    `rvq_reestimate_every` epochs. Adam moments for the codebook rows
+    are left untouched (they decay within a few steps)."""
+    from gesture2vec_tpu.cluster.kmeans import kmeans_fit
+    from gesture2vec_tpu.models.seq_ae import _flatten_hidden
+
+    variables = {"params": state.params,
+                 "batch_stats": state.batch_stats}
+
+    @jax.jit
+    def enc(x):
+        _, dec_hidden = model.apply(variables, x, method=model.encode)
+        return _flatten_hidden(dec_hidden, model.vq_flatten)
+
+    sub = windows
+    if windows.shape[0] > max_rows:
+        pick = np.random.default_rng(0).permutation(
+            windows.shape[0])[:max_rows]
+        sub = windows[np.sort(pick)]
+    rows = []
+    for s in range(0, sub.shape[0] - batch + 1, batch):  # full batches
+        rows.append(np.asarray(enc(jnp.asarray(sub[s:s + batch]))))
+    if not rows:
+        rows = [np.asarray(enc(jnp.asarray(sub)))]
+    resid = np.concatenate(rows, axis=0).astype(np.float32)
+
+    vq_params = dict(state.params["vq_layer"])
+    for s in range(stages):
+        name = "codebook" if s == 0 else f"codebook_r{s}"
+        km = kmeans_fit(resid, k, key=jax.random.PRNGKey(s), n_init=1,
+                        max_iter=100)
+        centers = np.asarray(km.centers, np.float32)
+        d = ((resid ** 2).sum(1, keepdims=True) + (centers ** 2).sum(1)
+             - 2.0 * resid @ centers.T)
+        resid = resid - centers[np.argmin(d, axis=1)]
+        vq_params[name] = jnp.asarray(centers)
+    logging.info("RVQ codebooks re-estimated from %d latents "
+                 "(%d stages, k=%d)", resid.shape[0], stages, k)
+    params = dict(state.params)
+    params["vq_layer"] = vq_params
+    return state._replace(params=params)
+
+
 def train_seq_ae(config: Config, train_windows: np.ndarray,
                  val_windows: np.ndarray, save_dir: Optional[str] = None,
                  save_every: int = 20, log_every: int = 50,
@@ -302,7 +355,21 @@ def train_seq_ae(config: Config, train_windows: np.ndarray,
     meter = AverageMeter("loss", ":.4f")
     perp_m = AverageMeter("perplexity", ":.1f")
 
+    rvq_every = (config.rvq_reestimate_every
+                 if (config.autoencoder_vq
+                     and config.autoencoder_vq_variant == "rvq"
+                     and not streaming) else 0)
     for epoch in range(start_epoch, config.epochs):
+        if rvq_every and epoch and epoch % rvq_every == 0:
+            state = reestimate_rvq_codebooks(
+                model, state, train_windows,
+                config.autoencoder_vq_components, config.rvq_stages)
+            if mesh is not None:
+                # keep the rebuilt codebooks on the mesh layout (rows
+                # are tp-sharded) so the compiled step is not retraced
+                from gesture2vec_tpu.parallel.mesh import shard_params
+                state = state._replace(
+                    params=shard_params(state.params, mesh))
         meter.reset()
         perp_m.reset()
         t0 = time.time()

@@ -286,3 +286,46 @@ def test_rvq_variant_trains_and_serves(rng, tmp_path):
     toks = np.argmax(np.asarray(res["vq"].encodings), axis=-1)
     assert toks.shape == (4,)
     assert (toks >= 0).all() and (toks < 16).all()
+
+
+def test_rvq_reestimate_recovers_codebook_usage(rng):
+    """Gradient-only hard-assign RVQ codebooks collapse (dead codes get
+    no gradient — measured 2/64 used at corpus scale); the per-stage
+    K-Means re-fit restores usage and training continues through the
+    param swap (train/seq_ae_trainer.reestimate_rvq_codebooks)."""
+    from gesture2vec_tpu.models.seq_ae import _flatten_hidden
+    from gesture2vec_tpu.train.seq_ae_trainer import (
+        reestimate_rvq_codebooks, init_state)
+    from gesture2vec_tpu.train.optim import make_optimizer
+
+    win = rng.normal(size=(64, 10, 16)).astype(np.float32)
+    cfg = _config(epochs=4, batch_size=16, rep_learning_dim=16,
+                  n_poses=10, hidden_size=16, name="rvq_re",
+                  autoencoder_vq_variant="rvq", rvq_stages=2,
+                  rvq_reestimate_every=2)
+    model = make_seq_ae(cfg)
+    state = init_state(cfg, model, jax.random.PRNGKey(0),
+                       make_optimizer(cfg.learning_rate))
+
+    old_cb = np.asarray(state.params["vq_layer"]["codebook"])
+    state2 = reestimate_rvq_codebooks(model, state, win,
+                                      cfg.autoencoder_vq_components,
+                                      cfg.rvq_stages)
+    new_cb = np.asarray(state2.params["vq_layer"]["codebook"])
+    assert not np.allclose(old_cb, new_cb)
+
+    # after the re-fit, stage-0 assignments over the data cover a
+    # healthy fraction of the codebook (K-Means centers are data means)
+    variables = {"params": state2.params,
+                 "batch_stats": state2.batch_stats}
+    _, dec_hidden = model.apply(variables, jnp.asarray(win),
+                                method=model.encode)
+    flat = np.asarray(_flatten_hidden(dec_hidden, model.vq_flatten))
+    d = ((flat ** 2).sum(1, keepdims=True) + (new_cb ** 2).sum(1)
+         - 2.0 * flat @ new_cb.T)
+    used = np.unique(np.argmin(d, axis=1)).size
+    assert used >= cfg.autoencoder_vq_components // 2, used
+
+    # the trainer hook path: a full run through the epoch-2 re-fit
+    _, hist = train_seq_ae(cfg, win, win[:16])
+    assert np.isfinite(hist["train_loss"]).all()
