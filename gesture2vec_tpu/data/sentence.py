@@ -34,7 +34,8 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
                            include_raw_audio: bool = False,
                            audio_sr: int = 16000,
                            sentence_embedding=None,
-                           mesh=None
+                           mesh=None,
+                           emit_stage_tokens: bool = False
                            ) -> Dict[str, np.ndarray]:
     """Returns arrays:
       word_ids (N, max_words) int32 padded with PAD=0, SOS/EOS included
@@ -80,11 +81,20 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
                                       poses, mesh=mesh)  # (N, F, rep)
     chunks = latents.reshape(N * n_steps, n_frames, -1)
     tokens, _ = tokenize_windows(seq_model, seq_variables, chunks,
-                                 mesh=mesh)
-    tokens = tokens.reshape(N, n_steps).astype(np.int32)
+                                 mesh=mesh, all_stages=emit_stage_tokens)
+    if emit_stage_tokens:
+        # (N*steps, S) -> keep the full stack for the multi-stage Part d
+        # AND the stage-0 column under the standard "tokens" key so
+        # every single-token consumer is unaffected
+        stage_tokens = tokens.reshape(N, n_steps, -1).astype(np.int32)
+        tokens = stage_tokens[:, :, 0]
+    else:
+        tokens = tokens.reshape(N, n_steps).astype(np.int32)
 
     out = {"word_ids": word_ids, "lengths": lengths, "tokens": tokens,
            "poses": poses}
+    if emit_stage_tokens:
+        out["stage_tokens"] = stage_tokens
 
     if sentence_embedding is not None:
         sentences = [" ".join(t[0] for t in w["words"]) for w in wins]

@@ -73,21 +73,30 @@ def encode_windows_with_dae(dae_model, variables, windows: np.ndarray,
 
 
 def tokenize_windows(seq_model, variables, latent_windows: np.ndarray,
-                     batch: int = 512, mesh=None
+                     batch: int = 512, mesh=None,
+                     all_stages: bool = False
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """(N, T, rep_dim) DAE-latent windows -> (tokens (N,), seq latents
     (N, L*H)): the Part-b tokenizer pass used to build Part-c/d datasets
-    (ref: data_preprocessor.py:366-457, lmdb_data_loader.py:1274-1281)."""
+    (ref: data_preprocessor.py:366-457, lmdb_data_loader.py:1274-1281).
+
+    all_stages (rvq tokenizers only): tokens come back (N, S) with one
+    column per residual stage (column 0 = the pipeline token), the
+    teacher signal for a multi-stage Part d (config.token_stages)."""
     place, variables, batch = _sweep_setup(variables, batch, mesh)
 
     @jax.jit
     def tok(x):
         enc_outs, dec_hidden = seq_model.apply(
             variables, x, method=seq_model.encode)
-        vq_out, _ = seq_model.apply(variables, dec_hidden,
-                                    method=seq_model.quantize)
         L, B, H = dec_hidden.shape
         flat = jnp.transpose(dec_hidden, (1, 0, 2)).reshape(B, L * H)
+        if all_stages:
+            toks = seq_model.apply(variables, dec_hidden,
+                                   method=seq_model.stage_tokens)
+            return toks, flat
+        vq_out, _ = seq_model.apply(variables, dec_hidden,
+                                    method=seq_model.quantize)
         return jnp.argmax(vq_out.encodings, axis=-1), flat
 
     toks, lats = [], []

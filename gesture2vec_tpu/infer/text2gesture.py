@@ -119,6 +119,18 @@ class GestureGenerator:
                 self.use_fused_decoder = False
 
         window_carry = self.window_carry
+        # multi-stage decode: a token_stages>1 Part d predicts the
+        # residual-VQ stage codes too, and decode mode rebuilds the FULL
+        # quantized hidden (sum of stage codebook rows) instead of
+        # stage 0 only — the rvq e2e chain (models/text2token
+        # token_stages, models/vq.VQResidual.embed_stage_tokens)
+        multi = getattr(t2t, "token_stages", 1) > 1
+        if multi:
+            assert getattr(seq, "vq_variant", "") == "rvq", \
+                "a token_stages>1 Part d needs an rvq Part-b tokenizer"
+            assert seq.rvq_stages >= t2t.token_stages, \
+                (f"Part d predicts {t2t.token_stages} stages but the "
+                 f"tokenizer has {seq.rvq_stages}")
 
         @jax.jit
         def predict_tokens_all(word_ids, lengths, seed0):
@@ -153,9 +165,74 @@ class GestureGenerator:
                                        jnp.arange(word_ids.shape[0]))
             return all_toks.reshape(-1)               # (W * n_steps,)
 
+        if multi:
+            S1 = t2t.token_stages - 1
+
+            @jax.jit
+            def predict_tokens_stages(word_ids, lengths, seed0):
+                """Like predict_tokens_all, but also returns the
+                residual-stage ids (W*n_steps, S-1); seed steps carry a
+                -1 sentinel (no head predicts them) and decode masks
+                their stage contribution to zero."""
+                if not window_carry:
+                    W = word_ids.shape[0]
+                    targets = jnp.zeros((W, n_steps), jnp.int32)
+                    res = t2t.apply(self.t2t_variables, word_ids,
+                                    lengths, targets, train=False)
+                    t0 = jnp.argmax(res["logits"], axis=-1)
+                    sr = jnp.argmax(res["stage_logits"], axis=-1)
+                    pad = jnp.full((W, 1, S1), -1, sr.dtype)
+                    stage = jnp.concatenate([pad, sr], axis=1)
+                    return t0.reshape(-1), stage.reshape(-1, S1)
+
+                enc_outs, dec_hidden = t2t.apply(
+                    self.t2t_variables, word_ids, lengths,
+                    method=t2t.encode_text)
+
+                def body(seed_tokens, w):
+                    eo = jax.lax.dynamic_slice_in_dim(enc_outs, w, 1,
+                                                      axis=1)
+                    dh = jax.lax.dynamic_slice_in_dim(dec_hidden, w, 1,
+                                                      axis=1)
+                    mask = jnp.arange(word_ids.shape[1]) < lengths[w]
+                    res = t2t.apply(self.t2t_variables, eo, dh,
+                                    seed_tokens[None], train=False,
+                                    enc_mask=mask,
+                                    method=t2t.decode_tokens)
+                    toks = jnp.argmax(res["logits"][0], axis=-1)
+                    sr = jnp.argmax(res["stage_logits"][0], axis=-1)
+                    stage = jnp.concatenate(
+                        [jnp.full((1, S1), -1, sr.dtype), sr], axis=0)
+                    next_seed = jnp.zeros((n_steps,), jnp.int32) \
+                        .at[:n_pre].set(toks[-n_pre:])
+                    return next_seed, (toks, stage)
+
+                _, (all_toks, all_stage) = jax.lax.scan(
+                    body, seed0, jnp.arange(word_ids.shape[0]))
+                return (all_toks.reshape(-1),
+                        all_stage.reshape(-1, S1))
+
         chunk_continuity = self.chunk_continuity
 
-        def decode_tokens_core(tokens, use_fused):
+        def _token_hidden(tokens, stage_tokens):
+            """(N,) [+ (N, S-1) stage ids, -1 = no contribution] ->
+            (L, N, H) decoder hidden from the codebook row sum."""
+            cb = jnp.asarray(
+                self.seq_variables["params"]["vq_layer"]["codebook"])
+            L, H = seq.n_layers, seq.hidden_size
+            N = tokens.shape[0]
+            flat = jnp.take(cb, tokens, axis=0)
+            if stage_tokens is not None:
+                for s in range(stage_tokens.shape[-1]):
+                    cbs = jnp.asarray(self.seq_variables["params"]
+                                      ["vq_layer"][f"codebook_r{s + 1}"])
+                    st = stage_tokens[:, s]
+                    flat = flat + jnp.where(
+                        (st >= 0)[:, None],
+                        jnp.take(cbs, jnp.maximum(st, 0), axis=0), 0.0)
+            return jnp.transpose(flat.reshape(N, L, H), (1, 0, 2))
+
+        def decode_tokens_core(tokens, use_fused, stage_tokens=None):
             """tokens (N,) -> latents (N*n_frames, rep_dim).
 
             Every frame is a decoder OUTPUT (seq.rollout) - the
@@ -168,17 +245,9 @@ class GestureGenerator:
             (initialized to zeros once, ref :277, then carried across
             every chunk): a scan over chunks, seeded by the previous
             chunk's last output."""
-            # checkpoint-loaded params may be numpy arrays; make the
-            # codebook a jax array before traced indexing
-            cb = jnp.asarray(
-                self.seq_variables["params"]["vq_layer"]["codebook"])
-            L, H = seq.n_layers, seq.hidden_size
-
             if not chunk_continuity:
                 N = tokens.shape[0]
-                hidden = jnp.transpose(jnp.take(cb, tokens,
-                                                axis=0).reshape(N, L, H),
-                                       (1, 0, 2))
+                hidden = _token_hidden(tokens, stage_tokens)
                 seed0 = jnp.zeros((N, seq.rep_dim))
                 if use_fused:
                     from gesture2vec_tpu.ops.decoder_pallas import \
@@ -195,16 +264,24 @@ class GestureGenerator:
                                 rngs={"dropout": jax.random.PRNGKey(0)})
                 return out.reshape(-1, seq.rep_dim)
 
-            def body(prev_last, tok):
-                codevec = jnp.take(cb, tok, axis=0)
-                hidden = jnp.transpose(codevec.reshape(1, L, H), (1, 0, 2))
+            def body(prev_last, xs):
+                tok, st = xs
+                hidden = _token_hidden(tok[None],
+                                       None if st is None else st[None])
                 out = seq.apply(self.seq_variables, hidden,
                                 prev_last[None], method=seq.rollout,
                                 rngs={"dropout": jax.random.PRNGKey(0)})[0]
                 return out[-1], out
 
-            _, chunks = jax.lax.scan(
-                body, jnp.zeros((seq.rep_dim,), jnp.float32), tokens)
+            xs = (tokens, stage_tokens)
+            if stage_tokens is None:
+                # scan can't carry a None leaf; close over it instead
+                _, chunks = jax.lax.scan(
+                    lambda p, t: body(p, (t, None)),
+                    jnp.zeros((seq.rep_dim,), jnp.float32), tokens)
+            else:
+                _, chunks = jax.lax.scan(
+                    body, jnp.zeros((seq.rep_dim,), jnp.float32), xs)
             return chunks.reshape(-1, seq.rep_dim)
 
         decode_tokens_all = jax.jit(
@@ -224,6 +301,13 @@ class GestureGenerator:
         def generate_decode_mode(word_ids, lengths, seed0):
             """The whole decode-mode generation as ONE device program:
             window token scan -> batched chunk decode -> DAE decode."""
+            if multi:
+                tokens, stage = predict_tokens_stages(word_ids, lengths,
+                                                      seed0)
+                latents = decode_tokens_core(tokens,
+                                             self.use_fused_decoder,
+                                             stage)
+                return dae_decode(latents), tokens
             tokens = predict_tokens_all(word_ids, lengths, seed0)
             latents = decode_tokens_all(tokens)
             return dae_decode(latents), tokens
@@ -239,6 +323,14 @@ class GestureGenerator:
 
             Uses the scan chunk decoder (the Pallas fused kernel has no
             batching rule under vmap)."""
+            if multi:
+                toks, stage = jax.vmap(
+                    lambda w, l: predict_tokens_stages(w, l, seed0))(
+                        word_ids, lengths)
+                lats = jax.vmap(
+                    lambda t, s: decode_tokens_core(t, False, s))(toks,
+                                                                  stage)
+                return dae_decode(lats), toks
             toks = jax.vmap(
                 lambda w, l: predict_tokens_all(w, l, seed0))(word_ids,
                                                               lengths)

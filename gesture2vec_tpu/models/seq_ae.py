@@ -250,6 +250,29 @@ class SeqVQAutoencoder(nn.Module):
         vq_out, _ = self.quantize(dec_hidden)
         return jnp.argmax(vq_out.encodings, axis=-1)
 
+    def stage_tokens(self, dec_hidden: jnp.ndarray) -> jnp.ndarray:
+        """(L, B, H) -> (B, S) per-stage code ids (residual VQ only;
+        column 0 is THE pipeline token). Feeds the multi-stage Part d
+        (models/text2token token_stages > 1)."""
+        assert self.use_vq and self.vq_variant == "rvq", \
+            "stage tokens require vq_variant='rvq'"
+        flat = _flatten_hidden(dec_hidden.astype(jnp.float32),
+                               self.vq_flatten)
+        return self.vq_layer.stage_tokens(flat)
+
+    def hidden_from_stage_tokens(self, tokens: jnp.ndarray
+                                 ) -> jnp.ndarray:
+        """(B, S') stage ids -> (L, B, H) decoder-initial hidden = the
+        sum of the first S' stage codebook rows (decode-mode inference
+        from multi-stage tokens; S'=1 reproduces the single-token
+        path)."""
+        assert self.use_vq and self.vq_variant == "rvq", \
+            "stage-token decode requires vq_variant='rvq'"
+        flat = self.vq_layer.embed_stage_tokens(tokens)
+        return _unflatten_hidden(
+            flat, (self.n_layers, tokens.shape[0], self.hidden_size),
+            self.vq_flatten)
+
     def warmup_hidden(self, dec_hidden: jnp.ndarray, seed: jnp.ndarray,
                       encoder_outputs: Optional[jnp.ndarray],
                       steps: int = 5, train: bool = False) -> jnp.ndarray:

@@ -78,6 +78,9 @@ class TokenDecoderStep(nn.Module):
     dropout_p: float
     use_attention: bool = True
     dtype: Optional[Any] = None   # bf16 opt-in (config.compute_dtype)
+    n_stage_heads: int = 0  # extra residual-stage logit heads (the
+    # multi-stage Part d for vq_variant="rvq" tokenizers; 0 keeps the
+    # reference shape and return arity exactly)
 
     @nn.compact
     def __call__(self, token: jnp.ndarray, hidden: jnp.ndarray,
@@ -109,6 +112,13 @@ class TokenDecoderStep(nn.Module):
         logits = nn.Dense(self.n_tokens, name="out_layer",
                           dtype=self.dtype)(out)
         # CE loss and the argmax feedback read fp32 logits either way
+        if self.n_stage_heads:
+            stage = [nn.Dense(self.n_tokens, name=f"out_layer_r{s + 1}",
+                              dtype=self.dtype)(out)
+                     for s in range(self.n_stage_heads)]
+            stage_logits = jnp.stack(stage, axis=-2).astype(jnp.float32)
+            return (logits.astype(jnp.float32), new_hidden, attn_weights,
+                    stage_logits)
         return logits.astype(jnp.float32), new_hidden, attn_weights
 
 
@@ -127,6 +137,9 @@ class Text2Token(nn.Module):
     encoder_type: str = "tcn"  # "tcn" (repaired default) | "gru"
     use_attention: bool = True
     embedding_weights: Optional[np.ndarray] = None
+    token_stages: int = 1  # >1: predict residual-VQ stage tokens too
+    # (one extra head per stage; feedback and res["logits"] stay
+    # stage-0, res["stage_logits"] carries steps 1.. for the heads)
     # "bfloat16": single-pass MXU matmuls in the TCN/GRU encoder and the
     # decoder recurrence; logits, CE, and the argmax token feedback stay
     # fp32 (same fp32-island discipline as seq_ae.SeqVQAutoencoder)
@@ -156,7 +169,8 @@ class Text2Token(nn.Module):
         self.decoder_step = TokenDecoderStep(
             hidden_size=self.hidden_size, n_tokens=self.n_tokens,
             n_layers=self.n_layers, dropout_p=self.dropout,
-            use_attention=self.use_attention, dtype=self._dtype)
+            use_attention=self.use_attention, dtype=self._dtype,
+            n_stage_heads=self.token_stages - 1)
 
     def encode_text(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
                     train: bool = False
@@ -203,6 +217,8 @@ class Text2Token(nn.Module):
 
         step_mod = self.decoder_step
 
+        multi = self.token_stages > 1
+
         def body(mdl, carry, t):
             prev_token, hidden = carry
             # input at step t was chosen at the end of step t-1: ground
@@ -212,17 +228,33 @@ class Text2Token(nn.Module):
                                                    axis=1, keepdims=False)
             token_in = jnp.where(t - 1 < self.n_pre_poses, teacher,
                                  prev_token)
-            logits, new_hidden, attn = mdl(token_in, hidden, enc_outs,
-                                           train=train, enc_mask=enc_mask)
+            res = mdl(token_in, hidden, enc_outs, train=train,
+                      enc_mask=enc_mask)
+            if multi:
+                logits, new_hidden, attn, stage_logits = res
+                ys = (logits, attn, stage_logits)
+            else:
+                logits, new_hidden, attn = res
+                ys = (logits, attn)
             best = jnp.argmax(logits, axis=-1)
-            return (best, new_hidden), (logits, attn)
+            return (best, new_hidden), ys
 
         scan = make_decoder_scan(body, train)
         ts = jnp.arange(1, self.n_steps)
-        (_, _), (logits_seq, attns) = scan(step_mod, (seed, dec_hidden), ts)
+        if multi:
+            (_, _), (logits_seq, attns, stage_seq) = scan(
+                step_mod, (seed, dec_hidden), ts)
+        else:
+            (_, _), (logits_seq, attns) = scan(step_mod,
+                                               (seed, dec_hidden), ts)
         logits = jnp.concatenate([onehot0[None], logits_seq], axis=0)
-        return {"logits": jnp.transpose(logits, (1, 0, 2)),
-                "attentions": attns}
+        out = {"logits": jnp.transpose(logits, (1, 0, 2)),
+               "attentions": attns}
+        if multi:
+            # (T-1, B, S-1, K) -> (B, T-1, S-1, K); covers steps 1..
+            # (step 0 is the seed, excluded from CE like stage 0's)
+            out["stage_logits"] = jnp.transpose(stage_seq, (1, 0, 2, 3))
+        return out
 
     def greedy_tokens(self, logits: jnp.ndarray) -> jnp.ndarray:
         return jnp.argmax(logits, axis=-1)

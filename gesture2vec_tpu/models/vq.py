@@ -229,7 +229,17 @@ class VQResidual(nn.Module):
     stages: int = 2
     commitment_cost: float = 0.25
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not @nn.compact) so stage_tokens /
+        # embed_stage_tokens can reuse the same parameters; names are
+        # unchanged ("codebook", "codebook_r{s}") so every existing
+        # consumer and checkpoint keeps working
+        self.codebooks = [
+            self.param("codebook" if s == 0 else f"codebook_r{s}",
+                       nn.initializers.normal(1.0),
+                       (self.num_codes, self.dim))
+            for s in range(self.stages)]
+
     def __call__(self, x: jnp.ndarray) -> VQOutput:
         flat = x.reshape(-1, self.dim)
         resid = flat
@@ -237,9 +247,7 @@ class VQResidual(nn.Module):
         loss = jnp.zeros(())
         out0 = None
         for s in range(self.stages):
-            name = "codebook" if s == 0 else f"codebook_r{s}"
-            cb = self.param(name, nn.initializers.normal(1.0),
-                            (self.num_codes, self.dim))
+            cb = self.codebooks[s]
             d = codebook_distances(resid, cb)
             _, onehot = _hard_assign(d)
             q = jnp.matmul(onehot, cb, precision="highest")
@@ -257,6 +265,31 @@ class VQResidual(nn.Module):
 
     def tokens(self, probs: jnp.ndarray) -> jnp.ndarray:
         return jnp.argmax(probs, axis=-1)
+
+    def stage_tokens(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(N, dim) -> (N, stages) per-stage hard code ids. Column 0 is
+        THE pipeline gesture token (identical to tokens()); columns >0
+        index the residual-stage codebooks — the extra information a
+        multi-stage Part d can carry to the decoder."""
+        resid = x.reshape(-1, self.dim)
+        toks = []
+        for cb in self.codebooks:
+            # checkpoint-loaded params may be numpy; traced indexing
+            # needs a jax array
+            cb = jnp.asarray(cb)
+            idx = jnp.argmin(codebook_distances(resid, cb), axis=-1)
+            toks.append(idx)
+            resid = resid - cb[idx]
+        return jnp.stack(toks, axis=1)
+
+    def embed_stage_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """(..., S') stage ids -> (..., dim): sum of the first S' stage
+        codebook rows (the decode-side inverse of stage_tokens; a
+        stage-0-only column reproduces the single-token decode path)."""
+        total = jnp.asarray(self.codebooks[0])[tokens[..., 0]]
+        for s in range(1, tokens.shape[-1]):
+            total = total + jnp.asarray(self.codebooks[s])[tokens[..., s]]
+        return total
 
 
 def vq_gumbel(x: jnp.ndarray, codebook: jnp.ndarray, rng: jax.Array, *,

@@ -133,6 +133,10 @@ class Config:
     # receive gradient (measured: 2/64 codes used without this,
     # benchmarks/quality_vq_ablation.py); the periodic per-stage re-fit
     # mirrors the Part-a codebook trick (ref: train_DAE.py:241-263)
+    token_stages: int = 1  # Part d: >1 adds residual-stage token heads
+    # (one per RVQ stage) so decode-mode inference can rebuild the full
+    # multi-stage quantized hidden instead of stage 0 only; requires a
+    # vq_variant="rvq" Part-b teacher. 1 = reference behavior.
     eval_dropout_quirk: bool = True  # reproduce the reference's eval-time
     # 0.95 decoder dropout (ref: Autoencoder_VQVAE_model.py:570)
     audio_fusion: str = "audio"  # audio2token encoder: "audio" (the

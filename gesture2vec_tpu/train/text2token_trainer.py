@@ -52,6 +52,7 @@ def make_text2token(config: Config, n_words: int,
         encoder_type=config.extras.get("text_encoder", "tcn"),
         use_attention=config.autoencoder_att,
         embedding_weights=embedding_weights,
+        token_stages=config.token_stages,
         compute_dtype=config.compute_dtype)
 
 
@@ -70,16 +71,34 @@ def init_state(model: Text2Token, rng: jax.Array,
                          step=jnp.zeros((), jnp.int32))
 
 
+def _stage_ce(res: Dict[str, Any], stage_targets) -> jnp.ndarray:
+    """Sum of the residual-stage heads' CE: head s predicts stage s+1's
+    code at steps 1.. (stage_targets (B, T, S); column 0 is the primary
+    token, already covered by the stage-0 CE)."""
+    sl = res["stage_logits"]                       # (B, T-1, S-1, K)
+    loss = jnp.zeros(())
+    for s in range(sl.shape[2]):
+        loss = loss + token_cross_entropy(
+            sl[:, :, s], stage_targets[:, 1:, s + 1], ignore_first=False)
+    return loss
+
+
 def make_train_step(model: Text2Token,
                     optimizer: optax.GradientTransformation):
+    multi = model.token_stages > 1
+
     def step(state: T2TTrainState, word_ids, lengths, targets,
-             rng: jax.Array):
+             *rest):
+        *stage, rng = rest
+
         def loss_fn(params):
             res, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 word_ids, lengths, targets, train=True,
                 rngs={"dropout": rng}, mutable=["batch_stats"])
             loss = token_cross_entropy(res["logits"], targets)
+            if multi:
+                loss = loss + _stage_ce(res, stage[0])
             return loss, mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(
@@ -95,11 +114,16 @@ def make_train_step(model: Text2Token,
 
 
 def make_eval_step(model: Text2Token):
-    def step(state: T2TTrainState, word_ids, lengths, targets):
+    multi = model.token_stages > 1
+
+    def step(state: T2TTrainState, word_ids, lengths, targets, *stage):
         res = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             word_ids, lengths, targets, train=False)
         loss = token_cross_entropy(res["logits"], targets)
+        if multi:
+            loss = loss + _stage_ce(res, stage[0])
+        # acc is stage-0 (THE pipeline token) for comparability
         pred = jnp.argmax(res["logits"], axis=-1)
         acc = jnp.mean((pred[:, 1:] == targets[:, 1:]).astype(jnp.float32))
         return loss, acc, pred
@@ -164,9 +188,16 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
             kind="text2embedding")
         logging.info("saved checkpoint %s", path)
 
+    fields = ("word_ids", "lengths", "tokens")
+    if config.token_stages > 1:
+        assert "stage_tokens" in data, \
+            "token_stages > 1 needs stage_tokens in the dataset " \
+            "(build_sentence_dataset emit_stage_tokens=True over an " \
+            "rvq Part-b teacher)"
+        fields = fields + ("stage_tokens",)
     return run_token_training(
         config, state, rng, start_epoch,
-        ("word_ids", "lengths", "tokens"), data, val_data,
+        fields, data, val_data,
         train_step, eval_step, place, save, save_every, log_every)
 
 
