@@ -63,6 +63,13 @@ class AudioGestureGenerator:
 
         a2t, seq, dae = self.a2t_model, self.seq_model, self.dae_model
         n_pre, n_steps = a2t.n_pre_poses, self.n_steps
+        # multi-stage rvq chain (same contract as infer/text2gesture):
+        # stage heads predicted per step, decode from the stage-sum
+        # hidden; seed steps carry -1 and contribute stage 0 only
+        multi = getattr(a2t, "token_stages", 1) > 1
+        if multi:
+            assert getattr(seq, "vq_variant", "") == "rvq", \
+                "a token_stages>1 audio2token needs an rvq tokenizer"
 
         @jax.jit
         def predict_tokens_all(enc_in, seed0):
@@ -85,27 +92,45 @@ class AudioGestureGenerator:
                 toks = jnp.argmax(res["logits"][0], axis=-1)
                 next_seed = jnp.zeros((n_steps,), jnp.int32) \
                     .at[:n_pre].set(toks[-n_pre:])
+                if multi:
+                    sr = jnp.argmax(res["stage_logits"][0], axis=-1)
+                    stage = jnp.concatenate(
+                        [jnp.full((1, sr.shape[1]), -1, sr.dtype), sr],
+                        axis=0)
+                    return next_seed, (toks, stage)
                 return next_seed, toks
 
             n_windows = (enc_in[1] if isinstance(enc_in, tuple)
                          else enc_in).shape[0]
-            _, all_toks = jax.lax.scan(body, seed0,
-                                       jnp.arange(n_windows))
-            return all_toks.reshape(-1)
+            _, ys = jax.lax.scan(body, seed0, jnp.arange(n_windows))
+            if multi:
+                all_toks, all_stage = ys
+                return (all_toks.reshape(-1),
+                        all_stage.reshape(-1, all_stage.shape[-1]))
+            return ys.reshape(-1)
 
         @jax.jit
-        def decode_and_dae(tokens):
-            """tokens (N,) -> motion frames (N * n_frames, pose_dim):
-            batched Part-b chunk rollout + batched DAE decode. Every
-            frame is a decoder output (seq.rollout) - the reference's
-            generative rollout never emits its seed frame
+        def decode_and_dae(tokens, stage_tokens=None):
+            """tokens (N,) [+ stage ids (N, S-1), -1 = stage-0 only] ->
+            motion frames (N * n_frames, pose_dim): batched Part-b chunk
+            rollout + batched DAE decode. Every frame is a decoder
+            output (seq.rollout) - the reference's generative rollout
+            never emits its seed frame
             (inference_text2embedding.py:488-519)."""
             cb = jnp.asarray(
                 self.seq_variables["params"]["vq_layer"]["codebook"])
             L, H = seq.n_layers, seq.hidden_size
             N = tokens.shape[0]
-            hidden = jnp.transpose(
-                jnp.take(cb, tokens, axis=0).reshape(N, L, H), (1, 0, 2))
+            flat = jnp.take(cb, tokens, axis=0)
+            if stage_tokens is not None:
+                for s in range(stage_tokens.shape[-1]):
+                    cbs = jnp.asarray(self.seq_variables["params"]
+                                      ["vq_layer"][f"codebook_r{s + 1}"])
+                    st = stage_tokens[:, s]
+                    flat = flat + jnp.where(
+                        (st >= 0)[:, None],
+                        jnp.take(cbs, jnp.maximum(st, 0), axis=0), 0.0)
+            hidden = jnp.transpose(flat.reshape(N, L, H), (1, 0, 2))
             latents = seq.apply(
                 self.seq_variables, hidden, jnp.zeros((N, seq.rep_dim)),
                 method=seq.rollout,
@@ -183,9 +208,20 @@ class AudioGestureGenerator:
             enc_in = jnp.asarray(self._mel_windows(audio, n_windows))
 
         seed0 = jnp.zeros((self.n_steps,), jnp.int32)
-        tokens = np.asarray(self._predict_tokens_all(enc_in, seed0))
+        pred = self._predict_tokens_all(enc_in, seed0)
+        multi = getattr(self.a2t_model, "token_stages", 1) > 1
+        if multi:
+            tokens_j, stage_j = pred
+            tokens = np.asarray(tokens_j)
+        else:
+            tokens = np.asarray(pred)
         if self.mode == "decode":
-            frames = np.asarray(self._decode_and_dae(jnp.asarray(tokens)))
+            if multi:
+                frames = np.asarray(self._decode_and_dae(tokens_j,
+                                                         stage_j))
+            else:
+                frames = np.asarray(
+                    self._decode_and_dae(jnp.asarray(tokens)))
         else:
             picks = self._exemplars.pick_indices(tokens)
             frames = np.asarray(self._exemplar_decode(

@@ -43,6 +43,9 @@ class Audio2Token(nn.Module):
     fusion: str = "audio"          # "audio" | "both"
     n_words: int = 0               # required when fusion="both"
     embed_size: int = 300
+    token_stages: int = 1  # >1: residual-stage heads, same contract as
+    # Text2Token (feedback + res["logits"] stay stage-0;
+    # res["stage_logits"] covers steps 1..)
     # "bfloat16": bf16 matmuls in the encoder GRU + decoder recurrence;
     # logits/CE/argmax stay fp32 (same discipline as Text2Token)
     compute_dtype: str = "float32"
@@ -64,7 +67,8 @@ class Audio2Token(nn.Module):
         self.decoder_step = TokenDecoderStep(
             hidden_size=self.hidden_size, n_tokens=self.n_tokens,
             n_layers=self.n_layers, dropout_p=self.dropout,
-            use_attention=self.use_attention, dtype=self._dtype)
+            use_attention=self.use_attention, dtype=self._dtype,
+            n_stage_heads=self.token_stages - 1)
 
     def encode_audio(self, encoder_inputs, train: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -91,23 +95,38 @@ class Audio2Token(nn.Module):
             dec_hidden = dec_hidden.astype(self._dtype)
         step_mod = self.decoder_step
 
+        multi = self.token_stages > 1
+
         def body(mdl, carry, t):
             prev_token, hidden = carry
             teacher = jax.lax.dynamic_index_in_dim(target_tokens, t - 1,
                                                    axis=1, keepdims=False)
             token_in = jnp.where(t - 1 < self.n_pre_poses, teacher,
                                  prev_token)
-            logits, new_hidden, attn = mdl(token_in, hidden, enc_outs,
-                                           train=train)
+            res = mdl(token_in, hidden, enc_outs, train=train)
+            if multi:
+                logits, new_hidden, attn, stage_logits = res
+                ys = (logits, attn, stage_logits)
+            else:
+                logits, new_hidden, attn = res
+                ys = (logits, attn)
             best = jnp.argmax(logits, axis=-1)
-            return (best, new_hidden), (logits, attn)
+            return (best, new_hidden), ys
 
         scan = make_decoder_scan(body, train)
         ts = jnp.arange(1, self.n_steps)
-        (_, _), (logits_seq, attns) = scan(step_mod, (seed, dec_hidden), ts)
+        if multi:
+            (_, _), (logits_seq, attns, stage_seq) = scan(
+                step_mod, (seed, dec_hidden), ts)
+        else:
+            (_, _), (logits_seq, attns) = scan(step_mod,
+                                               (seed, dec_hidden), ts)
         logits = jnp.concatenate([onehot0[None], logits_seq], axis=0)
-        return {"logits": jnp.transpose(logits, (1, 0, 2)),
-                "attentions": attns}
+        out = {"logits": jnp.transpose(logits, (1, 0, 2)),
+               "attentions": attns}
+        if multi:
+            out["stage_logits"] = jnp.transpose(stage_seq, (1, 0, 2, 3))
+        return out
 
     def __call__(self, encoder_inputs, target_tokens: jnp.ndarray,
                  train: bool = False) -> Dict[str, Any]:

@@ -53,6 +53,7 @@ def make_audio2token(config: Config, n_words: int = 0) -> Audio2Token:
                        fusion=config.audio_fusion,
                        n_words=n_words,
                        embed_size=config.wordembed_dim,
+                       token_stages=config.token_stages,
                        compute_dtype=config.compute_dtype)
 
 
@@ -84,10 +85,16 @@ def init_state(model: Audio2Token, rng: jax.Array,
 
 def make_train_step(model: Audio2Token,
                     optimizer: optax.GradientTransformation):
+    multi = model.token_stages > 1
+
     def step(state: A2TTrainState, *args):
-        # args = (*encoder_inputs, targets, rng): one encoder input
-        # (mel) for fusion="audio", two (word_ids, wav) for "both"
-        *enc_in, targets, rng = args
+        # args = (*encoder_inputs, targets[, stage_targets], rng): one
+        # encoder input (mel) for fusion="audio", two (word_ids, wav)
+        # for "both"; stage_targets only when token_stages > 1
+        if multi:
+            *enc_in, targets, stage, rng = args
+        else:
+            *enc_in, targets, rng = args
         enc_in = enc_in[0] if len(enc_in) == 1 else tuple(enc_in)
 
         def loss_fn(params):
@@ -96,6 +103,10 @@ def make_train_step(model: Audio2Token,
                 enc_in, targets, train=True, rngs={"dropout": rng},
                 mutable=["batch_stats"])
             loss = token_cross_entropy(res["logits"], targets)
+            if multi:
+                from gesture2vec_tpu.train.text2token_trainer import \
+                    _stage_ce
+                loss = loss + _stage_ce(res, stage)
             return loss, mut["batch_stats"]
 
         (loss, new_bs), grads = jax.value_and_grad(
@@ -110,13 +121,21 @@ def make_train_step(model: Audio2Token,
 
 
 def make_eval_step(model: Audio2Token):
+    multi = model.token_stages > 1
+
     def step(state: A2TTrainState, *args):
-        *enc_in, targets = args
+        if multi:
+            *enc_in, targets, stage = args
+        else:
+            *enc_in, targets = args
         enc_in = enc_in[0] if len(enc_in) == 1 else tuple(enc_in)
         res = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             enc_in, targets, train=False)
         loss = token_cross_entropy(res["logits"], targets)
+        if multi:
+            from gesture2vec_tpu.train.text2token_trainer import _stage_ce
+            loss = loss + _stage_ce(res, stage)
         pred = jnp.argmax(res["logits"], axis=-1)
         acc = jnp.mean((pred[:, 1:] == targets[:, 1:]).astype(jnp.float32))
         return loss, acc, pred
@@ -175,6 +194,12 @@ def train_audio2token(config: Config, data: Dict[str, np.ndarray],
 
     fields = (("word_ids", "wav", "tokens") if both
               else ("mel", "tokens"))
+    if config.token_stages > 1:
+        assert "stage_tokens" in data, \
+            "token_stages > 1 needs stage_tokens in the dataset " \
+            "(build_sentence_dataset emit_stage_tokens=True over an " \
+            "rvq Part-b teacher)"
+        fields = fields + ("stage_tokens",)
     return run_token_training(
         config, state, rng, start_epoch, fields, data,
         val_data, train_step, eval_step, place, save, save_every,

@@ -259,3 +259,71 @@ def test_audio2token_bf16_trains(rng):
     assert hist["train_loss"][-1] < hist["train_loss"][0]
     assert all(l.dtype == jnp.float32
                for l in jax.tree_util.tree_leaves(state.params))
+
+
+def test_audio_multistage_trains_and_generates(rng):
+    """token_stages=2 over an rvq tokenizer, audio chain: stage-CE
+    training through the shared loop, then decode-mode generation from
+    the stage-sum hidden (infer/audio2gesture multi path)."""
+    from gesture2vec_tpu.infer.audio2gesture import AudioGestureGenerator
+    from gesture2vec_tpu.train.dae_trainer import (init_state as dae_init,
+                                                   make_frame_model)
+    from gesture2vec_tpu.train.optim import make_optimizer
+    from gesture2vec_tpu.train.seq_ae_trainer import (init_state as sq_init,
+                                                      make_seq_ae)
+
+    data = _synthetic_audio_data(rng, n=32)
+    t1 = (data["tokens"] + 3) % CODES
+    data["stage_tokens"] = np.stack([data["tokens"], t1],
+                                    axis=-1).astype(np.int32)
+    val = {k: v[:16] for k, v in data.items()}
+    cfg = _cfg(epochs=2, token_stages=2)
+    state, hist = train_audio2token(cfg, data, val)
+    assert np.isfinite(hist["train_loss"]).all()
+    assert "out_layer_r1" in state.params["decoder_step"]
+
+    rep, fps = 12, 10
+    a2t = make_audio2token(cfg.replace(hidden_size=16))
+    key = jax.random.PRNGKey(0)
+    mel0 = jnp.zeros((2, SENT_LEN // fps, 128, 31), jnp.float32)
+    tgt0 = jnp.zeros((2, SENT_LEN // N_POSES), jnp.int32)
+    a2t_vars = a2t.init({"params": key,
+                         "dropout": jax.random.fold_in(key, 1)},
+                        mel0, tgt0, train=False)
+    a2t_vars = {"params": a2t_vars["params"],
+                "batch_stats": a2t_vars.get("batch_stats", {})}
+
+    dae_cfg = load_config(dict(name="d2", model="DAE", hidden_size=rep,
+                               input_motion_dim=30, epochs=1,
+                               batch_size=4, random_seed=0))
+    dae = make_frame_model(dae_cfg)
+    dae_state = dae_init(dae_cfg, dae, jax.random.fold_in(key, 2),
+                         make_optimizer(1e-3))
+    sq_cfg = load_config(dict(name="s2", model="seq2seq", hidden_size=16,
+                              n_layers=2, dropout_prob=0.0, epochs=1,
+                              batch_size=4, learning_rate=1e-3,
+                              rep_learning_dim=rep, n_poses=N_POSES,
+                              n_pre_poses=1, autoencoder_vq=True,
+                              autoencoder_vq_components=CODES,
+                              autoencoder_att=False,
+                              autoencoder_conditioned=True,
+                              autoencoder_vq_variant="rvq", rvq_stages=2,
+                              random_seed=0))
+    seq = make_seq_ae(sq_cfg)
+    sq_state = sq_init(sq_cfg, seq, jax.random.fold_in(key, 3),
+                       make_optimizer(1e-3))
+
+    gen = AudioGestureGenerator(
+        a2t_model=a2t, a2t_variables=a2t_vars, seq_model=seq,
+        seq_variables={"params": sq_state.params,
+                       "batch_stats": sq_state.batch_stats},
+        dae_model=dae, dae_variables={"params": dae_state.params},
+        pose_mean=np.zeros(30, np.float32),
+        pose_std=np.ones(30, np.float32),
+        n_frames=N_POSES, sentence_frame_length=SENT_LEN, fps=fps,
+        audio_sr=16000, mode="decode")
+    audio = rng.normal(scale=0.1, size=(16000 * 4,)).astype(np.float32)
+    frames, tokens = gen.generate(audio)
+    assert tokens.shape == (2 * SENT_LEN // N_POSES,)
+    assert frames.shape == (2 * SENT_LEN, 30)
+    assert np.isfinite(frames).all()
