@@ -90,6 +90,13 @@ def main():
             ("decode", "decode", {}),
             ("decode_continuity", "decode", {"chunk_continuity": True}),
             ("decode_smoothed", "decode", {"_smooth": True}),
+            # stochastic decode (beyond reference): greedy argmax
+            # underdisperses the generated token distribution
+            # (QUALITY.md: generated ppl 4.7 vs real 6.9); ancestral
+            # sampling at T<=1 restores diversity
+            ("decode_sample_t0.7", "decode", {"temperature": 0.7}),
+            ("decode_sample_t1.0", "decode", {"temperature": 1.0}),
+            ("exemplar_sample_t1.0", "exemplar", {"temperature": 1.0}),
             ("exemplar", "exemplar", {}),
             ("exemplar_smoothed", "exemplar", {"_smooth": True})):
         smooth = bool(extra.pop("_smooth", False))

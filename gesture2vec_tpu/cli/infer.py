@@ -40,6 +40,13 @@ def main() -> None:
     parser.add_argument("--duration", type=float, default=None,
                         help="seconds (default: last word end time)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--temperature", type=float, default=0.0,
+                        help="0 = greedy token decode (reference "
+                             "behavior); >0 samples tokens at this "
+                             "softmax temperature")
+    parser.add_argument("--top-k", type=int, default=0,
+                        help="truncate sampling to the k best tokens "
+                             "(0 = full distribution)")
     parser.add_argument("--plot-attention", default=None,
                         help="save the first window's attention heatmap "
                              "(ref: inference_text2embedding.py:69-105)")
@@ -63,7 +70,9 @@ def main() -> None:
                                args.autoencoder_checkpoint, store,
                                mode=args.mode,
                                latent_bank_path=args.latent_bank,
-                               seed=args.seed)
+                               seed=args.seed,
+                               temperature=args.temperature,
+                               top_k=args.top_k)
     to_bvh = load_bvh_exporter(args.dataset, args.pipeline,
                                args.twh_variant)
 

@@ -37,6 +37,13 @@ def main() -> None:
     parser.add_argument("--out", default="generated_audio.bvh")
     parser.add_argument("--duration", type=float, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--temperature", type=float, default=0.0,
+                        help="0 = greedy token decode (reference "
+                             "behavior); >0 samples tokens at this "
+                             "softmax temperature")
+    parser.add_argument("--top-k", type=int, default=0,
+                        help="truncate sampling to the k best tokens "
+                             "(0 = full distribution)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -101,7 +108,8 @@ def main() -> None:
         n_frames=cfg.n_poses,
         sentence_frame_length=cfg.sentence_frame_length,
         fps=cfg.motion_resampling_framerate, audio_sr=sr,
-        mode=args.mode, latent_bank=bank, seed=args.seed, vocab=vocab)
+        mode=args.mode, latent_bank=bank, seed=args.seed, vocab=vocab,
+        temperature=args.temperature, top_k=args.top_k)
 
     t0 = time.time()
     frames, tokens = gen.generate(wave, args.duration, words=words)

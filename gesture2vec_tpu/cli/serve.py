@@ -40,6 +40,13 @@ def main() -> None:
     parser.add_argument("--mesh", default=None,
                         help="e.g. dp=2: shard batched requests")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--temperature", type=float, default=0.0,
+                        help="0 = greedy token decode (reference "
+                             "behavior); >0 samples tokens at this "
+                             "softmax temperature")
+    parser.add_argument("--top-k", type=int, default=0,
+                        help="truncate sampling to the k best tokens "
+                             "(0 = full distribution)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -61,7 +68,9 @@ def main() -> None:
                              args.autoencoder_checkpoint, store,
                              mode=args.mode,
                              latent_bank_path=args.latent_bank,
-                             seed=args.seed)
+                             seed=args.seed,
+                             temperature=args.temperature,
+                             top_k=args.top_k)
     to_bvh = load_bvh_exporter(args.dataset, args.pipeline,
                                args.twh_variant)
 

@@ -47,6 +47,12 @@ class AudioGestureGenerator:
     seed: int = 0
     vocab: Optional[object] = None    # required for fusion="both"
     max_words: int = 48
+    # stochastic token decode (beyond reference; same contract as
+    # infer/text2gesture.GestureGenerator): 0.0 = greedy argmax, >0 =
+    # ancestral sampling at this softmax temperature, top_k truncation
+    # optional. Draws are seeded from `seed`, fresh per generate call.
+    temperature: float = 0.0
+    top_k: int = 0
 
     def __post_init__(self):
         self.n_steps = self.sentence_frame_length // self.n_frames
@@ -63,6 +69,16 @@ class AudioGestureGenerator:
 
         a2t, seq, dae = self.a2t_model, self.seq_model, self.dae_model
         n_pre, n_steps = a2t.n_pre_poses, self.n_steps
+        sampling = self.temperature > 0.0
+        temp, topk = float(self.temperature), int(self.top_k)
+
+        def _tw(key):
+            """Decode-apply kwargs for the configured decode policy
+            (empty = the reference's greedy argmax)."""
+            if not sampling:
+                return {}
+            return dict(temperature=temp, top_k=topk,
+                        rngs={"sample": key})
         # multi-stage rvq chain (same contract as infer/text2gesture):
         # stage heads predicted per step, decode from the stage-sum
         # hidden; seed steps carry -1 and contribute stage 0 only
@@ -72,10 +88,11 @@ class AudioGestureGenerator:
                 "a token_stages>1 audio2token needs an rvq tokenizer"
 
         @jax.jit
-        def predict_tokens_all(enc_in, seed0):
+        def predict_tokens_all(enc_in, seed0, key):
             """enc_in: mel_windows (W, S, n_mels, frames), or a
             (word_ids (W, T), wav_chunks (W, S, samples)) tuple when
-            fusion="both". seed0 (n_steps,) -> tokens (W * n_steps,).
+            fusion="both". seed0 (n_steps,) -> tokens (W * n_steps,);
+            key drives the stochastic decode (unused at temperature 0).
             One batched audio encode, then a scan over windows carrying
             the trailing predictions as the next teacher prefix
             (ref :369-374)."""
@@ -88,12 +105,13 @@ class AudioGestureGenerator:
                 dh = jax.lax.dynamic_slice_in_dim(dec_hidden, w, 1, axis=1)
                 res = a2t.apply(self.a2t_variables, eo, dh,
                                 seed_tokens[None],
-                                method=a2t.decode_tokens)
-                toks = jnp.argmax(res["logits"][0], axis=-1)
+                                method=a2t.decode_tokens,
+                                **_tw(jax.random.fold_in(key, w)))
+                toks = res["tokens"][0]
                 next_seed = jnp.zeros((n_steps,), jnp.int32) \
                     .at[:n_pre].set(toks[-n_pre:])
                 if multi:
-                    sr = jnp.argmax(res["stage_logits"][0], axis=-1)
+                    sr = res["stage_tokens"][0]
                     stage = jnp.concatenate(
                         [jnp.full((1, sr.shape[1]), -1, sr.dtype), sr],
                         axis=0)
@@ -208,7 +226,11 @@ class AudioGestureGenerator:
             enc_in = jnp.asarray(self._mel_windows(audio, n_windows))
 
         seed0 = jnp.zeros((self.n_steps,), jnp.int32)
-        pred = self._predict_tokens_all(enc_in, seed0)
+        if self.temperature > 0.0:
+            key = jax.random.PRNGKey(int(self._rng.integers(2 ** 31 - 1)))
+        else:
+            key = jax.random.PRNGKey(0)
+        pred = self._predict_tokens_all(enc_in, seed0, key)
         multi = getattr(self.a2t_model, "token_stages", 1) > 1
         if multi:
             tokens_j, stage_j = pred

@@ -70,6 +70,16 @@ class GestureGenerator:
     # batched call with zero seeds - W-fold more parallel, for
     # throughput-first deployments
     window_carry: bool = True
+    # stochastic token decode (beyond reference; the reference decodes
+    # greedily only, inference_text2embedding.py:360-366): 0.0 keeps
+    # the greedy argmax; >0 samples each token ancestrally at this
+    # softmax temperature (models/text2token.sample_logits), in-graph.
+    # Greedy decode underdisperses the generated token distribution
+    # (QUALITY.md); temperature ~1 restores diversity. top_k optionally
+    # truncates the distribution first (0 = full). Sampling draws are
+    # seeded from `seed` and fresh per generate() call.
+    temperature: float = 0.0
+    top_k: int = 0
 
     def __post_init__(self):
         self.n_steps = self.sentence_frame_length // self.n_frames
@@ -119,6 +129,19 @@ class GestureGenerator:
                 self.use_fused_decoder = False
 
         window_carry = self.window_carry
+        sampling = self.temperature > 0.0
+        temp, topk = float(self.temperature), int(self.top_k)
+
+        def _tw(key):
+            """Decode-apply kwargs for the configured decode policy:
+            empty at temperature 0 (greedy; the model never touches the
+            "sample" stream), else the temperature/top_k statics plus
+            the per-call sample rng."""
+            if not sampling:
+                return {}
+            return dict(temperature=temp, top_k=topk,
+                        rngs={"sample": key})
+
         # multi-stage decode: a token_stages>1 Part d predicts the
         # residual-VQ stage codes too, and decode mode rebuilds the FULL
         # quantized hidden (sum of stage codebook rows) instead of
@@ -133,17 +156,18 @@ class GestureGenerator:
                  f"tokenizer has {seq.rvq_stages}")
 
         @jax.jit
-        def predict_tokens_all(word_ids, lengths, seed0):
+        def predict_tokens_all(word_ids, lengths, seed0, key):
             """Text encoding of ALL windows in one batched call, then a
             scan over windows for the seed-carried token decode (or one
             fully-batched decode when window_carry=False).
-            word_ids (W, S), lengths (W,), seed0 (n_steps,)."""
+            word_ids (W, S), lengths (W,), seed0 (n_steps,); key drives
+            the stochastic decode (unused at temperature 0)."""
             if not window_carry:
                 W = word_ids.shape[0]
                 targets = jnp.zeros((W, n_steps), jnp.int32)
                 res = t2t.apply(self.t2t_variables, word_ids, lengths,
-                                targets, train=False)
-                return jnp.argmax(res["logits"], axis=-1).reshape(-1)
+                                targets, train=False, **_tw(key))
+                return res["tokens"].reshape(-1)
 
             enc_outs, dec_hidden = t2t.apply(
                 self.t2t_variables, word_ids, lengths,
@@ -155,8 +179,9 @@ class GestureGenerator:
                 mask = jnp.arange(word_ids.shape[1]) < lengths[w]
                 res = t2t.apply(self.t2t_variables, eo, dh,
                                 seed_tokens[None], train=False,
-                                enc_mask=mask, method=t2t.decode_tokens)
-                toks = jnp.argmax(res["logits"][0], axis=-1)
+                                enc_mask=mask, method=t2t.decode_tokens,
+                                **_tw(jax.random.fold_in(key, w)))
+                toks = res["tokens"][0]
                 next_seed = jnp.zeros((n_steps,), jnp.int32) \
                     .at[:n_pre].set(toks[-n_pre:])
                 return next_seed, toks
@@ -169,7 +194,7 @@ class GestureGenerator:
             S1 = t2t.token_stages - 1
 
             @jax.jit
-            def predict_tokens_stages(word_ids, lengths, seed0):
+            def predict_tokens_stages(word_ids, lengths, seed0, key):
                 """Like predict_tokens_all, but also returns the
                 residual-stage ids (W*n_steps, S-1); seed steps carry a
                 -1 sentinel (no head predicts them) and decode masks
@@ -178,9 +203,10 @@ class GestureGenerator:
                     W = word_ids.shape[0]
                     targets = jnp.zeros((W, n_steps), jnp.int32)
                     res = t2t.apply(self.t2t_variables, word_ids,
-                                    lengths, targets, train=False)
-                    t0 = jnp.argmax(res["logits"], axis=-1)
-                    sr = jnp.argmax(res["stage_logits"], axis=-1)
+                                    lengths, targets, train=False,
+                                    **_tw(key))
+                    t0 = res["tokens"]
+                    sr = res["stage_tokens"]
                     pad = jnp.full((W, 1, S1), -1, sr.dtype)
                     stage = jnp.concatenate([pad, sr], axis=1)
                     return t0.reshape(-1), stage.reshape(-1, S1)
@@ -198,9 +224,10 @@ class GestureGenerator:
                     res = t2t.apply(self.t2t_variables, eo, dh,
                                     seed_tokens[None], train=False,
                                     enc_mask=mask,
-                                    method=t2t.decode_tokens)
-                    toks = jnp.argmax(res["logits"][0], axis=-1)
-                    sr = jnp.argmax(res["stage_logits"][0], axis=-1)
+                                    method=t2t.decode_tokens,
+                                    **_tw(jax.random.fold_in(key, w)))
+                    toks = res["tokens"][0]
+                    sr = res["stage_tokens"][0]
                     stage = jnp.concatenate(
                         [jnp.full((1, S1), -1, sr.dtype), sr], axis=0)
                     next_seed = jnp.zeros((n_steps,), jnp.int32) \
@@ -298,22 +325,22 @@ class GestureGenerator:
                 dae, self.dae_variables)
 
         @jax.jit
-        def generate_decode_mode(word_ids, lengths, seed0):
+        def generate_decode_mode(word_ids, lengths, seed0, key):
             """The whole decode-mode generation as ONE device program:
             window token scan -> batched chunk decode -> DAE decode."""
             if multi:
                 tokens, stage = predict_tokens_stages(word_ids, lengths,
-                                                      seed0)
+                                                      seed0, key)
                 latents = decode_tokens_core(tokens,
                                              self.use_fused_decoder,
                                              stage)
                 return dae_decode(latents), tokens
-            tokens = predict_tokens_all(word_ids, lengths, seed0)
+            tokens = predict_tokens_all(word_ids, lengths, seed0, key)
             latents = decode_tokens_all(tokens)
             return dae_decode(latents), tokens
 
         @jax.jit
-        def generate_decode_batch(word_ids, lengths, seed0):
+        def generate_decode_batch(word_ids, lengths, seed0, key):
             """Batch-of-transcripts decode mode: vmap the whole program
             over a leading transcript axis. word_ids (B, W, S), lengths
             (B, W) -> (frames (B, W*n_steps*n_frames, D),
@@ -323,25 +350,28 @@ class GestureGenerator:
 
             Uses the scan chunk decoder (the Pallas fused kernel has no
             batching rule under vmap)."""
+            keys = jax.random.split(key, word_ids.shape[0])
             if multi:
                 toks, stage = jax.vmap(
-                    lambda w, l: predict_tokens_stages(w, l, seed0))(
-                        word_ids, lengths)
+                    lambda w, l, k: predict_tokens_stages(w, l, seed0,
+                                                          k))(
+                        word_ids, lengths, keys)
                 lats = jax.vmap(
                     lambda t, s: decode_tokens_core(t, False, s))(toks,
                                                                   stage)
                 return dae_decode(lats), toks
             toks = jax.vmap(
-                lambda w, l: predict_tokens_all(w, l, seed0))(word_ids,
-                                                              lengths)
+                lambda w, l, k: predict_tokens_all(w, l, seed0, k))(
+                    word_ids, lengths, keys)
             lats = jax.vmap(lambda t: decode_tokens_core(t, False))(toks)
             return dae_decode(lats), toks
 
         @jax.jit
-        def predict_tokens_batch(word_ids, lengths, seed0):
+        def predict_tokens_batch(word_ids, lengths, seed0, key):
+            keys = jax.random.split(key, word_ids.shape[0])
             return jax.vmap(
-                lambda w, l: predict_tokens_all(w, l, seed0))(word_ids,
-                                                              lengths)
+                lambda w, l, k: predict_tokens_all(w, l, seed0, k))(
+                    word_ids, lengths, keys)
 
         self._predict_tokens_all = predict_tokens_all
         self._decode_tokens_all = decode_tokens_all
@@ -364,6 +394,14 @@ class GestureGenerator:
     def _codebook(self) -> np.ndarray:
         return np.asarray(self.seq_variables["params"]["vq_layer"]
                           ["codebook"])
+
+    def _next_key(self) -> jax.Array:
+        """Fresh sample-stream key per generate call (reproducible from
+        `seed`); a constant when the decode is greedy so repeated greedy
+        calls stay cache- and bit-identical."""
+        if self.temperature <= 0.0:
+            return jax.random.PRNGKey(0)
+        return jax.random.PRNGKey(int(self._rng.integers(2 ** 31 - 1)))
 
     def generate(self, words: List[List], duration_s: float
                  ) -> Tuple[np.ndarray, np.ndarray]:
@@ -388,18 +426,19 @@ class GestureGenerator:
                 words, w * unit, (w + 1) * unit)
 
         seed0 = jnp.zeros((self.n_steps,), jnp.int32)
+        key = self._next_key()
         n_tokens_real = n_windows * self.n_steps
         n_frames_real = n_tokens_real * self.n_frames
         if self.mode == "decode":
             frames_j, tokens_j = self._generate_decode_mode(
-                jnp.asarray(word_ids), jnp.asarray(lengths), seed0)
+                jnp.asarray(word_ids), jnp.asarray(lengths), seed0, key)
             frames = np.asarray(frames_j)[:n_frames_real]
             frames = unnormalize(frames, self.pose_mean, self.pose_std)
             return frames, np.asarray(tokens_j)[:n_tokens_real]
 
         tokens = np.asarray(self._predict_tokens_all(
             jnp.asarray(word_ids), jnp.asarray(lengths),
-            seed0))[:n_tokens_real]
+            seed0, key))[:n_tokens_real]
         picks = self._exemplars.pick_indices(tokens)
         frames = np.asarray(self._exemplar_decode(jnp.asarray(picks)))
         frames = unnormalize(frames, self.pose_mean, self.pose_std)
@@ -449,6 +488,7 @@ class GestureGenerator:
                     words, w * unit, (w + 1) * unit)
 
         seed0 = jnp.zeros((self.n_steps,), jnp.int32)
+        key = self._next_key()
         ids_j, len_j = jnp.asarray(word_ids), jnp.asarray(lengths)
         if mesh is not None:
             sh = NamedSharding(mesh, PartitionSpec("dp"))
@@ -457,7 +497,7 @@ class GestureGenerator:
 
         if self.mode == "decode":
             frames_j, tokens_j = self._generate_decode_batch(ids_j, len_j,
-                                                             seed0)
+                                                             seed0, key)
             frames_all, tokens_all = (np.asarray(frames_j),
                                       np.asarray(tokens_j))
             out = []
@@ -469,7 +509,7 @@ class GestureGenerator:
             return out
 
         tokens_all = np.asarray(self._predict_tokens_batch(ids_j, len_j,
-                                                           seed0))
+                                                           seed0, key))
         per, bounds = [], [0]
         for b in range(B):
             toks = tokens_all[b, : wins[b] * self.n_steps]

@@ -23,7 +23,8 @@ from flax import linen as nn
 from gesture2vec_tpu.models.gru import make_decoder_scan
 from gesture2vec_tpu.models.audio import (AudioContextEncoder,
                                           AudioTextFusionEncoder)
-from gesture2vec_tpu.models.text2token import TokenDecoderStep
+from gesture2vec_tpu.models.text2token import (TokenDecoderStep,
+                                               sample_logits)
 
 
 class Audio2Token(nn.Module):
@@ -86,9 +87,14 @@ class Audio2Token(nn.Module):
         return enc_outs, enc_hidden[: self.n_layers]
 
     def decode_tokens(self, enc_outs: jnp.ndarray, dec_hidden: jnp.ndarray,
-                      target_tokens: jnp.ndarray, train: bool = False
+                      target_tokens: jnp.ndarray, train: bool = False,
+                      temperature: float = 0.0, top_k: int = 0
                       ) -> Dict[str, Any]:
-        """The autoregressive token decode given an audio encoding."""
+        """The autoregressive token decode given an audio encoding.
+
+        temperature=0 (default) is the reference's greedy decode; >0
+        samples ancestrally (models/text2token.sample_logits) and needs
+        a "sample" rng stream at apply time."""
         seed = target_tokens[:, 0]
         onehot0 = jax.nn.one_hot(seed, self.n_tokens)
         if self._dtype is not None:
@@ -106,32 +112,49 @@ class Audio2Token(nn.Module):
             res = mdl(token_in, hidden, enc_outs, train=train)
             if multi:
                 logits, new_hidden, attn, stage_logits = res
-                ys = (logits, attn, stage_logits)
             else:
                 logits, new_hidden, attn = res
-                ys = (logits, attn)
-            best = jnp.argmax(logits, axis=-1)
-            return (best, new_hidden), ys
+                stage_logits = None
+            if temperature > 0.0:
+                best = sample_logits(logits, temperature, top_k,
+                                     mdl.make_rng("sample"))
+                if multi:
+                    stage_best = sample_logits(stage_logits, temperature,
+                                               top_k,
+                                               mdl.make_rng("sample"))
+            else:
+                best = jnp.argmax(logits, axis=-1)
+                if multi:
+                    stage_best = jnp.argmax(stage_logits, axis=-1)
+            ys = ((logits, attn, stage_logits, stage_best) if multi
+                  else (logits, attn))
+            return (best, new_hidden), (ys, best)
 
         scan = make_decoder_scan(body, train)
         ts = jnp.arange(1, self.n_steps)
         if multi:
-            (_, _), (logits_seq, attns, stage_seq) = scan(
-                step_mod, (seed, dec_hidden), ts)
+            (_, _), ((logits_seq, attns, stage_seq, stage_tok),
+                     chosen) = scan(step_mod, (seed, dec_hidden), ts)
         else:
-            (_, _), (logits_seq, attns) = scan(step_mod,
-                                               (seed, dec_hidden), ts)
+            (_, _), ((logits_seq, attns), chosen) = scan(
+                step_mod, (seed, dec_hidden), ts)
         logits = jnp.concatenate([onehot0[None], logits_seq], axis=0)
+        tokens = jnp.concatenate([seed[None].astype(chosen.dtype),
+                                  chosen], axis=0)
         out = {"logits": jnp.transpose(logits, (1, 0, 2)),
-               "attentions": attns}
+               "attentions": attns,
+               "tokens": jnp.transpose(tokens, (1, 0))}
         if multi:
             out["stage_logits"] = jnp.transpose(stage_seq, (1, 0, 2, 3))
+            out["stage_tokens"] = jnp.transpose(stage_tok, (1, 0, 2))
         return out
 
     def __call__(self, encoder_inputs, target_tokens: jnp.ndarray,
-                 train: bool = False) -> Dict[str, Any]:
+                 train: bool = False, temperature: float = 0.0,
+                 top_k: int = 0) -> Dict[str, Any]:
         """encoder_inputs: see encode_audio; target_tokens (B, n_steps)."""
         enc_outs, dec_hidden = self.encode_audio(encoder_inputs,
                                                  train=train)
         return self.decode_tokens(enc_outs, dec_hidden, target_tokens,
-                                  train=train)
+                                  train=train, temperature=temperature,
+                                  top_k=top_k)

@@ -47,7 +47,8 @@ def make_decoder_scan(body, train: bool, length: Optional[int] = None):
     (seq-AE, text2token, audio2token, baseline, c2g, GAN): params
     broadcast, per-step dropout rngs, batch_stats carried in train mode,
     and the global scan-unroll knob applied."""
-    kw = dict(split_rngs={"params": False, "dropout": True},
+    kw = dict(split_rngs={"params": False, "dropout": True,
+                          "sample": True},
               in_axes=0, out_axes=0, unroll=_SCAN_UNROLL)
     if length is not None:
         kw["length"] = length

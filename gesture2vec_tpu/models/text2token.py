@@ -32,6 +32,26 @@ from gesture2vec_tpu.models.seq_ae import Attn
 from gesture2vec_tpu.models.tcn import TextEncoderTCN
 
 
+def sample_logits(logits: jnp.ndarray, temperature: float, top_k: int,
+                  key: jax.Array) -> jnp.ndarray:
+    """Stochastic token choice for autoregressive decode: a categorical
+    sample from softmax(logits / temperature), optionally truncated to
+    the top_k logits first (top_k=0 keeps the full distribution;
+    top_k=1 degenerates to argmax). Static-shape and in-graph
+    (lax.top_k threshold + jax.random.categorical), so it lives inside
+    the decode lax.scan with no host round-trips.
+
+    Beyond-reference capability: the reference decodes greedily only
+    (text2embedding_model.py:734-744); greedy decode underdisperses the
+    generated token distribution (QUALITY.md: generated perplexity 4.7
+    vs real 6.9), which sampling addresses at temperature ~1."""
+    lg = logits / temperature
+    if top_k and top_k < lg.shape[-1]:
+        kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
+        lg = jnp.where(lg < kth, -jnp.inf, lg)
+    return jax.random.categorical(key, lg, axis=-1)
+
+
 class TextEncoderRNN(nn.Module):
     """Embedding -> packed biGRU, directions summed
     (ref: text2embedding_model.py:46-135)."""
@@ -183,30 +203,42 @@ class Text2Token(nn.Module):
 
     def decode_tokens(self, enc_outs: jnp.ndarray, dec_hidden: jnp.ndarray,
                       target_tokens: jnp.ndarray, train: bool = False,
-                      enc_mask: Optional[jnp.ndarray] = None
+                      enc_mask: Optional[jnp.ndarray] = None,
+                      temperature: float = 0.0, top_k: int = 0
                       ) -> Dict[str, Any]:
-        """The autoregressive token decode given a text encoding."""
+        """The autoregressive token decode given a text encoding.
+
+        temperature=0 (default) is the reference's greedy decode; >0
+        samples each step's token ancestrally (the sampled token feeds
+        back) and needs a "sample" rng stream at apply time."""
         return self._decode(enc_outs, dec_hidden, target_tokens, train,
-                            enc_mask=enc_mask)
+                            enc_mask=enc_mask, temperature=temperature,
+                            top_k=top_k)
 
     def __call__(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
-                 target_tokens: jnp.ndarray, train: bool = False
+                 target_tokens: jnp.ndarray, train: bool = False,
+                 temperature: float = 0.0, top_k: int = 0
                  ) -> Dict[str, Any]:
         """tokens (B, S) word ids; lengths (B,); target_tokens (B, n_steps)
         gesture-token ids (teacher signal). Returns logits
         (B, n_steps, n_tokens) where step 0 is the one-hot of the seed
-        token (ref :643-649,677), and the per-step attention matrix."""
+        token (ref :643-649,677), the per-step attention matrix, and
+        "tokens" (B, n_steps): the decoded ids (greedy at
+        temperature=0, sampled otherwise; step 0 is the seed)."""
         enc_outs, dec_hidden = self.encode_text(tokens, lengths,
                                                 train=train)
         # replicate torch pad_packed trimming: attention only over
         # positions < max(lengths)
         enc_mask = jnp.arange(tokens.shape[1]) < jnp.max(lengths)
         return self._decode(enc_outs, dec_hidden, target_tokens, train,
-                            enc_mask=enc_mask)
+                            enc_mask=enc_mask, temperature=temperature,
+                            top_k=top_k)
 
     def _decode(self, enc_outs: jnp.ndarray, dec_hidden: jnp.ndarray,
                 target_tokens: jnp.ndarray, train: bool,
-                enc_mask: Optional[jnp.ndarray] = None) -> Dict[str, Any]:
+                enc_mask: Optional[jnp.ndarray] = None,
+                temperature: float = 0.0,
+                top_k: int = 0) -> Dict[str, Any]:
 
         seed = target_tokens[:, 0]
         onehot0 = jax.nn.one_hot(seed, self.n_tokens)
@@ -232,28 +264,47 @@ class Text2Token(nn.Module):
                       enc_mask=enc_mask)
             if multi:
                 logits, new_hidden, attn, stage_logits = res
-                ys = (logits, attn, stage_logits)
             else:
                 logits, new_hidden, attn = res
-                ys = (logits, attn)
-            best = jnp.argmax(logits, axis=-1)
-            return (best, new_hidden), ys
+                stage_logits = None
+            if temperature > 0.0:
+                best = sample_logits(logits, temperature, top_k,
+                                     mdl.make_rng("sample"))
+                if multi:
+                    stage_best = sample_logits(stage_logits, temperature,
+                                               top_k,
+                                               mdl.make_rng("sample"))
+            else:
+                best = jnp.argmax(logits, axis=-1)
+                if multi:
+                    stage_best = jnp.argmax(stage_logits, axis=-1)
+            ys = ((logits, attn, stage_logits, stage_best) if multi
+                  else (logits, attn))
+            return (best, new_hidden), (ys, best)
 
         scan = make_decoder_scan(body, train)
         ts = jnp.arange(1, self.n_steps)
         if multi:
-            (_, _), (logits_seq, attns, stage_seq) = scan(
-                step_mod, (seed, dec_hidden), ts)
+            (_, _), ((logits_seq, attns, stage_seq, stage_tok),
+                     chosen) = scan(step_mod, (seed, dec_hidden), ts)
         else:
-            (_, _), (logits_seq, attns) = scan(step_mod,
-                                               (seed, dec_hidden), ts)
+            (_, _), ((logits_seq, attns), chosen) = scan(
+                step_mod, (seed, dec_hidden), ts)
         logits = jnp.concatenate([onehot0[None], logits_seq], axis=0)
+        tokens = jnp.concatenate([seed[None].astype(chosen.dtype),
+                                  chosen], axis=0)
         out = {"logits": jnp.transpose(logits, (1, 0, 2)),
-               "attentions": attns}
+               "attentions": attns,
+               # the decoded ids themselves (step 0 = seed): identical
+               # to argmax(logits) at temperature=0, the ancestral
+               # sample that actually fed back otherwise
+               "tokens": jnp.transpose(tokens, (1, 0))}
         if multi:
             # (T-1, B, S-1, K) -> (B, T-1, S-1, K); covers steps 1..
             # (step 0 is the seed, excluded from CE like stage 0's)
             out["stage_logits"] = jnp.transpose(stage_seq, (1, 0, 2, 3))
+            # chosen residual-stage ids per step (B, T-1, S-1)
+            out["stage_tokens"] = jnp.transpose(stage_tok, (1, 0, 2))
         return out
 
     def greedy_tokens(self, logits: jnp.ndarray) -> jnp.ndarray:

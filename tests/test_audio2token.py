@@ -327,3 +327,29 @@ def test_audio_multistage_trains_and_generates(rng):
     assert tokens.shape == (2 * SENT_LEN // N_POSES,)
     assert frames.shape == (2 * SENT_LEN, 30)
     assert np.isfinite(frames).all()
+
+
+def test_audio2token_sampled_decode(rng):
+    """The audio decoder shares the sampling contract: greedy tokens ==
+    argmax(logits); temperature>0 is key-deterministic and in-range."""
+    from gesture2vec_tpu.models.audio2token import Audio2Token
+
+    m = Audio2Token(n_tokens=12, hidden_size=16, n_layers=2, n_steps=4,
+                    n_pre_poses=1)
+    key = jax.random.PRNGKey(0)
+    mel = jnp.asarray(rng.normal(size=(2, 2, 16, 8)).astype(np.float32))
+    tgt = jnp.zeros((2, 4), jnp.int32)
+    vs = m.init({"params": key, "dropout": key, "sample": key}, mel, tgt,
+                train=False)
+    r0 = m.apply(vs, mel, tgt, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(r0["tokens"]),
+        np.argmax(np.asarray(r0["logits"]), -1))
+    k1 = jax.random.PRNGKey(7)
+    r1 = m.apply(vs, mel, tgt, train=False, temperature=1.5,
+                 rngs={"sample": k1})
+    r1b = m.apply(vs, mel, tgt, train=False, temperature=1.5,
+                  rngs={"sample": k1})
+    t1 = np.asarray(r1["tokens"])
+    np.testing.assert_array_equal(t1, np.asarray(r1b["tokens"]))
+    assert t1.min() >= 0 and t1.max() < 12

@@ -235,3 +235,82 @@ def test_generate_batch_exemplar(pipeline_artifacts):
         assert tokens.shape == (n_tok,)
         assert frames.shape == (n_tok * N_POSES, 135)
         assert np.isfinite(frames).all()
+
+
+def _sampling_generator(art, temperature, seed=0, top_k=0, **kw):
+    store = art["store"]
+    return GestureGenerator(
+        t2t_model=art["t2t"][0], t2t_variables=art["t2t"][1],
+        seq_model=art["seq"][0], seq_variables=art["seq"][1],
+        dae_model=art["dae"][0], dae_variables=art["dae"][1],
+        vocab=art["vocab"], pose_mean=store.pose_mean,
+        pose_std=store.pose_std, n_frames=N_POSES,
+        sentence_frame_length=SENT_LEN, fps=FPS, max_words=16,
+        mode="decode", latent_bank=art["bank"], seed=seed,
+        temperature=temperature, top_k=top_k, **kw)
+
+
+def test_sampled_generation(pipeline_artifacts):
+    """temperature>0 samples tokens ancestrally: reproducible from the
+    generator seed, fresh across calls, valid ids; top_k=1 collapses to
+    the greedy decode exactly."""
+    art = pipeline_artifacts
+    g1 = _sampling_generator(art, temperature=2.0, seed=0)
+    g1b = _sampling_generator(art, temperature=2.0, seed=0)
+    g2 = _sampling_generator(art, temperature=2.0, seed=1)
+    f1, t1 = g1.generate(WORDS, duration_s=4.0)
+    f1b, t1b = g1b.generate(WORDS, duration_s=4.0)
+    _, t2 = g2.generate(WORDS, duration_s=4.0)
+    np.testing.assert_array_equal(t1, t1b)       # seed-reproducible
+    np.testing.assert_allclose(f1, f1b, atol=1e-6)
+    assert not np.array_equal(t1, t2)            # seeds vary the draw
+    _, t1c = g1.generate(WORDS, duration_s=4.0)  # fresh key per call
+    assert not np.array_equal(t1, t1c)
+    assert t1.min() >= 0 and t1.max() < CODES
+    assert np.isfinite(f1).all()
+
+    # top_k=1 at any temperature == the greedy decode bit-for-bit
+    greedy = _generator(art, "decode")
+    fg, tg = greedy.generate(WORDS, duration_s=4.0)
+    gk = _sampling_generator(art, temperature=2.0, top_k=1)
+    fk, tk = gk.generate(WORDS, duration_s=4.0)
+    np.testing.assert_array_equal(tg, tk)
+    np.testing.assert_allclose(fg, fk, atol=1e-6)
+
+
+def test_sampled_generate_batch(pipeline_artifacts):
+    """Batched sampling splits the key per transcript: two IDENTICAL
+    transcripts in one batch draw different token sequences."""
+    art = pipeline_artifacts
+    gen = _sampling_generator(art, temperature=2.0)
+    batch = gen.generate_batch([WORDS, WORDS], 4.0)
+    t_a, t_b = batch[0][1], batch[1][1]
+    assert t_a.shape == t_b.shape
+    assert not np.array_equal(t_a, t_b)
+    for frames, tokens in batch:
+        assert tokens.min() >= 0 and tokens.max() < CODES
+        assert np.isfinite(frames).all()
+
+
+def test_sampled_exemplar_and_parallel_windows(pipeline_artifacts):
+    """Sampling composes with exemplar retrieval and with
+    window_carry=False (the batched-windows decode)."""
+    art = pipeline_artifacts
+    store = art["store"]
+    gex = GestureGenerator(
+        t2t_model=art["t2t"][0], t2t_variables=art["t2t"][1],
+        seq_model=art["seq"][0], seq_variables=art["seq"][1],
+        dae_model=art["dae"][0], dae_variables=art["dae"][1],
+        vocab=art["vocab"], pose_mean=store.pose_mean,
+        pose_std=store.pose_std, n_frames=N_POSES,
+        sentence_frame_length=SENT_LEN, fps=FPS, max_words=16,
+        mode="exemplar", latent_bank=art["bank"], seed=0,
+        temperature=1.0)
+    frames, tokens = gex.generate(WORDS, duration_s=4.0)
+    assert tokens.min() >= 0 and tokens.max() < CODES
+    assert np.isfinite(frames).all()
+
+    gpw = _sampling_generator(art, temperature=2.0, window_carry=False)
+    f2, t2 = gpw.generate(WORDS, duration_s=4.0)
+    assert t2.shape == tokens.shape
+    assert np.isfinite(f2).all()

@@ -148,3 +148,46 @@ def test_bf16_checkpoint_loads_fp32(rng, tmp_path):
     model, variables, _ = checkpoints.load_checkpoint_and_model(
         ckpt, "text2embedding")
     assert model.compute_dtype == "float32"
+
+
+def test_sampled_decode_model_level():
+    """temperature>0 token sampling: greedy path unchanged
+    (res["tokens"] == argmax(logits)), per-key deterministic, key-
+    sensitive, top_k=1 == greedy; multi-stage heads sample too."""
+    from gesture2vec_tpu.models.text2token import Text2Token
+
+    m = Text2Token(n_words=50, n_tokens=16, hidden_size=24, n_layers=2,
+                   n_steps=6, n_pre_poses=1, token_stages=2)
+    rng = jax.random.PRNGKey(0)
+    wids = jnp.zeros((3, 8), jnp.int32).at[:, :4].set(5)
+    lens = jnp.full((3,), 4, jnp.int32)
+    tgt = jnp.zeros((3, 6), jnp.int32)
+    vs = m.init({"params": rng, "dropout": rng, "sample": rng},
+                wids, lens, tgt, train=False)
+
+    r0 = m.apply(vs, wids, lens, tgt, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(r0["tokens"]),
+        np.argmax(np.asarray(r0["logits"]), -1))
+    np.testing.assert_array_equal(
+        np.asarray(r0["stage_tokens"]),
+        np.argmax(np.asarray(r0["stage_logits"]), -1))
+
+    k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+    r1 = m.apply(vs, wids, lens, tgt, train=False, temperature=1.5,
+                 rngs={"sample": k1})
+    r1b = m.apply(vs, wids, lens, tgt, train=False, temperature=1.5,
+                  rngs={"sample": k1})
+    r2 = m.apply(vs, wids, lens, tgt, train=False, temperature=1.5,
+                 rngs={"sample": k2})
+    t1, t1b, t2 = (np.asarray(r["tokens"]) for r in (r1, r1b, r2))
+    np.testing.assert_array_equal(t1, t1b)
+    assert not np.array_equal(t1, t2)
+    assert t1.min() >= 0 and t1.max() < 16
+    st = np.asarray(r1["stage_tokens"])
+    assert st.min() >= 0 and st.max() < 16
+
+    r3 = m.apply(vs, wids, lens, tgt, train=False, temperature=1.5,
+                 top_k=1, rngs={"sample": k1})
+    np.testing.assert_array_equal(np.asarray(r3["tokens"]),
+                                  np.asarray(r0["tokens"]))
