@@ -96,6 +96,7 @@ def main():
             # sampling at T<=1 restores diversity
             ("decode_sample_t0.7", "decode", {"temperature": 0.7}),
             ("decode_sample_t1.0", "decode", {"temperature": 1.0}),
+            ("decode_beam4", "decode", {"beam_width": 4}),
             ("exemplar_sample_t1.0", "exemplar", {"temperature": 1.0}),
             ("exemplar", "exemplar", {}),
             ("exemplar_smoothed", "exemplar", {"_smooth": True})):

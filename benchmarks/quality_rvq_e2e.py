@@ -177,21 +177,35 @@ def main():
                                     mean=store.pose_mean,
                                     std=store.pose_std)
 
-    gen = GestureGenerator(
-        t2t_model=t2t, t2t_variables=t2t_vars, seq_model=seq,
-        seq_variables=seq_vars, dae_model=dae, dae_variables=dae_vars,
-        vocab=vocab, pose_mean=store.pose_mean, pose_std=store.pose_std,
-        n_frames=n_frames, sentence_frame_length=sent_len, fps=fps,
-        max_words=24, mode="decode", latent_bank=bank, seed=0)
-    rvq_metrics, rvq_frames = eval_generated_vs_gt(
-        gen, store, val_store, dae, dae_vars, seq, seq_vars, n_frames,
-        codes, bank_val, bank, fps)
-    rvq_metrics.pop("_hist_gen"), rvq_metrics.pop("_hist_gt")
-    rvq_metrics["frame_fgd_shared_dae_space"] = dae_frame_fgd(
-        rvq_frames, dae, dae_vars, store, val_frames_lat, n_frames)
+    def eval_chain(t2t_m, t2t_v, seq_m, seq_v, chain_bank,
+                   chain_bank_val, n_codes, temperature=0.0):
+        g = GestureGenerator(
+            t2t_model=t2t_m, t2t_variables=t2t_v, seq_model=seq_m,
+            seq_variables=seq_v, dae_model=dae, dae_variables=dae_vars,
+            vocab=vocab, pose_mean=store.pose_mean,
+            pose_std=store.pose_std, n_frames=n_frames,
+            sentence_frame_length=sent_len, fps=fps, max_words=24,
+            mode="decode", latent_bank=chain_bank, seed=0,
+            temperature=temperature)
+        m, frames = eval_generated_vs_gt(
+            g, store, val_store, dae, dae_vars, seq_m, seq_v, n_frames,
+            n_codes, chain_bank_val, chain_bank, fps)
+        m.pop("_hist_gen"), m.pop("_hist_gt")
+        m["frame_fgd_shared_dae_space"] = dae_frame_fgd(
+            frames, dae, dae_vars, store, val_frames_lat, n_frames)
+        return m
+
+    rvq_metrics = eval_chain(t2t, t2t_vars, seq, seq_vars, bank,
+                             bank_val, codes)
+    # stochastic decode over the same checkpoints: greedy argmax
+    # underdisperses the token distribution (the rvq chain's generated
+    # perplexity is ~20 vs GT ~48); ancestral sampling at T=1 is the
+    # distribution-matching decode policy (models/text2token)
+    rvq_sampled = eval_chain(t2t, t2t_vars, seq, seq_vars, bank,
+                             bank_val, codes, temperature=1.0)
 
     # ---------------- committed gssoft chain, same session ------------
-    gss_metrics = None
+    gss_metrics = gss_sampled = None
     vq_ck = sorted(glob.glob(os.path.join(args.out, "vqvae",
                                           "vqvae_checkpoint_*.bin")))
     t2_ck = sorted(glob.glob(os.path.join(args.out, "t2t",
@@ -214,23 +228,18 @@ def main():
                                           stride=n_frames,
                                           mean=store.pose_mean,
                                           std=store.pose_std)
-        gen_g = GestureGenerator(
-            t2t_model=t2t_g, t2t_variables=t2t_g_vars, seq_model=seq_g,
-            seq_variables=seq_g_vars, dae_model=dae,
-            dae_variables=dae_vars, vocab=vocab,
-            pose_mean=store.pose_mean, pose_std=store.pose_std,
-            n_frames=n_frames, sentence_frame_length=sent_len, fps=fps,
-            max_words=24, mode="decode", latent_bank=bank_g, seed=0)
-        gss_metrics, gss_frames = eval_generated_vs_gt(
-            gen_g, store, val_store, dae, dae_vars, seq_g, seq_g_vars,
-            n_frames, seq_g.vq_components, bank_g_val, bank_g, fps)
-        gss_metrics.pop("_hist_gen"), gss_metrics.pop("_hist_gt")
-        gss_metrics["frame_fgd_shared_dae_space"] = dae_frame_fgd(
-            gss_frames, dae, dae_vars, store, val_frames_lat, n_frames)
+        gss_metrics = eval_chain(t2t_g, t2t_g_vars, seq_g, seq_g_vars,
+                                 bank_g, bank_g_val,
+                                 seq_g.vq_components)
+        gss_sampled = eval_chain(t2t_g, t2t_g_vars, seq_g, seq_g_vars,
+                                 bank_g, bank_g_val,
+                                 seq_g.vq_components, temperature=1.0)
 
     payload = {"frame_floor_shared_dae_space": frame_floor,
                "rvq_multistage_chain": rvq_metrics,
+               "rvq_multistage_chain_sampled_t1": rvq_sampled,
                "gssoft_reference_parity_chain": gss_metrics,
+               "gssoft_reference_parity_chain_sampled_t1": gss_sampled,
                "train": {"part_b_val_loss": sq_hist["val_loss"][-1],
                          "part_b_stage0_perplexity":
                              sq_hist["perplexity"][-1],
@@ -254,7 +263,9 @@ def main():
               f"e2e acc {m['token_accuracy']:.3f}")
 
     row("rvq multi-stage chain", rvq_metrics)
+    row("rvq multi-stage chain, sampled T=1", rvq_sampled)
     row("gssoft reference-parity chain", gss_metrics)
+    row("gssoft chain, sampled T=1", gss_sampled)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,10 @@ def main() -> None:
     parser.add_argument("--top-k", type=int, default=0,
                         help="truncate sampling to the k best tokens "
                              "(0 = full distribution)")
+    parser.add_argument("--beam-width", type=int, default=0,
+                        help="beam-search token decode with this "
+                             "many hypotheses (0/1 = greedy; "
+                             "exclusive with --temperature)")
     parser.add_argument("--plot-attention", default=None,
                         help="save the first window's attention heatmap "
                              "(ref: inference_text2embedding.py:69-105)")
@@ -72,7 +76,8 @@ def main() -> None:
                                latent_bank_path=args.latent_bank,
                                seed=args.seed,
                                temperature=args.temperature,
-                               top_k=args.top_k)
+                               top_k=args.top_k,
+                               beam_width=args.beam_width)
     to_bvh = load_bvh_exporter(args.dataset, args.pipeline,
                                args.twh_variant)
 

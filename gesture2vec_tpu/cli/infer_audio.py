@@ -44,6 +44,10 @@ def main() -> None:
     parser.add_argument("--top-k", type=int, default=0,
                         help="truncate sampling to the k best tokens "
                              "(0 = full distribution)")
+    parser.add_argument("--beam-width", type=int, default=0,
+                        help="beam-search token decode with this "
+                             "many hypotheses (0/1 = greedy; "
+                             "exclusive with --temperature)")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -109,7 +113,8 @@ def main() -> None:
         sentence_frame_length=cfg.sentence_frame_length,
         fps=cfg.motion_resampling_framerate, audio_sr=sr,
         mode=args.mode, latent_bank=bank, seed=args.seed, vocab=vocab,
-        temperature=args.temperature, top_k=args.top_k)
+        temperature=args.temperature, top_k=args.top_k,
+        beam_width=args.beam_width)
 
     t0 = time.time()
     frames, tokens = gen.generate(wave, args.duration, words=words)

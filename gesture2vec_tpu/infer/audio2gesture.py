@@ -53,6 +53,9 @@ class AudioGestureGenerator:
     # optional. Draws are seeded from `seed`, fresh per generate call.
     temperature: float = 0.0
     top_k: int = 0
+    # beam-search decode (beyond reference; exclusive with
+    # temperature>0): 0/1 = greedy, >1 searches that many hypotheses
+    beam_width: int = 0
 
     def __post_init__(self):
         self.n_steps = self.sentence_frame_length // self.n_frames
@@ -71,6 +74,10 @@ class AudioGestureGenerator:
         n_pre, n_steps = a2t.n_pre_poses, self.n_steps
         sampling = self.temperature > 0.0
         temp, topk = float(self.temperature), int(self.top_k)
+        beam = int(self.beam_width) if self.beam_width > 1 else 0
+        if beam and sampling:
+            raise ValueError("beam_width>1 and temperature>0 are "
+                             "mutually exclusive decode policies")
 
         def _tw(key):
             """Decode-apply kwargs for the configured decode policy
@@ -79,6 +86,18 @@ class AudioGestureGenerator:
                 return {}
             return dict(temperature=temp, top_k=topk,
                         rngs={"sample": key})
+
+        def _decode_win(eo, dh, seeds, key):
+            """One window token decode under the configured policy
+            (greedy / sampled / beam); "tokens" is the common
+            contract."""
+            a2t_ = self.a2t_model
+            if beam:
+                return a2t_.apply(self.a2t_variables, eo, dh, seeds,
+                                  beam_width=beam,
+                                  method=a2t_.beam_decode)
+            return a2t_.apply(self.a2t_variables, eo, dh, seeds,
+                              method=a2t_.decode_tokens, **_tw(key))
         # multi-stage rvq chain (same contract as infer/text2gesture):
         # stage heads predicted per step, decode from the stage-sum
         # hidden; seed steps carry -1 and contribute stage 0 only
@@ -103,10 +122,8 @@ class AudioGestureGenerator:
             def body(seed_tokens, w):
                 eo = jax.lax.dynamic_slice_in_dim(enc_outs, w, 1, axis=1)
                 dh = jax.lax.dynamic_slice_in_dim(dec_hidden, w, 1, axis=1)
-                res = a2t.apply(self.a2t_variables, eo, dh,
-                                seed_tokens[None],
-                                method=a2t.decode_tokens,
-                                **_tw(jax.random.fold_in(key, w)))
+                res = _decode_win(eo, dh, seed_tokens[None],
+                                  jax.random.fold_in(key, w))
                 toks = res["tokens"][0]
                 next_seed = jnp.zeros((n_steps,), jnp.int32) \
                     .at[:n_pre].set(toks[-n_pre:])

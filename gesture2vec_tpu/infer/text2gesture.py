@@ -80,6 +80,11 @@ class GestureGenerator:
     # seeded from `seed` and fresh per generate() call.
     temperature: float = 0.0
     top_k: int = 0
+    # beam-search token decode (beyond reference; exclusive with
+    # temperature>0): 0/1 = greedy, >1 searches that many hypotheses
+    # per window in-graph (models/text2token.beam_decode_impl) and
+    # emits the most probable token sequence
+    beam_width: int = 0
 
     def __post_init__(self):
         self.n_steps = self.sentence_frame_length // self.n_frames
@@ -131,6 +136,10 @@ class GestureGenerator:
         window_carry = self.window_carry
         sampling = self.temperature > 0.0
         temp, topk = float(self.temperature), int(self.top_k)
+        beam = int(self.beam_width) if self.beam_width > 1 else 0
+        if beam and sampling:
+            raise ValueError("beam_width>1 and temperature>0 are "
+                             "mutually exclusive decode policies")
 
         def _tw(key):
             """Decode-apply kwargs for the configured decode policy:
@@ -141,6 +150,19 @@ class GestureGenerator:
                 return {}
             return dict(temperature=temp, top_k=topk,
                         rngs={"sample": key})
+
+        def _decode_win(eo, dh, seeds, mask, key):
+            """One window-batch token decode under the configured
+            policy (greedy / sampled / beam); returns the model's res
+            dict — "tokens" (B, n_steps) is the common contract."""
+            t2t_ = self.t2t_model
+            if beam:
+                return t2t_.apply(self.t2t_variables, eo, dh, seeds,
+                                  enc_mask=mask, beam_width=beam,
+                                  method=t2t_.beam_decode)
+            return t2t_.apply(self.t2t_variables, eo, dh, seeds,
+                              train=False, enc_mask=mask,
+                              method=t2t_.decode_tokens, **_tw(key))
 
         # multi-stage decode: a token_stages>1 Part d predicts the
         # residual-VQ stage codes too, and decode mode rebuilds the FULL
@@ -165,8 +187,16 @@ class GestureGenerator:
             if not window_carry:
                 W = word_ids.shape[0]
                 targets = jnp.zeros((W, n_steps), jnp.int32)
-                res = t2t.apply(self.t2t_variables, word_ids, lengths,
-                                targets, train=False, **_tw(key))
+                if beam:
+                    eo, dh = t2t.apply(self.t2t_variables, word_ids,
+                                       lengths, method=t2t.encode_text)
+                    mask = (jnp.arange(word_ids.shape[1])
+                            < jnp.max(lengths))
+                    res = _decode_win(eo, dh, targets, mask, key)
+                else:
+                    res = t2t.apply(self.t2t_variables, word_ids,
+                                    lengths, targets, train=False,
+                                    **_tw(key))
                 return res["tokens"].reshape(-1)
 
             enc_outs, dec_hidden = t2t.apply(
@@ -177,10 +207,8 @@ class GestureGenerator:
                 eo = jax.lax.dynamic_slice_in_dim(enc_outs, w, 1, axis=1)
                 dh = jax.lax.dynamic_slice_in_dim(dec_hidden, w, 1, axis=1)
                 mask = jnp.arange(word_ids.shape[1]) < lengths[w]
-                res = t2t.apply(self.t2t_variables, eo, dh,
-                                seed_tokens[None], train=False,
-                                enc_mask=mask, method=t2t.decode_tokens,
-                                **_tw(jax.random.fold_in(key, w)))
+                res = _decode_win(eo, dh, seed_tokens[None], mask,
+                                  jax.random.fold_in(key, w))
                 toks = res["tokens"][0]
                 next_seed = jnp.zeros((n_steps,), jnp.int32) \
                     .at[:n_pre].set(toks[-n_pre:])
@@ -202,9 +230,17 @@ class GestureGenerator:
                 if not window_carry:
                     W = word_ids.shape[0]
                     targets = jnp.zeros((W, n_steps), jnp.int32)
-                    res = t2t.apply(self.t2t_variables, word_ids,
-                                    lengths, targets, train=False,
-                                    **_tw(key))
+                    if beam:
+                        eo, dh = t2t.apply(self.t2t_variables, word_ids,
+                                           lengths,
+                                           method=t2t.encode_text)
+                        mask = (jnp.arange(word_ids.shape[1])
+                                < jnp.max(lengths))
+                        res = _decode_win(eo, dh, targets, mask, key)
+                    else:
+                        res = t2t.apply(self.t2t_variables, word_ids,
+                                        lengths, targets, train=False,
+                                        **_tw(key))
                     t0 = res["tokens"]
                     sr = res["stage_tokens"]
                     pad = jnp.full((W, 1, S1), -1, sr.dtype)
@@ -221,11 +257,8 @@ class GestureGenerator:
                     dh = jax.lax.dynamic_slice_in_dim(dec_hidden, w, 1,
                                                       axis=1)
                     mask = jnp.arange(word_ids.shape[1]) < lengths[w]
-                    res = t2t.apply(self.t2t_variables, eo, dh,
-                                    seed_tokens[None], train=False,
-                                    enc_mask=mask,
-                                    method=t2t.decode_tokens,
-                                    **_tw(jax.random.fold_in(key, w)))
+                    res = _decode_win(eo, dh, seed_tokens[None], mask,
+                                      jax.random.fold_in(key, w))
                     toks = res["tokens"][0]
                     sr = res["stage_tokens"][0]
                     stage = jnp.concatenate(

@@ -24,6 +24,7 @@ from gesture2vec_tpu.models.gru import make_decoder_scan
 from gesture2vec_tpu.models.audio import (AudioContextEncoder,
                                           AudioTextFusionEncoder)
 from gesture2vec_tpu.models.text2token import (TokenDecoderStep,
+                                               beam_decode_impl,
                                                sample_logits)
 
 
@@ -148,6 +149,14 @@ class Audio2Token(nn.Module):
             out["stage_logits"] = jnp.transpose(stage_seq, (1, 0, 2, 3))
             out["stage_tokens"] = jnp.transpose(stage_tok, (1, 0, 2))
         return out
+
+    def beam_decode(self, enc_outs: jnp.ndarray,
+                    dec_hidden: jnp.ndarray, target_tokens: jnp.ndarray,
+                    beam_width: int = 4) -> Dict[str, Any]:
+        """Beam-search token decode given an audio encoding (eval only;
+        see text2token.beam_decode_impl)."""
+        return beam_decode_impl(self, enc_outs, dec_hidden,
+                                target_tokens, beam_width)
 
     def __call__(self, encoder_inputs, target_tokens: jnp.ndarray,
                  train: bool = False, temperature: float = 0.0,

@@ -52,6 +52,101 @@ def sample_logits(logits: jnp.ndarray, temperature: float, top_k: int,
     return jax.random.categorical(key, lg, axis=-1)
 
 
+def beam_decode_impl(model, enc_outs: jnp.ndarray,
+                     dec_hidden: jnp.ndarray,
+                     target_tokens: jnp.ndarray, beam_width: int,
+                     enc_mask: Optional[jnp.ndarray] = None
+                     ) -> Dict[str, Any]:
+    """Batched in-graph beam search over the autoregressive token
+    decode (beyond reference, eval-only; the reference decodes greedily,
+    text2embedding_model.py:734-744). Shared by Text2Token and
+    Audio2Token — both decode through the same TokenDecoderStep.
+
+    TPU-native shape: the K hypotheses ride the batch axis (B*K rows
+    through one decoder step per time step), the beam recombination is
+    one lax.top_k over K*V scores, and parent gathers are
+    take_along_axis — the whole search is one lax.scan, no host logic.
+    Token sequences are carried in the beam state (n_steps is small, 6
+    at production shapes) so no backtrace pass is needed.
+
+    Teacher prefix semantics: inputs at steps t-1 < n_pre_poses are the
+    teacher tokens (as in greedy decode); emitted tokens from step 1 on
+    are the beam's choices. Beam width 1 reproduces greedy decode
+    exactly (top_k(1) over one hypothesis's scores = argmax).
+
+    Returns {"tokens": (B, n_steps) best sequence (step 0 = seed),
+    "logprob": (B,) its total log-probability, and "stage_tokens"
+    (B, n_steps-1, S-1) when the model has residual-stage heads (stage
+    choices are per-hypothesis argmax — they do not feed back)}."""
+    K = int(beam_width)
+    V, L, T = model.n_tokens, model.n_layers, model.n_steps
+    n_pre, H = model.n_pre_poses, model.hidden_size
+    B = target_tokens.shape[0]
+    S1 = getattr(model, "token_stages", 1) - 1
+    multi = S1 > 0
+
+    seed = target_tokens[:, 0]
+    eo = jnp.repeat(enc_outs, K, axis=1)            # (S, B*K, H)
+    hid0 = jnp.repeat(dec_hidden, K, axis=1)        # (L, B*K, H)
+    tok0 = jnp.repeat(seed, K)                      # (B*K,)
+    # all K hypotheses start identical: only beam 0 is live, so the
+    # first expansion picks the K best distinct continuations
+    lp0 = jnp.tile(jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                                    jnp.full((K - 1,), -jnp.inf,
+                                             jnp.float32)]), (B, 1))
+    seqs0 = jnp.zeros((B, K, T), jnp.int32) \
+        .at[:, :, 0].set(seed[:, None])
+    stages0 = jnp.zeros((B, K, T, max(S1, 1)), jnp.int32)
+
+    step_mod = model.decoder_step
+
+    def body(mdl, carry, t):
+        tokens, hidden, logprob, seqs, stages = carry
+        teacher = jax.lax.dynamic_index_in_dim(target_tokens, t - 1,
+                                               axis=1, keepdims=False)
+        token_in = jnp.where(t - 1 < n_pre, jnp.repeat(teacher, K),
+                             tokens)
+        res = mdl(token_in, hidden, eo, train=False, enc_mask=enc_mask)
+        if multi:
+            logits, new_hidden, _, stage_logits = res
+        else:
+            logits, new_hidden, _ = res
+            stage_logits = None
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+        scores = (logprob[:, :, None] + logp).reshape(B, K * V)
+        top_lp, top_idx = jax.lax.top_k(scores, K)       # (B, K)
+        parent = top_idx // V
+        new_tok = top_idx % V
+        hidK = new_hidden.reshape(L, B, K, H)
+        hidK = jnp.take_along_axis(hidK, parent[None, :, :, None],
+                                   axis=2)
+        seqs = jnp.take_along_axis(seqs, parent[:, :, None], axis=1)
+        seqs = seqs.at[:, :, t].set(new_tok)
+        if multi:
+            st = jnp.argmax(stage_logits, axis=-1).reshape(B, K, S1)
+            st = jnp.take_along_axis(st, parent[:, :, None], axis=1)
+            stages = jnp.take_along_axis(
+                stages, parent[:, :, None, None], axis=1)
+            stages = stages.at[:, :, t, :].set(st)
+        return (new_tok.reshape(-1), hidK.reshape(L, B * K, H),
+                top_lp, seqs, stages), ()
+
+    scan = make_decoder_scan(body, train=False)
+    (_, _, logprob, seqs, stages), _ = scan(
+        step_mod, (tok0, hid0, lp0, seqs0, stages0),
+        jnp.arange(1, T))
+
+    best = jnp.argmax(logprob, axis=1)
+    out = {"tokens": jnp.take_along_axis(
+               seqs, best[:, None, None], axis=1)[:, 0],
+           "logprob": jnp.take_along_axis(logprob, best[:, None],
+                                          axis=1)[:, 0]}
+    if multi:
+        out["stage_tokens"] = jnp.take_along_axis(
+            stages, best[:, None, None, None], axis=1)[:, 0, 1:, :]
+    return out
+
+
 class TextEncoderRNN(nn.Module):
     """Embedding -> packed biGRU, directions summed
     (ref: text2embedding_model.py:46-135)."""
@@ -309,3 +404,14 @@ class Text2Token(nn.Module):
 
     def greedy_tokens(self, logits: jnp.ndarray) -> jnp.ndarray:
         return jnp.argmax(logits, axis=-1)
+
+    def beam_decode(self, enc_outs: jnp.ndarray,
+                    dec_hidden: jnp.ndarray, target_tokens: jnp.ndarray,
+                    beam_width: int = 4,
+                    enc_mask: Optional[jnp.ndarray] = None
+                    ) -> Dict[str, Any]:
+        """Beam-search token decode given a text encoding (eval only;
+        see beam_decode_impl)."""
+        return beam_decode_impl(self, enc_outs, dec_hidden,
+                                target_tokens, beam_width,
+                                enc_mask=enc_mask)

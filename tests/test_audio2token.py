@@ -353,3 +353,26 @@ def test_audio2token_sampled_decode(rng):
     t1 = np.asarray(r1["tokens"])
     np.testing.assert_array_equal(t1, np.asarray(r1b["tokens"]))
     assert t1.min() >= 0 and t1.max() < 12
+
+
+def test_audio2token_beam_decode(rng):
+    """Audio decoder beam search: K=1 == greedy; K=3 valid and
+    deterministic."""
+    from gesture2vec_tpu.models.audio2token import Audio2Token
+
+    m = Audio2Token(n_tokens=12, hidden_size=16, n_layers=2, n_steps=4,
+                    n_pre_poses=1)
+    key = jax.random.PRNGKey(0)
+    mel = jnp.asarray(rng.normal(size=(2, 2, 16, 8)).astype(np.float32))
+    tgt = jnp.zeros((2, 4), jnp.int32)
+    vs = m.init({"params": key, "dropout": key}, mel, tgt, train=False)
+    eo, dh = m.apply(vs, mel, method=m.encode_audio)
+    greedy = m.apply(vs, eo, dh, tgt, method=m.decode_tokens)
+    b1 = m.apply(vs, eo, dh, tgt, beam_width=1, method=m.beam_decode)
+    np.testing.assert_array_equal(np.asarray(b1["tokens"]),
+                                  np.asarray(greedy["tokens"]))
+    b3 = m.apply(vs, eo, dh, tgt, beam_width=3, method=m.beam_decode)
+    t3 = np.asarray(b3["tokens"])
+    assert t3.shape == (2, 4) and t3.min() >= 0 and t3.max() < 12
+    assert (np.asarray(b3["logprob"])
+            >= np.asarray(b1["logprob"]) - 1e-5).all()

@@ -314,3 +314,35 @@ def test_sampled_exemplar_and_parallel_windows(pipeline_artifacts):
     f2, t2 = gpw.generate(WORDS, duration_s=4.0)
     assert t2.shape == tokens.shape
     assert np.isfinite(f2).all()
+
+
+def test_beam_generation(pipeline_artifacts):
+    """Beam decode: beam_width=1 reproduces greedy bit-for-bit;
+    beam_width=4 runs in both window modes with valid output; beam and
+    temperature are mutually exclusive."""
+    art = pipeline_artifacts
+    greedy = _generator(art, "decode")
+    fg, tg = greedy.generate(WORDS, duration_s=4.0)
+
+    g1 = _sampling_generator(art, temperature=0.0, top_k=0, beam_width=1)
+    f1, t1 = g1.generate(WORDS, duration_s=4.0)
+    np.testing.assert_array_equal(t1, tg)
+    np.testing.assert_allclose(f1, fg, atol=1e-6)
+
+    g4 = _sampling_generator(art, temperature=0.0, beam_width=4)
+    f4, t4 = g4.generate(WORDS, duration_s=4.0)
+    assert t4.shape == tg.shape
+    assert t4.min() >= 0 and t4.max() < CODES
+    assert np.isfinite(f4).all()
+    # deterministic
+    _, t4b = g4.generate(WORDS, duration_s=4.0)
+    np.testing.assert_array_equal(t4, t4b)
+
+    gpw = _sampling_generator(art, temperature=0.0, beam_width=4,
+                              window_carry=False)
+    fpw, tpw = gpw.generate(WORDS, duration_s=4.0)
+    assert tpw.shape == tg.shape
+    assert np.isfinite(fpw).all()
+
+    with pytest.raises(ValueError):
+        _sampling_generator(art, temperature=1.0, beam_width=4)

@@ -191,3 +191,41 @@ def test_sampled_decode_model_level():
                  top_k=1, rngs={"sample": k1})
     np.testing.assert_array_equal(np.asarray(r3["tokens"]),
                                   np.asarray(r0["tokens"]))
+
+
+def test_beam_decode_model_level():
+    """Beam search contract: K=1 == greedy (tokens AND stage tokens),
+    K>1 never scores below greedy, results deterministic and in-range."""
+    from gesture2vec_tpu.models.text2token import Text2Token
+
+    m = Text2Token(n_words=50, n_tokens=16, hidden_size=24, n_layers=2,
+                   n_steps=6, n_pre_poses=1, token_stages=2)
+    rng = jax.random.PRNGKey(0)
+    wids = jnp.zeros((3, 8), jnp.int32).at[:, :4].set(jnp.arange(4) + 3)
+    lens = jnp.full((3,), 4, jnp.int32)
+    tgt = jnp.zeros((3, 6), jnp.int32)
+    vs = m.init({"params": rng, "dropout": rng}, wids, lens, tgt,
+                train=False)
+    eo, dh = m.apply(vs, wids, lens, method=m.encode_text)
+    mask = jnp.arange(8) < 4
+
+    greedy = m.apply(vs, eo, dh, tgt, train=False, enc_mask=mask,
+                     method=m.decode_tokens)
+    b1 = m.apply(vs, eo, dh, tgt, enc_mask=mask, beam_width=1,
+                 method=m.beam_decode)
+    np.testing.assert_array_equal(np.asarray(b1["tokens"]),
+                                  np.asarray(greedy["tokens"]))
+    np.testing.assert_array_equal(np.asarray(b1["stage_tokens"]),
+                                  np.asarray(greedy["stage_tokens"]))
+
+    b4 = m.apply(vs, eo, dh, tgt, enc_mask=mask, beam_width=4,
+                 method=m.beam_decode)
+    assert (np.asarray(b4["logprob"])
+            >= np.asarray(b1["logprob"]) - 1e-5).all()
+    t4 = np.asarray(b4["tokens"])
+    assert t4.shape == (3, 6) and t4.min() >= 0 and t4.max() < 16
+    st4 = np.asarray(b4["stage_tokens"])
+    assert st4.shape == (3, 5, 1) and st4.min() >= 0 and st4.max() < 16
+    b4b = m.apply(vs, eo, dh, tgt, enc_mask=mask, beam_width=4,
+                  method=m.beam_decode)
+    np.testing.assert_array_equal(t4, np.asarray(b4b["tokens"]))
