@@ -181,52 +181,60 @@ def main():
                                     stride=n_frames_chunk,
                                     mean=store.pose_mean,
                                     std=store.pose_std)
-    gen = AudioGestureGenerator(
-        a2t_model=a2t, a2t_variables=a2t_vars, seq_model=seq,
-        seq_variables=seq_vars, dae_model=dae, dae_variables=dae_vars,
-        pose_mean=store.pose_mean, pose_std=store.pose_std,
-        n_frames=n_frames_chunk, sentence_frame_length=sent_len,
-        fps=fps, audio_sr=AUDIO_SR, mode="decode", latent_bank=bank,
-        vocab=vocab, max_words=24)
+    def eval_policy(temperature):
+        gen = AudioGestureGenerator(
+            a2t_model=a2t, a2t_variables=a2t_vars, seq_model=seq,
+            seq_variables=seq_vars, dae_model=dae, dae_variables=dae_vars,
+            pose_mean=store.pose_mean, pose_std=store.pose_std,
+            n_frames=n_frames_chunk, sentence_frame_length=sent_len,
+            fps=fps, audio_sr=AUDIO_SR, mode="decode", latent_bank=bank,
+            vocab=vocab, max_words=24, temperature=temperature)
 
-    gen_toks, gt_toks, gen_lat_list = [], [], []
-    for clip in val_store:
-        audio = clip.get("audio")
-        if audio is None:
-            continue
-        dur = clip["poses"].shape[0] / fps
-        frames, tokens = gen.generate(
-            audio, duration_s=dur,
-            words=(clip["words"] if both else None))
-        n_tok_real = int(clip["poses"].shape[0] // n_frames_chunk)
-        gen_toks.append(np.asarray(tokens).reshape(-1)[:n_tok_real])
-        gt_norm = normalize(clip["poses"], store.pose_mean,
+        gen_toks, gt_toks, gen_lat_list = [], [], []
+        for clip in val_store:
+            audio = clip.get("audio")
+            if audio is None:
+                continue
+            dur = clip["poses"].shape[0] / fps
+            frames, tokens = gen.generate(
+                audio, duration_s=dur,
+                words=(clip["words"] if both else None))
+            n_tok_real = int(clip["poses"].shape[0] // n_frames_chunk)
+            gen_toks.append(np.asarray(tokens).reshape(-1)[:n_tok_real])
+            gt_norm = normalize(clip["poses"], store.pose_mean,
+                                store.pose_std)
+            chunks = gt_norm[:n_tok_real * n_frames_chunk].reshape(
+                n_tok_real, n_frames_chunk, -1)
+            gt_lat = encode_windows_with_dae(dae, dae_vars, chunks)
+            t, _ = tokenize_windows(seq, seq_vars, gt_lat)
+            gt_toks.append(np.asarray(t).reshape(-1))
+            gfn = normalize(np.asarray(frames), store.pose_mean,
                             store.pose_std)
-        chunks = gt_norm[:n_tok_real * n_frames_chunk].reshape(
-            n_tok_real, n_frames_chunk, -1)
-        gt_lat = encode_windows_with_dae(dae, dae_vars, chunks)
-        t, _ = tokenize_windows(seq, seq_vars, gt_lat)
-        gt_toks.append(np.asarray(t).reshape(-1))
-        gfn = normalize(np.asarray(frames), store.pose_mean,
-                        store.pose_std)
-        n_chunks = gfn.shape[0] // n_frames_chunk
-        glat = encode_windows_with_dae(
-            dae, dae_vars, gfn[:n_chunks * n_frames_chunk].reshape(
-                n_chunks, n_frames_chunk, -1))
-        # tokenize_windows' second return is the flattened (N, L*H)
-        # seq latent - the generated tokens themselves come from the
-        # generator above, not this teacher pass
-        _, gen_lat = tokenize_windows(seq, seq_vars, glat)
-        gen_lat_list.append(gen_lat)
+            n_chunks = gfn.shape[0] // n_frames_chunk
+            glat = encode_windows_with_dae(
+                dae, dae_vars, gfn[:n_chunks * n_frames_chunk].reshape(
+                    n_chunks, n_frames_chunk, -1))
+            # tokenize_windows' second return is the flattened (N, L*H)
+            # seq latent - the generated tokens themselves come from the
+            # generator above, not this teacher pass
+            _, gen_lat = tokenize_windows(seq, seq_vars, glat)
+            gen_lat_list.append(gen_lat)
 
-    pairs = [(g[:min(len(g), len(r))], r[:min(len(g), len(r))])
-             for g, r in zip(gen_toks, gt_toks)]
-    metrics = token_latent_battery(pairs, np.concatenate(gen_lat_list),
-                                   bank, bank_val, codes)
-    metrics.pop("_hist_gen"), metrics.pop("_hist_gt")
+        pairs = [(g[:min(len(g), len(r))], r[:min(len(g), len(r))])
+                 for g, r in zip(gen_toks, gt_toks)]
+        m = token_latent_battery(pairs, np.concatenate(gen_lat_list),
+                                 bank, bank_val, codes)
+        m.pop("_hist_gen"), m.pop("_hist_gt")
+        return m
+
+    metrics = eval_policy(0.0)
+    # stochastic decode over the same checkpoints (see QUALITY.md
+    # decode-policy table for the text chain's equivalent)
+    metrics_sampled = eval_policy(1.0)
     metrics = {"val_ce": hist["val_loss"][-1],
                "val_token_accuracy_teacher_forced": hist["val_acc"][-1],
-               **metrics}
+               **metrics,
+               "sampled_t1": metrics_sampled}
     out_name = ("metrics_audio_both.json" if both
                 else "metrics_audio.json")
     with open(os.path.join(args.out, out_name), "w") as f:

@@ -1,0 +1,232 @@
+"""Streaming text -> gesture inference: incremental window-by-window
+generation for live serving.
+
+The reference generates only whole transcripts offline (one process per
+transcript, ref: scripts/inference_text2embedding.py:108-569). For a
+live avatar the words arrive WITH the speech, so this module exposes the
+same generation chain as infer/text2gesture.GestureGenerator as an
+incremental session: push words as they arrive, receive motion for each
+completed ~6 s window immediately, with the reference's cross-window
+token carry (ref :369-374) preserved across push calls.
+
+TPU-native structure: one jitted per-window step (text encode -> token
+decode -> chunk rollout -> DAE decode fused into ONE device program per
+window; the teacher-forced seed prefix is an explicit carry array
+threaded between calls, exactly the value the batch path's lax.scan
+carries in-graph). Every step reuses one compiled program, so
+steady-state latency is a single device dispatch per window — measured
+in benchmarks/streaming_infer.py.
+
+Decode-mode streaming is bit-identical to the batch path
+(tests/test_streaming_infer.py pins generate() == streamed concat);
+exemplar mode streams too (per-window retrieval + decode), with the
+same bank semantics as the batch path.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gesture2vec_tpu.data.datasets import unnormalize
+
+
+class StreamingGestureSession:
+    """Incremental generation over one transcript.
+
+    Built from a configured GestureGenerator (mode, decode policy,
+    smoothing fields are all honored). Typical use::
+
+        gen = GestureGenerator(..., mode="decode")
+        sess = StreamingGestureSession(gen)
+        for words_so_far, now_s in live_captions():
+            for frames, tokens in sess.push(words_so_far, now_s):
+                play(frames)                      # one ~6 s window
+        for frames, tokens in sess.finish(total_duration_s):
+            play(frames)
+
+    push(words, now_s) emits every window whose time range is fully
+    covered by now_s; finish(duration_s) pads and emits the remainder
+    (same ceil-to-window rule as the batch path). Words may keep
+    arriving for future windows at any time; words for already-emitted
+    windows are ignored (they are in the past).
+    """
+
+    def __init__(self, generator):
+        self.gen = generator
+        g = generator
+        self.unit = g.sentence_frame_length / g.fps
+        self.n_steps = g.n_steps
+        self._next_window = 0
+        self._seed = jnp.zeros((self.n_steps,), jnp.int32)
+        # decode seed frame carried across windows when the generator
+        # has chunk_continuity (matches the batch path's scan carry,
+        # which never resets at window boundaries)
+        self._prev_last = jnp.zeros(
+            (getattr(g.seq_model, "rep_dim", 1),), jnp.float32)
+        self._words: List[List] = []
+        # one fused per-window program, compiled once per session
+        # (shapes are static: one window, max_words ids)
+        self._step = self._build_step()
+
+    # -----------------------------------------------------------------
+    def _build_step(self):
+        g = self.gen
+        t2t = g.t2t_model
+        n_pre = t2t.n_pre_poses
+        n_steps = self.n_steps
+        multi = getattr(t2t, "token_stages", 1) > 1
+        sampling = g.temperature > 0.0
+        beam = int(g.beam_width) if g.beam_width > 1 else 0
+        temp, topk = float(g.temperature), int(g.top_k)
+
+        def decode_window(word_ids, length, seed_tokens, key):
+            """(S,) ids, scalar length, (n_steps,) seed -> res dict of
+            the window's token decode under the session's policy."""
+            eo, dh = t2t.apply(g.t2t_variables, word_ids[None],
+                               length[None], method=t2t.encode_text)
+            mask = jnp.arange(word_ids.shape[0]) < length
+            if beam:
+                return t2t.apply(g.t2t_variables, eo, dh,
+                                 seed_tokens[None], enc_mask=mask,
+                                 beam_width=beam, method=t2t.beam_decode)
+            kw = {}
+            if sampling:
+                kw = dict(temperature=temp, top_k=topk,
+                          rngs={"sample": key})
+            return t2t.apply(g.t2t_variables, eo, dh, seed_tokens[None],
+                             train=False, enc_mask=mask,
+                             method=t2t.decode_tokens, **kw)
+
+        if g.mode == "decode":
+            seq, dae = g.seq_model, g.dae_model
+
+            def token_hidden(tokens, stage_tokens):
+                cb = jnp.asarray(g.seq_variables["params"]["vq_layer"]
+                                 ["codebook"])
+                L, H = seq.n_layers, seq.hidden_size
+                flat = jnp.take(cb, tokens, axis=0)
+                if stage_tokens is not None:
+                    for s in range(stage_tokens.shape[-1]):
+                        cbs = jnp.asarray(
+                            g.seq_variables["params"]["vq_layer"]
+                            [f"codebook_r{s + 1}"])
+                        st = stage_tokens[:, s]
+                        flat = flat + jnp.where(
+                            (st >= 0)[:, None],
+                            jnp.take(cbs, jnp.maximum(st, 0), axis=0),
+                            0.0)
+                return jnp.transpose(
+                    flat.reshape(tokens.shape[0], L, H), (1, 0, 2))
+
+            continuity = bool(g.chunk_continuity)
+
+            @jax.jit
+            def step(word_ids, length, seed_tokens, prev_last, key):
+                """One window: tokens + motion frames + carries, one
+                device program."""
+                res = decode_window(word_ids, length, seed_tokens, key)
+                toks = res["tokens"][0]
+                stage = None
+                if multi:
+                    sr = res["stage_tokens"][0]
+                    stage = jnp.concatenate(
+                        [jnp.full((1, sr.shape[-1]), -1, sr.dtype), sr],
+                        axis=0)
+                if continuity:
+                    # per-chunk scan seeded from the previous chunk's
+                    # last frame, carried ACROSS windows via prev_last
+                    # (the batch path's scan carry never resets)
+                    def body(pl, xs):
+                        tok, st = xs
+                        hid = token_hidden(
+                            tok[None], None if st is None else st[None])
+                        out = seq.apply(
+                            g.seq_variables, hid, pl[None],
+                            method=seq.rollout,
+                            rngs={"dropout": jax.random.PRNGKey(0)})[0]
+                        return out[-1], out
+
+                    if stage is None:
+                        new_last, chunks = jax.lax.scan(
+                            lambda p, t: body(p, (t, None)), prev_last,
+                            toks)
+                    else:
+                        new_last, chunks = jax.lax.scan(
+                            body, prev_last, (toks, stage))
+                    lat = chunks.reshape(-1, seq.rep_dim)
+                else:
+                    hidden = token_hidden(toks, stage)
+                    seed0 = jnp.zeros((toks.shape[0], seq.rep_dim))
+                    lat = seq.apply(
+                        g.seq_variables, hidden, seed0,
+                        method=seq.rollout,
+                        rngs={"dropout": jax.random.PRNGKey(0)})
+                    lat = lat.reshape(-1, seq.rep_dim)
+                    new_last = prev_last
+                frames = dae.apply(g.dae_variables, lat,
+                                   method=dae.decode)
+                next_seed = jnp.zeros((n_steps,), jnp.int32) \
+                    .at[:n_pre].set(toks[-n_pre:])
+                return frames, toks, next_seed, new_last
+
+            return step
+
+        # exemplar mode: tokens on device, retrieval on host (indexing),
+        # decode via the shared bank program (one extra device call)
+        @jax.jit
+        def predict(word_ids, length, seed_tokens, key):
+            res = decode_window(word_ids, length, seed_tokens, key)
+            toks = res["tokens"][0]
+            next_seed = jnp.zeros((n_steps,), jnp.int32) \
+                .at[:n_pre].set(toks[-n_pre:])
+            return toks, next_seed
+
+        def step(word_ids, length, seed_tokens, prev_last, key):
+            toks, next_seed = predict(word_ids, length, seed_tokens, key)
+            picks = g._exemplars.pick_indices(np.asarray(toks))
+            frames = g._exemplar_decode(jnp.asarray(picks))
+            return frames, toks, next_seed, prev_last
+
+        return step
+
+    # -----------------------------------------------------------------
+    def _emit(self, w: int) -> Tuple[np.ndarray, np.ndarray]:
+        g = self.gen
+        t0, t1 = w * self.unit, (w + 1) * self.unit
+        ids, length = g._window_word_ids(self._words, t0, t1)
+        key = g._next_key()
+        frames_j, toks_j, self._seed, self._prev_last = self._step(
+            jnp.asarray(ids), jnp.asarray(np.int32(length)), self._seed,
+            self._prev_last, key)
+        frames = unnormalize(np.asarray(frames_j), g.pose_mean,
+                             g.pose_std)
+        return frames, np.asarray(toks_j)
+
+    def push(self, words: List[List], now_s: float
+             ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Feed the words seen so far (cumulative [[word, start_s,
+        end_s], ...]) and the current stream time. Returns one
+        (frames, tokens) pair per newly COMPLETED window (time range
+        fully <= now_s), possibly empty."""
+        self._words = list(words)
+        out = []
+        while (self._next_window + 1) * self.unit <= now_s + 1e-9:
+            out.append(self._emit(self._next_window))
+            self._next_window += 1
+        return out
+
+    def finish(self, duration_s: Optional[float] = None
+               ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Emit the remaining windows up to ceil(duration_s / unit)
+        (default: last word end time), same rule as the batch path."""
+        if duration_s is None:
+            duration_s = self._words[-1][2] if self._words else self.unit
+        n_windows = max(int(np.ceil(duration_s / self.unit)), 1)
+        out = []
+        while self._next_window < n_windows:
+            out.append(self._emit(self._next_window))
+            self._next_window += 1
+        return out
