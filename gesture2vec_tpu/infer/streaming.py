@@ -54,7 +54,7 @@ class StreamingGestureSession:
     windows are ignored (they are in the past).
     """
 
-    def __init__(self, generator):
+    def __init__(self, generator, step=None):
         self.gen = generator
         g = generator
         self.unit = g.sentence_frame_length / g.fps
@@ -68,143 +68,14 @@ class StreamingGestureSession:
             (getattr(g.seq_model, "rep_dim", 1),), jnp.float32)
         self._words: List[List] = []
         # one fused per-window program, compiled once per session
-        # (shapes are static: one window, max_words ids)
-        self._step = self._build_step()
+        # (shapes are static: one window, max_words ids). Pass a
+        # prebuilt `step` (build_streaming_step(generator)) to share
+        # the compiled program across many sessions — jax.jit caches by
+        # function identity, so a per-session build would recompile;
+        # a server serving concurrent streams builds it once.
+        self._step = step or build_streaming_step(generator)
 
     # -----------------------------------------------------------------
-    def _build_step(self):
-        g = self.gen
-        t2t = g.t2t_model
-        n_pre = t2t.n_pre_poses
-        n_steps = self.n_steps
-        multi = getattr(t2t, "token_stages", 1) > 1
-        sampling = g.temperature > 0.0
-        beam = int(g.beam_width) if g.beam_width > 1 else 0
-        temp, topk = float(g.temperature), int(g.top_k)
-
-        def decode_window(word_ids, length, seed_tokens, key):
-            """(S,) ids, scalar length, (n_steps,) seed -> res dict of
-            the window's token decode under the session's policy."""
-            eo, dh = t2t.apply(g.t2t_variables, word_ids[None],
-                               length[None], method=t2t.encode_text)
-            mask = jnp.arange(word_ids.shape[0]) < length
-            if beam:
-                return t2t.apply(g.t2t_variables, eo, dh,
-                                 seed_tokens[None], enc_mask=mask,
-                                 beam_width=beam, method=t2t.beam_decode)
-            kw = {}
-            if sampling:
-                kw = dict(temperature=temp, top_k=topk,
-                          rngs={"sample": key})
-            return t2t.apply(g.t2t_variables, eo, dh, seed_tokens[None],
-                             train=False, enc_mask=mask,
-                             method=t2t.decode_tokens, **kw)
-
-        if g.mode == "decode":
-            seq, dae = g.seq_model, g.dae_model
-
-            def token_hidden(tokens, stage_tokens):
-                cb = jnp.asarray(g.seq_variables["params"]["vq_layer"]
-                                 ["codebook"])
-                L, H = seq.n_layers, seq.hidden_size
-                flat = jnp.take(cb, tokens, axis=0)
-                if stage_tokens is not None:
-                    for s in range(stage_tokens.shape[-1]):
-                        cbs = jnp.asarray(
-                            g.seq_variables["params"]["vq_layer"]
-                            [f"codebook_r{s + 1}"])
-                        st = stage_tokens[:, s]
-                        flat = flat + jnp.where(
-                            (st >= 0)[:, None],
-                            jnp.take(cbs, jnp.maximum(st, 0), axis=0),
-                            0.0)
-                return jnp.transpose(
-                    flat.reshape(tokens.shape[0], L, H), (1, 0, 2))
-
-            continuity = bool(g.chunk_continuity)
-
-            @jax.jit
-            def step(word_ids, length, seed_tokens, prev_last, key):
-                """One window: tokens + motion frames + carries, one
-                device program."""
-                res = decode_window(word_ids, length, seed_tokens, key)
-                toks = res["tokens"][0]
-                stage = None
-                if multi:
-                    sr = res["stage_tokens"][0]
-                    stage = jnp.concatenate(
-                        [jnp.full((1, sr.shape[-1]), -1, sr.dtype), sr],
-                        axis=0)
-                if continuity:
-                    # per-chunk scan seeded from the previous chunk's
-                    # last frame, carried ACROSS windows via prev_last
-                    # (the batch path's scan carry never resets)
-                    def body(pl, xs):
-                        tok, st = xs
-                        hid = token_hidden(
-                            tok[None], None if st is None else st[None])
-                        out = seq.apply(
-                            g.seq_variables, hid, pl[None],
-                            method=seq.rollout,
-                            rngs={"dropout": jax.random.PRNGKey(0)})[0]
-                        return out[-1], out
-
-                    if stage is None:
-                        new_last, chunks = jax.lax.scan(
-                            lambda p, t: body(p, (t, None)), prev_last,
-                            toks)
-                    else:
-                        new_last, chunks = jax.lax.scan(
-                            body, prev_last, (toks, stage))
-                    lat = chunks.reshape(-1, seq.rep_dim)
-                else:
-                    hidden = token_hidden(toks, stage)
-                    seed0 = jnp.zeros((toks.shape[0], seq.rep_dim))
-                    lat = seq.apply(
-                        g.seq_variables, hidden, seed0,
-                        method=seq.rollout,
-                        rngs={"dropout": jax.random.PRNGKey(0)})
-                    lat = lat.reshape(-1, seq.rep_dim)
-                    new_last = prev_last
-                frames = dae.apply(g.dae_variables, lat,
-                                   method=dae.decode)
-                next_seed = jnp.zeros((n_steps,), jnp.int32) \
-                    .at[:n_pre].set(toks[-n_pre:])
-                return frames, toks, next_seed, new_last
-
-            return step
-
-        # exemplar mode: tokens on device, retrieval on host (indexing),
-        # decode via the shared bank program (one extra device call)
-        @jax.jit
-        def predict(word_ids, length, seed_tokens, key):
-            res = decode_window(word_ids, length, seed_tokens, key)
-            toks = res["tokens"][0]
-            next_seed = jnp.zeros((n_steps,), jnp.int32) \
-                .at[:n_pre].set(toks[-n_pre:])
-            return toks, next_seed
-
-        def step(word_ids, length, seed_tokens, prev_last, key):
-            toks, next_seed = predict(word_ids, length, seed_tokens, key)
-            picks = g._exemplars.pick_indices(np.asarray(toks))
-            frames = g._exemplar_decode(jnp.asarray(picks))
-            return frames, toks, next_seed, prev_last
-
-        return step
-
-    # -----------------------------------------------------------------
-    def _emit(self, w: int) -> Tuple[np.ndarray, np.ndarray]:
-        g = self.gen
-        t0, t1 = w * self.unit, (w + 1) * self.unit
-        ids, length = g._window_word_ids(self._words, t0, t1)
-        key = g._next_key()
-        frames_j, toks_j, self._seed, self._prev_last = self._step(
-            jnp.asarray(ids), jnp.asarray(np.int32(length)), self._seed,
-            self._prev_last, key)
-        frames = unnormalize(np.asarray(frames_j), g.pose_mean,
-                             g.pose_std)
-        return frames, np.asarray(toks_j)
-
     def push(self, words: List[List], now_s: float
              ) -> List[Tuple[np.ndarray, np.ndarray]]:
         """Feed the words seen so far (cumulative [[word, start_s,
@@ -230,3 +101,140 @@ class StreamingGestureSession:
             out.append(self._emit(self._next_window))
             self._next_window += 1
         return out
+
+    def _emit(self, w: int) -> Tuple[np.ndarray, np.ndarray]:
+        g = self.gen
+        t0, t1 = w * self.unit, (w + 1) * self.unit
+        ids, length = g._window_word_ids(self._words, t0, t1)
+        key = g._next_key()
+        frames_j, toks_j, self._seed, self._prev_last = self._step(
+            jnp.asarray(ids), jnp.asarray(np.int32(length)), self._seed,
+            self._prev_last, key)
+        frames = unnormalize(np.asarray(frames_j), g.pose_mean,
+                             g.pose_std)
+        return frames, np.asarray(toks_j)
+
+
+def build_streaming_step(g):
+    """Build the per-window step program for a GestureGenerator:
+    (word_ids (S,), length, seed_tokens (n_steps,), prev_last
+    (rep_dim,), key) -> (frames, tokens, next_seed, next_prev_last).
+    One compiled program shared by every StreamingGestureSession
+    constructed with it."""
+    t2t = g.t2t_model
+    n_pre = t2t.n_pre_poses
+    n_steps = g.n_steps
+    multi = getattr(t2t, "token_stages", 1) > 1
+    sampling = g.temperature > 0.0
+    beam = int(g.beam_width) if g.beam_width > 1 else 0
+    temp, topk = float(g.temperature), int(g.top_k)
+
+    def decode_window(word_ids, length, seed_tokens, key):
+        """(S,) ids, scalar length, (n_steps,) seed -> res dict of
+        the window's token decode under the session's policy."""
+        eo, dh = t2t.apply(g.t2t_variables, word_ids[None],
+                           length[None], method=t2t.encode_text)
+        mask = jnp.arange(word_ids.shape[0]) < length
+        if beam:
+            return t2t.apply(g.t2t_variables, eo, dh,
+                             seed_tokens[None], enc_mask=mask,
+                             beam_width=beam, method=t2t.beam_decode)
+        kw = {}
+        if sampling:
+            kw = dict(temperature=temp, top_k=topk,
+                      rngs={"sample": key})
+        return t2t.apply(g.t2t_variables, eo, dh, seed_tokens[None],
+                         train=False, enc_mask=mask,
+                         method=t2t.decode_tokens, **kw)
+
+    if g.mode == "decode":
+        seq, dae = g.seq_model, g.dae_model
+
+        def token_hidden(tokens, stage_tokens):
+            cb = jnp.asarray(g.seq_variables["params"]["vq_layer"]
+                             ["codebook"])
+            L, H = seq.n_layers, seq.hidden_size
+            flat = jnp.take(cb, tokens, axis=0)
+            if stage_tokens is not None:
+                for s in range(stage_tokens.shape[-1]):
+                    cbs = jnp.asarray(
+                        g.seq_variables["params"]["vq_layer"]
+                        [f"codebook_r{s + 1}"])
+                    st = stage_tokens[:, s]
+                    flat = flat + jnp.where(
+                        (st >= 0)[:, None],
+                        jnp.take(cbs, jnp.maximum(st, 0), axis=0),
+                        0.0)
+            return jnp.transpose(
+                flat.reshape(tokens.shape[0], L, H), (1, 0, 2))
+
+        continuity = bool(g.chunk_continuity)
+
+        @jax.jit
+        def step(word_ids, length, seed_tokens, prev_last, key):
+            """One window: tokens + motion frames + carries, one
+            device program."""
+            res = decode_window(word_ids, length, seed_tokens, key)
+            toks = res["tokens"][0]
+            stage = None
+            if multi:
+                sr = res["stage_tokens"][0]
+                stage = jnp.concatenate(
+                    [jnp.full((1, sr.shape[-1]), -1, sr.dtype), sr],
+                    axis=0)
+            if continuity:
+                # per-chunk scan seeded from the previous chunk's
+                # last frame, carried ACROSS windows via prev_last
+                # (the batch path's scan carry never resets)
+                def body(pl, xs):
+                    tok, st = xs
+                    hid = token_hidden(
+                        tok[None], None if st is None else st[None])
+                    out = seq.apply(
+                        g.seq_variables, hid, pl[None],
+                        method=seq.rollout,
+                        rngs={"dropout": jax.random.PRNGKey(0)})[0]
+                    return out[-1], out
+
+                if stage is None:
+                    new_last, chunks = jax.lax.scan(
+                        lambda p, t: body(p, (t, None)), prev_last,
+                        toks)
+                else:
+                    new_last, chunks = jax.lax.scan(
+                        body, prev_last, (toks, stage))
+                lat = chunks.reshape(-1, seq.rep_dim)
+            else:
+                hidden = token_hidden(toks, stage)
+                seed0 = jnp.zeros((toks.shape[0], seq.rep_dim))
+                lat = seq.apply(
+                    g.seq_variables, hidden, seed0,
+                    method=seq.rollout,
+                    rngs={"dropout": jax.random.PRNGKey(0)})
+                lat = lat.reshape(-1, seq.rep_dim)
+                new_last = prev_last
+            frames = dae.apply(g.dae_variables, lat,
+                               method=dae.decode)
+            next_seed = jnp.zeros((n_steps,), jnp.int32) \
+                .at[:n_pre].set(toks[-n_pre:])
+            return frames, toks, next_seed, new_last
+
+        return step
+
+    # exemplar mode: tokens on device, retrieval on host (indexing),
+    # decode via the shared bank program (one extra device call)
+    @jax.jit
+    def predict(word_ids, length, seed_tokens, key):
+        res = decode_window(word_ids, length, seed_tokens, key)
+        toks = res["tokens"][0]
+        next_seed = jnp.zeros((n_steps,), jnp.int32) \
+            .at[:n_pre].set(toks[-n_pre:])
+        return toks, next_seed
+
+    def step(word_ids, length, seed_tokens, prev_last, key):
+        toks, next_seed = predict(word_ids, length, seed_tokens, key)
+        picks = g._exemplars.pick_indices(np.asarray(toks))
+        frames = g._exemplar_decode(jnp.asarray(picks))
+        return frames, toks, next_seed, prev_last
+
+    return step

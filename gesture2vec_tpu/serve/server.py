@@ -19,6 +19,16 @@ Endpoints (stdlib http.server, thread-per-connection):
                      response: BVH text (format=bvh, default when an
                      exporter is configured) or JSON with the motion
                      array and gesture tokens.
+  POST /stream    -> same request JSON (format is always json);
+                     chunked NDJSON response: one line per completed
+                     ~6 s window as soon as its motion is ready
+                     ({"window", "t0_s", "t1_s", "frames_shape",
+                     "frames_b64", "dtype", "tokens"}), then a final
+                     {"done": true, "windows": N} line. Streaming
+                     requests bypass the micro-batcher (they are
+                     latency-oriented); all sessions share ONE compiled
+                     per-window program (infer/streaming.py), so
+                     concurrent streams do not recompile.
 """
 from __future__ import annotations
 
@@ -91,7 +101,8 @@ class BatchingWorker:
         self.batch_window_s = batch_window_s
         self.mesh = mesh
         self.stats = {"requests": 0, "batches": 0, "batched_requests": 0,
-                      "cancelled": 0, "rejected": 0}
+                      "cancelled": 0, "rejected": 0, "streams": 0,
+                      "stream_windows": 0}
         from collections import deque
         self._latencies: "deque[float]" = deque(maxlen=self.LATENCY_WINDOW)
         self._lat_lock = threading.Lock()
@@ -239,6 +250,25 @@ class BatchingWorker:
                 self._dispatch([r])
 
 
+class _StreamPrograms:
+    """Lazy, locked holder for the shared streaming step program: built
+    once on the first /stream request (jax.jit caches by function
+    identity, so per-request builds would recompile every stream)."""
+
+    def __init__(self, generator):
+        self._generator = generator
+        self._lock = threading.Lock()
+        self._step = None
+
+    def get(self):
+        with self._lock:
+            if self._step is None:
+                from gesture2vec_tpu.infer.streaming import \
+                    build_streaming_step
+                self._step = build_streaming_step(self._generator)
+            return self._step
+
+
 def make_handler(worker: BatchingWorker,
                  export_bvh: Optional[Callable[[np.ndarray], str]] = None,
                  request_timeout_s: float = 120.0):
@@ -246,7 +276,13 @@ def make_handler(worker: BatchingWorker,
     request_timeout_s bounds the wait for generation (incl. the first
     requests' XLA compile, which can dominate on a cold server)."""
 
+    stream_programs = _StreamPrograms(worker.generator)
+
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer (used by /stream) requires HTTP/1.1; every
+        # non-chunked response already sends Content-Length
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, fmt, *args):  # route through logging
             logging.debug("serve: " + fmt, *args)
 
@@ -268,13 +304,13 @@ def make_handler(worker: BatchingWorker,
             else:
                 self._send_json(404, {"error": "not found"})
 
-        def do_POST(self):
-            if self.path != "/generate":
-                self._send_json(404, {"error": "not found"})
-                return
-            # every malformed-input shape maps to a 400, not a dropped
-            # socket: TypeError/IndexError cover non-list words, short
-            # word triples, and null duration_s
+        def _write_chunk(self, data: bytes) -> None:
+            self.wfile.write(f"{len(data):X}\r\n".encode() + data
+                             + b"\r\n")
+
+        def _parse_words(self):
+            """Shared request parsing for /generate and /stream;
+            sends the 400 itself and returns None on bad input."""
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(n) or b"{}")
@@ -288,19 +324,77 @@ def make_handler(worker: BatchingWorker,
                          for w in words]
                 duration = float(payload.get(
                     "duration_s", words[-1][2] if words else 6.0))
-                fmt = payload.get("format",
-                                  "bvh" if export_bvh else "json")
-                if fmt not in ("bvh", "json"):
-                    raise ValueError(f"unknown format {fmt!r}")
-                # reject before spending a device program on a request
-                # that cannot be answered
-                if fmt == "bvh" and export_bvh is None:
-                    self._send_json(400,
-                                    {"error": "no exporter configured"})
-                    return
+                return words, duration, payload
             except (KeyError, ValueError, TypeError, IndexError,
                     json.JSONDecodeError) as e:
                 self._send_json(400, {"error": f"bad request: {e}"})
+                return None
+
+        def _post_stream(self):
+            parsed = self._parse_words()
+            if parsed is None:
+                return
+            words, duration, _ = parsed
+            from gesture2vec_tpu.infer.streaming import \
+                StreamingGestureSession
+            sess = StreamingGestureSession(worker.generator,
+                                           step=stream_programs.get())
+            worker.stats["streams"] += 1
+            unit = sess.unit
+            n_windows = max(int(np.ceil(duration / unit)), 1)
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            sess.push(words, now_s=0.0)       # register the transcript
+            try:
+                for w in range(n_windows):
+                    frames, tokens = sess.finish((w + 1) * unit)[0]
+                    line = json.dumps({
+                        "window": w, "t0_s": w * unit,
+                        "t1_s": (w + 1) * unit,
+                        "frames_shape": list(frames.shape),
+                        "frames_b64": base64.b64encode(
+                            np.asarray(frames, np.float32)
+                            .tobytes()).decode(),
+                        "dtype": "float32",
+                        "tokens": np.asarray(tokens).reshape(-1)
+                        .tolist()})
+                    self._write_chunk(line.encode() + b"\n")
+                    worker.stats["stream_windows"] += 1
+                self._write_chunk(json.dumps(
+                    {"done": True, "windows": n_windows}).encode()
+                    + b"\n")
+            except Exception as e:  # mid-stream failure: emit an error
+                logging.exception("stream failed")  # line, then close
+                self._write_chunk(json.dumps(
+                    {"error": f"{type(e).__name__}: {e}"}).encode()
+                    + b"\n")
+            self.wfile.write(b"0\r\n\r\n")
+
+        def do_POST(self):
+            if self.path == "/stream":
+                self._post_stream()
+                return
+            if self.path != "/generate":
+                self._send_json(404, {"error": "not found"})
+                return
+            # every malformed-input shape maps to a 400, not a dropped
+            # socket (_parse_words); format checks follow the same rule
+            parsed = self._parse_words()
+            if parsed is None:
+                return
+            words, duration, payload = parsed
+            fmt = payload.get("format", "bvh" if export_bvh else "json")
+            if fmt not in ("bvh", "json"):
+                self._send_json(400,
+                                {"error": f"bad request: unknown format "
+                                          f"{fmt!r}"})
+                return
+            # reject before spending a device program on a request
+            # that cannot be answered
+            if fmt == "bvh" and export_bvh is None:
+                self._send_json(400, {"error": "no exporter configured"})
                 return
             try:
                 frames, tokens = worker.submit(

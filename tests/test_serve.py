@@ -327,3 +327,91 @@ def test_decode_mode_rejects_attention_seq_model(tiny_gen):
             tiny_gen, seq_model=att,
             seq_variables={"params": ast.params,
                            "batch_stats": ast.batch_stats})
+
+
+def test_http_stream_endpoint(tiny_gen):
+    """POST /stream returns chunked NDJSON: one line per window with
+    the motion payload, then a done line; tokens match the non-streamed
+    /generate for the same greedy request; healthz counts streams."""
+    import base64
+    import json
+    import threading
+    import urllib.request
+
+    from gesture2vec_tpu.serve.server import serve
+
+    httpd = serve(tiny_gen, port=0, batch_window_s=0.02)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"words": _words(8),
+                           "duration_s": 4.0}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/stream", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+            lines = [json.loads(l) for l in r.read().splitlines() if l]
+        assert lines[-1] == {"done": True, "windows": 2}  # 4s / 2s unit
+        windows = lines[:-1]
+        assert [w["window"] for w in windows] == [0, 1]
+        frames = [np.frombuffer(base64.b64decode(w["frames_b64"]),
+                                np.float32).reshape(w["frames_shape"])
+                  for w in windows]
+        toks_stream = np.concatenate(
+            [np.asarray(w["tokens"]) for w in windows])
+        assert all(f.shape == (SENT, DIM) for f in frames)
+        assert all(np.isfinite(f).all() for f in frames)
+
+        # greedy /generate on the same transcript gives the same tokens
+        gen_req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"words": _words(8), "duration_s": 4.0,
+                             "format": "json"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(gen_req, timeout=300) as r:
+            out = json.loads(r.read())
+        np.testing.assert_array_equal(toks_stream,
+                                      np.asarray(out["tokens"]))
+        gen_frames = np.frombuffer(
+            base64.b64decode(out["frames_b64"]),
+            np.float32).reshape(out["frames_shape"])
+        np.testing.assert_allclose(np.concatenate(frames, axis=0),
+                                   gen_frames, atol=1e-5)
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["streams"] == 1
+        assert health["stream_windows"] == 2
+    finally:
+        httpd.shutdown()
+        httpd.worker.close()
+
+
+def test_http_stream_bad_request(tiny_gen):
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from gesture2vec_tpu.serve.server import serve
+
+    httpd = serve(tiny_gen, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/stream",
+            data=json.dumps({"words": "nope"}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.worker.close()
