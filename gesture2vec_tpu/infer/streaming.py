@@ -238,3 +238,164 @@ def build_streaming_step(g):
         return frames, toks, next_seed, prev_last
 
     return step
+
+
+class AudioStreamingGestureSession:
+    """Incremental speech -> gesture over one live audio stream.
+
+    The audio twin of StreamingGestureSession, built from a configured
+    AudioGestureGenerator: push the waveform captured so far (cumulative
+    mono float at audio_sr), receive motion for each completed ~6 s
+    window immediately, with the cross-window teacher-seed carry
+    preserved. For fusion="both" checkpoints also pass the cumulative
+    words to push().
+
+    Host work per window is the mel frontend (io/audio numpy); the rest
+    is one fused device program per window, shared across sessions via
+    `step=build_audio_streaming_step(generator)`.
+    """
+
+    def __init__(self, generator, step=None):
+        self.gen = generator
+        g = generator
+        self.unit = g.sentence_frame_length / g.fps
+        self.n_steps = g.n_steps
+        self._next_window = 0
+        self._seed = jnp.zeros((self.n_steps,), jnp.int32)
+        self._audio = np.zeros((0,), np.float32)
+        self._words: List[List] = []
+        self._step = step or build_audio_streaming_step(generator)
+
+    def push(self, audio: np.ndarray, now_s: Optional[float] = None,
+             words: Optional[List[List]] = None
+             ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """audio: the CUMULATIVE waveform so far (mono, audio_sr).
+        now_s defaults to the audio length. Emits one (frames, tokens)
+        per newly completed window."""
+        self._audio = np.asarray(audio, np.float32)
+        if words is not None:
+            self._words = list(words)
+        if now_s is None:
+            now_s = len(self._audio) / self.gen.audio_sr
+        out = []
+        while (self._next_window + 1) * self.unit <= now_s + 1e-9:
+            out.append(self._emit(self._next_window))
+            self._next_window += 1
+        return out
+
+    def finish(self, duration_s: Optional[float] = None
+               ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        if duration_s is None:
+            duration_s = len(self._audio) / self.gen.audio_sr
+        n_windows = max(int(np.ceil(duration_s / self.unit)), 1)
+        out = []
+        while self._next_window < n_windows:
+            out.append(self._emit(self._next_window))
+            self._next_window += 1
+        return out
+
+    def _emit(self, w: int) -> Tuple[np.ndarray, np.ndarray]:
+        g = self.gen
+        sr = g.audio_sr
+        window_samples = int(self.unit) * sr
+        seg = self._audio[w * window_samples:(w + 1) * window_samples]
+        if len(seg) < window_samples:
+            seg = np.pad(seg, (0, window_samples - len(seg)))
+        if g.fusion == "both":
+            if g.vocab is None:
+                raise ValueError("fusion='both' streaming needs a vocab "
+                                 "and words pushed alongside the audio")
+            window_seconds = int(self.unit)
+            wavs = seg.reshape(window_seconds, sr)
+            # word ids for THIS window's time range (generator helper
+            # indexes windows from 0 over the whole stream, so slice)
+            all_ids = g._window_word_ids(self._words, w + 1)
+            enc_in = (jnp.asarray(all_ids[w]), jnp.asarray(wavs))
+        else:
+            from gesture2vec_tpu.io.audio import mel_chunks_per_second
+            enc_in = jnp.asarray(
+                mel_chunks_per_second(seg, sr).astype(np.float32))
+        if g.temperature > 0.0:
+            key = jax.random.PRNGKey(int(g._rng.integers(2 ** 31 - 1)))
+        else:
+            key = jax.random.PRNGKey(0)
+        frames_j, toks_j, self._seed = self._step(enc_in, self._seed,
+                                                  key)
+        frames = unnormalize(np.asarray(frames_j), g.pose_mean,
+                             g.pose_std)
+        return frames, np.asarray(toks_j)
+
+
+def build_audio_streaming_step(g):
+    """Per-window step for an AudioGestureGenerator: (enc_in (mel
+    chunks (S, n_mels, F) or (word_ids (T,), wavs (S, sr)) for
+    fusion='both'), seed_tokens, key) -> (frames, tokens, next_seed).
+    Shared across sessions (jit caches by function identity)."""
+    a2t, seq, dae = g.a2t_model, g.seq_model, g.dae_model
+    n_pre, n_steps = a2t.n_pre_poses, g.n_steps
+    multi = getattr(a2t, "token_stages", 1) > 1
+    sampling = g.temperature > 0.0
+    beam = int(g.beam_width) if g.beam_width > 1 else 0
+    temp, topk = float(g.temperature), int(g.top_k)
+    exemplar = g.mode == "exemplar"
+
+    @jax.jit
+    def device_step(enc_in, seed_tokens, key):
+        if isinstance(enc_in, tuple):
+            batched = (enc_in[0][None], enc_in[1][None])
+        else:
+            batched = enc_in[None]
+        eo, dh = a2t.apply(g.a2t_variables, batched,
+                           method=a2t.encode_audio)
+        if beam:
+            res = a2t.apply(g.a2t_variables, eo, dh, seed_tokens[None],
+                            beam_width=beam, method=a2t.beam_decode)
+        else:
+            kw = (dict(temperature=temp, top_k=topk,
+                       rngs={"sample": key}) if sampling else {})
+            res = a2t.apply(g.a2t_variables, eo, dh, seed_tokens[None],
+                            method=a2t.decode_tokens, **kw)
+        toks = res["tokens"][0]
+        next_seed = jnp.zeros((n_steps,), jnp.int32) \
+            .at[:n_pre].set(toks[-n_pre:])
+        if exemplar:
+            return toks, next_seed
+        stage = None
+        if multi:
+            sr_ = res["stage_tokens"][0]
+            stage = jnp.concatenate(
+                [jnp.full((1, sr_.shape[-1]), -1, sr_.dtype), sr_],
+                axis=0)
+        cb = jnp.asarray(g.seq_variables["params"]["vq_layer"]
+                         ["codebook"])
+        L, H = seq.n_layers, seq.hidden_size
+        flat = jnp.take(cb, toks, axis=0)
+        if stage is not None:
+            for s in range(stage.shape[-1]):
+                cbs = jnp.asarray(g.seq_variables["params"]["vq_layer"]
+                                  [f"codebook_r{s + 1}"])
+                st = stage[:, s]
+                flat = flat + jnp.where(
+                    (st >= 0)[:, None],
+                    jnp.take(cbs, jnp.maximum(st, 0), axis=0), 0.0)
+        hidden = jnp.transpose(flat.reshape(toks.shape[0], L, H),
+                               (1, 0, 2))
+        lat = seq.apply(g.seq_variables, hidden,
+                        jnp.zeros((toks.shape[0], seq.rep_dim)),
+                        method=seq.rollout,
+                        rngs={"dropout": jax.random.PRNGKey(0)})
+        frames = dae.apply(g.dae_variables,
+                           lat.reshape(-1, seq.rep_dim),
+                           method=dae.decode)
+        return frames, toks, next_seed
+
+    if not exemplar:
+        return device_step
+
+    def step(enc_in, seed_tokens, key):
+        toks, next_seed = device_step(enc_in, seed_tokens, key)
+        picks = g._exemplars.pick_indices(np.asarray(toks))
+        frames = g._exemplar_decode(jnp.asarray(picks))
+        return frames, toks, next_seed
+
+    return step

@@ -95,3 +95,101 @@ def test_streaming_beam1_matches_greedy(pipeline_artifacts):
     f_b, t_b = _stream_all(gen_b1, WORDS, 4.0)
     np.testing.assert_array_equal(t_b, t_g)
     np.testing.assert_allclose(f_b, f_g, atol=1e-6)
+
+
+def _tiny_audio_generator(rng, temperature=0.0):
+    import jax
+    import jax.numpy as jnp
+
+    from gesture2vec_tpu.infer.audio2gesture import AudioGestureGenerator
+    from gesture2vec_tpu.train.audio2token_trainer import make_audio2token
+    from gesture2vec_tpu.train.config import load_config
+    from gesture2vec_tpu.train.dae_trainer import (init_state as dae_init,
+                                                   make_frame_model)
+    from gesture2vec_tpu.train.optim import make_optimizer
+    from gesture2vec_tpu.train.seq_ae_trainer import (init_state as sq_init,
+                                                      make_seq_ae)
+
+    rep, fps, n_poses, sent_len, codes = 12, 10, 10, 20, 8
+    a2t_cfg = load_config(dict(
+        name="a", model="seq2seq", hidden_size=16, n_layers=2,
+        dropout_prob=0.1, epochs=1, batch_size=4, learning_rate=1e-3,
+        n_poses=n_poses, n_pre_poses=1, sentence_frame_length=sent_len,
+        motion_resampling_framerate=fps, autoencoder_vq=True,
+        autoencoder_vq_components=codes, autoencoder_att=True,
+        random_seed=0))
+    a2t = make_audio2token(a2t_cfg)
+    key = jax.random.PRNGKey(0)
+    mel0 = jnp.zeros((2, sent_len // fps, 128, 31), jnp.float32)
+    tgt0 = jnp.zeros((2, sent_len // n_poses), jnp.int32)
+    a2t_vars = a2t.init({"params": key,
+                         "dropout": jax.random.fold_in(key, 1)},
+                        mel0, tgt0, train=False)
+    a2t_vars = {"params": a2t_vars["params"],
+                "batch_stats": a2t_vars.get("batch_stats", {})}
+    dae_cfg = load_config(dict(name="d", model="DAE", hidden_size=rep,
+                               input_motion_dim=30, epochs=1,
+                               batch_size=4, random_seed=0))
+    dae = make_frame_model(dae_cfg)
+    dae_state = dae_init(dae_cfg, dae, jax.random.fold_in(key, 2),
+                         make_optimizer(1e-3))
+    sq_cfg = load_config(dict(name="s", model="seq2seq", hidden_size=16,
+                              n_layers=2, dropout_prob=0.0, epochs=1,
+                              batch_size=4, learning_rate=1e-3,
+                              rep_learning_dim=rep, n_poses=n_poses,
+                              n_pre_poses=1, autoencoder_vq=True,
+                              autoencoder_vq_components=codes,
+                              autoencoder_att=False,
+                              autoencoder_conditioned=True,
+                              random_seed=0))
+    seq = make_seq_ae(sq_cfg)
+    sq_state = sq_init(sq_cfg, seq, jax.random.fold_in(key, 3),
+                       make_optimizer(1e-3))
+    return AudioGestureGenerator(
+        a2t_model=a2t, a2t_variables=a2t_vars, seq_model=seq,
+        seq_variables={"params": sq_state.params,
+                       "batch_stats": sq_state.batch_stats},
+        dae_model=dae, dae_variables={"params": dae_state.params},
+        pose_mean=np.zeros(30, np.float32),
+        pose_std=np.ones(30, np.float32),
+        n_frames=n_poses, sentence_frame_length=sent_len, fps=fps,
+        audio_sr=16000, mode="decode", temperature=temperature)
+
+
+def test_audio_streaming_matches_batch(rng):
+    """Live speech streaming: incremental pushes reproduce the batch
+    audio path exactly in greedy decode mode."""
+    from gesture2vec_tpu.infer.streaming import (
+        AudioStreamingGestureSession)
+
+    audio = rng.normal(scale=0.1, size=(16000 * 4,)).astype(np.float32)
+    gen = _tiny_audio_generator(np.random.default_rng(0))
+    f_batch, t_batch = gen.generate(audio)
+
+    sess = AudioStreamingGestureSession(
+        _tiny_audio_generator(np.random.default_rng(0)))
+    out = sess.push(audio[:16000 * 1])          # 1 s: window incomplete
+    assert out == []
+    out = sess.push(audio[:16000 * 3])          # 3 s: window 0 done
+    assert len(out) == 1
+    out += sess.push(audio)                     # 4 s: window 1 done
+    out += sess.finish(4.0)
+    assert len(out) == 2
+    f_s = np.concatenate([f for f, _ in out], axis=0)
+    t_s = np.concatenate([t for _, t in out], axis=0)
+    np.testing.assert_array_equal(t_s, t_batch)
+    np.testing.assert_allclose(f_s, f_batch, atol=1e-5)
+
+
+def test_audio_streaming_sampled(rng):
+    from gesture2vec_tpu.infer.streaming import (
+        AudioStreamingGestureSession)
+
+    audio = rng.normal(scale=0.1, size=(16000 * 4,)).astype(np.float32)
+    sess = AudioStreamingGestureSession(
+        _tiny_audio_generator(np.random.default_rng(0), temperature=1.5))
+    out = sess.push(audio) + sess.finish(4.0)
+    tokens = np.concatenate([t for _, t in out])
+    assert tokens.shape == (4,)                 # 2 windows x 2 steps
+    assert tokens.min() >= 0 and tokens.max() < 8
+    assert all(np.isfinite(f).all() for f, _ in out)
