@@ -33,6 +33,21 @@ def _latest(pattern):
     return paths[-1]
 
 
+def boundary_jump(frames_list, n_frames_chunk):
+    """Mean pose jump across chunk boundaries (generated frames,
+    unnormalized space): the splice-discontinuity metric that the
+    exemplar mode's random retrieval pays and continuity-aware
+    retrieval (motion matching) minimizes. Compare against the real
+    corpus' consecutive-frame delta (the floor)."""
+    js = []
+    for f in frames_list:
+        f = np.asarray(f)
+        ks = np.arange(n_frames_chunk, f.shape[0], n_frames_chunk)
+        if len(ks):
+            js.append(np.linalg.norm(f[ks] - f[ks - 1], axis=1))
+    return float(np.mean(np.concatenate(js))) if js else float("nan")
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("out", nargs="?", default="/tmp/quality_out")
@@ -85,7 +100,15 @@ def main():
                                     mean=store.pose_mean,
                                     std=store.pose_std)
 
-    results = {}
+    # real-motion floor for the boundary-jump metric: consecutive-frame
+    # deltas inside the held-out clips (unnormalized pose space)
+    real_deltas = []
+    for clip in val_store:
+        p = np.asarray(clip["poses"], np.float32)
+        real_deltas.append(np.linalg.norm(np.diff(p, axis=0), axis=1))
+    real_frame_delta = float(np.mean(np.concatenate(real_deltas)))
+
+    results = {"real_consecutive_frame_delta": real_frame_delta}
     for label, mode, extra in (
             ("decode", "decode", {}),
             ("decode_continuity", "decode", {"chunk_continuity": True}),
@@ -99,6 +122,12 @@ def main():
             ("decode_beam4", "decode", {"beam_width": 4}),
             ("exemplar_sample_t1.0", "exemplar", {"temperature": 1.0}),
             ("exemplar", "exemplar", {}),
+            # continuity-aware retrieval (motion matching, beyond
+            # reference): minimizes the splice jump at chunk boundaries
+            ("exemplar_continuity", "exemplar",
+             {"exemplar_continuity": True}),
+            ("exemplar_continuity_sample_t1.0", "exemplar",
+             {"exemplar_continuity": True, "temperature": 1.0}),
             ("exemplar_smoothed", "exemplar", {"_smooth": True})):
         smooth = bool(extra.pop("_smooth", False))
         gen = GestureGenerator(
@@ -110,12 +139,13 @@ def main():
             sentence_frame_length=t2t_cfg.sentence_frame_length,
             fps=fps, max_words=24, mode=mode, latent_bank=bank, seed=0,
             **extra)
-        m, _ = eval_generated_vs_gt(
+        m, gen_frames = eval_generated_vs_gt(
             gen, store, val_store, dae, dae_vars, seq, seq_vars,
             n_frames_chunk, codes, bank_val, bank, fps,
             smooth_generated=smooth)
         m.pop("_hist_gen")
         m.pop("_hist_gt")
+        m["boundary_jump"] = boundary_jump(gen_frames, n_frames_chunk)
         results[label] = m
         print(f"\n=== {label} ===")
         print(json.dumps(m, indent=2))

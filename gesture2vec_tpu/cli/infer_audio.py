@@ -48,6 +48,11 @@ def main() -> None:
                         help="beam-search token decode with this "
                              "many hypotheses (0/1 = greedy; "
                              "exclusive with --temperature)")
+    parser.add_argument("--exemplar-continuity",
+                        action="store_true",
+                        help="exemplar mode: continuity-aware "
+                             "retrieval (motion matching) instead "
+                             "of the reference's random pick")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -114,7 +119,8 @@ def main() -> None:
         fps=cfg.motion_resampling_framerate, audio_sr=sr,
         mode=args.mode, latent_bank=bank, seed=args.seed, vocab=vocab,
         temperature=args.temperature, top_k=args.top_k,
-        beam_width=args.beam_width)
+        beam_width=args.beam_width,
+        exemplar_continuity=args.exemplar_continuity)
 
     t0 = time.time()
     frames, tokens = gen.generate(wave, args.duration, words=words)

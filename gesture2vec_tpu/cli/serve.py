@@ -51,6 +51,11 @@ def main() -> None:
                         help="beam-search token decode with this "
                              "many hypotheses (0/1 = greedy; "
                              "exclusive with --temperature)")
+    parser.add_argument("--exemplar-continuity",
+                        action="store_true",
+                        help="exemplar mode: continuity-aware "
+                             "retrieval (motion matching) instead "
+                             "of the reference's random pick")
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 
@@ -75,7 +80,8 @@ def main() -> None:
                              seed=args.seed,
                              temperature=args.temperature,
                              top_k=args.top_k,
-                               beam_width=args.beam_width)
+                               beam_width=args.beam_width,
+                               exemplar_continuity=args.exemplar_continuity)
     to_bvh = load_bvh_exporter(args.dataset, args.pipeline,
                                args.twh_variant)
 

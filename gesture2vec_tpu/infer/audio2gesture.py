@@ -56,6 +56,9 @@ class AudioGestureGenerator:
     # beam-search decode (beyond reference; exclusive with
     # temperature>0): 0/1 = greedy, >1 searches that many hypotheses
     beam_width: int = 0
+    # exemplar mode: continuity-aware retrieval (motion matching) —
+    # same contract as infer/text2gesture.GestureGenerator
+    exemplar_continuity: bool = False
 
     def __post_init__(self):
         self.n_steps = self.sentence_frame_length // self.n_frames
@@ -262,7 +265,9 @@ class AudioGestureGenerator:
                 frames = np.asarray(
                     self._decode_and_dae(jnp.asarray(tokens)))
         else:
-            picks = self._exemplars.pick_indices(tokens)
+            picks = (self._exemplars.pick_indices_continuity(tokens)
+                     if self.exemplar_continuity
+                     else self._exemplars.pick_indices(tokens))
             frames = np.asarray(self._exemplar_decode(
                 jnp.asarray(picks)))
         frames = unnormalize(frames, self.pose_mean, self.pose_std)

@@ -32,6 +32,11 @@ class ExemplarBank:
         self._latents = latent_bank["dae_latents"]
         self._rng = rng
         self._resolve_cache: dict = {}
+        # boundary frames for continuity-aware retrieval (motion
+        # matching): first/last DAE-latent frame of every bank window
+        lats = np.asarray(self._latents, np.float32)
+        self._first_frames = np.ascontiguousarray(lats[:, 0])
+        self._last_frames = np.ascontiguousarray(lats[:, -1])
 
     def make_decode_fn(self, dae_model, dae_variables):
         """Jitted picks -> motion frames. The latent bank stays
@@ -77,3 +82,45 @@ class ExemplarBank:
         offs = (self._rng.random(len(toks)) * sizes).astype(np.int64)
         return np.array([self._index[t][o]
                          for t, o in zip(resolved, offs)], np.int32)
+
+    def _resolve(self, t: int) -> int:
+        """Map an unpopulated/out-of-range token to its nearest
+        populated neighbor by codebook distance (cached)."""
+        if t < len(self._index) and len(self._index[t]):
+            return t
+        hit = self._resolve_cache.get(t)
+        if hit is None:
+            cb, pop = self._codebook, self._populated
+            d = np.sum((cb[pop] - cb[min(t, len(cb) - 1)]) ** 2, axis=1)
+            hit = int(pop[np.argmin(d)])
+            self._resolve_cache[t] = hit
+        return hit
+
+    def pick_indices_continuity(self, tokens,
+                                prev_pick: int = -1) -> np.ndarray:
+        """Continuity-aware retrieval (motion matching; beyond
+        reference): among each token's candidate windows, pick the one
+        whose FIRST latent frame is nearest the previous pick's LAST
+        latent frame, so consecutive exemplar windows splice with the
+        smallest pose jump. The first token (prev_pick < 0 and no
+        predecessor) falls back to the reference's uniform random pick.
+
+        Sequential by construction (each pick conditions the next);
+        per-step cost is one vectorized distance over that token's
+        candidates. prev_pick carries the chain across calls (the
+        streaming session threads it between windows)."""
+        toks = np.asarray(tokens, np.int64).reshape(-1)
+        picks = np.empty(len(toks), np.int32)
+        prev = int(prev_pick)
+        for i, t in enumerate(toks):
+            cand = self._index[self._resolve(int(t))]
+            if prev < 0:
+                pick = int(cand[self._rng.integers(len(cand))])
+            else:
+                d = np.sum(
+                    (self._first_frames[cand]
+                     - self._last_frames[prev]) ** 2, axis=1)
+                pick = int(cand[np.argmin(d)])
+            picks[i] = pick
+            prev = pick
+        return picks

@@ -61,11 +61,16 @@ class StreamingGestureSession:
         self.n_steps = g.n_steps
         self._next_window = 0
         self._seed = jnp.zeros((self.n_steps,), jnp.int32)
-        # decode seed frame carried across windows when the generator
-        # has chunk_continuity (matches the batch path's scan carry,
-        # which never resets at window boundaries)
-        self._prev_last = jnp.zeros(
-            (getattr(g.seq_model, "rep_dim", 1),), jnp.float32)
+        # decode mode: seed frame carried across windows when the
+        # generator has chunk_continuity (matches the batch path's scan
+        # carry, which never resets at window boundaries).
+        # exemplar mode: the previous pick index instead — the carry of
+        # continuity-aware retrieval (exemplar_continuity), -1 = none.
+        if g.mode == "exemplar":
+            self._prev_last = np.int32(-1)
+        else:
+            self._prev_last = jnp.zeros(
+                (getattr(g.seq_model, "rep_dim", 1),), jnp.float32)
         self._words: List[List] = []
         # one fused per-window program, compiled once per session
         # (shapes are static: one window, max_words ids). Pass a
@@ -231,9 +236,16 @@ def build_streaming_step(g):
             .at[:n_pre].set(toks[-n_pre:])
         return toks, next_seed
 
+    continuity_picks = bool(getattr(g, "exemplar_continuity", False))
+
     def step(word_ids, length, seed_tokens, prev_last, key):
         toks, next_seed = predict(word_ids, length, seed_tokens, key)
-        picks = g._exemplars.pick_indices(np.asarray(toks))
+        if continuity_picks:
+            picks = g._exemplars.pick_indices_continuity(
+                np.asarray(toks), prev_pick=int(prev_last))
+            prev_last = np.int32(picks[-1])
+        else:
+            picks = g._exemplars.pick_indices(np.asarray(toks))
         frames = g._exemplar_decode(jnp.asarray(picks))
         return frames, toks, next_seed, prev_last
 
@@ -262,6 +274,7 @@ class AudioStreamingGestureSession:
         self.n_steps = g.n_steps
         self._next_window = 0
         self._seed = jnp.zeros((self.n_steps,), jnp.int32)
+        self._prev_pick = np.int32(-1)   # exemplar continuity carry
         self._audio = np.zeros((0,), np.float32)
         self._words: List[List] = []
         self._step = step or build_audio_streaming_step(generator)
@@ -319,8 +332,8 @@ class AudioStreamingGestureSession:
             key = jax.random.PRNGKey(int(g._rng.integers(2 ** 31 - 1)))
         else:
             key = jax.random.PRNGKey(0)
-        frames_j, toks_j, self._seed = self._step(enc_in, self._seed,
-                                                  key)
+        frames_j, toks_j, self._seed, self._prev_pick = self._step(
+            enc_in, self._seed, self._prev_pick, key)
         frames = unnormalize(np.asarray(frames_j), g.pose_mean,
                              g.pose_std)
         return frames, np.asarray(toks_j)
@@ -390,12 +403,23 @@ def build_audio_streaming_step(g):
         return frames, toks, next_seed
 
     if not exemplar:
-        return device_step
+        def step(enc_in, seed_tokens, prev_pick, key):
+            frames, toks, next_seed = device_step(enc_in, seed_tokens,
+                                                  key)
+            return frames, toks, next_seed, prev_pick
+        return step
 
-    def step(enc_in, seed_tokens, key):
+    continuity_picks = bool(getattr(g, "exemplar_continuity", False))
+
+    def step(enc_in, seed_tokens, prev_pick, key):
         toks, next_seed = device_step(enc_in, seed_tokens, key)
-        picks = g._exemplars.pick_indices(np.asarray(toks))
+        if continuity_picks:
+            picks = g._exemplars.pick_indices_continuity(
+                np.asarray(toks), prev_pick=int(prev_pick))
+            prev_pick = np.int32(picks[-1])
+        else:
+            picks = g._exemplars.pick_indices(np.asarray(toks))
         frames = g._exemplar_decode(jnp.asarray(picks))
-        return frames, toks, next_seed
+        return frames, toks, next_seed, prev_pick
 
     return step

@@ -85,6 +85,13 @@ class GestureGenerator:
     # per window in-graph (models/text2token.beam_decode_impl) and
     # emits the most probable token sequence
     beam_width: int = 0
+    # exemplar mode only (beyond reference): continuity-aware retrieval
+    # (motion matching) — among each token's candidate windows pick the
+    # one whose opening pose is nearest the previous pick's closing
+    # pose, instead of the reference's uniform random pick
+    # (inference_text2embedding.py:606-612), minimizing the splice jump
+    # at chunk boundaries
+    exemplar_continuity: bool = False
 
     def __post_init__(self):
         self.n_steps = self.sentence_frame_length // self.n_frames
@@ -472,7 +479,9 @@ class GestureGenerator:
         tokens = np.asarray(self._predict_tokens_all(
             jnp.asarray(word_ids), jnp.asarray(lengths),
             seed0, key))[:n_tokens_real]
-        picks = self._exemplars.pick_indices(tokens)
+        picks = (self._exemplars.pick_indices_continuity(tokens)
+                 if self.exemplar_continuity
+                 else self._exemplars.pick_indices(tokens))
         frames = np.asarray(self._exemplar_decode(jnp.asarray(picks)))
         frames = unnormalize(frames, self.pose_mean, self.pose_std)
         return frames, tokens
@@ -550,8 +559,15 @@ class GestureGenerator:
             bounds.append(bounds[-1] + len(toks) * self.n_frames)
         # one vectorized pick over the concatenated batch: per-token
         # rng.choice costs ~0.3 ms/call (benchmarks/README.md round 3),
-        # which at serving batch sizes would dominate the fused request
-        picks = self._exemplars.pick_indices(np.concatenate(per))
+        # which at serving batch sizes would dominate the fused request.
+        # Continuity retrieval chains per transcript (each transcript
+        # starts its own chain, matching the single path).
+        if self.exemplar_continuity:
+            picks = np.concatenate(
+                [self._exemplars.pick_indices_continuity(t)
+                 for t in per])
+        else:
+            picks = self._exemplars.pick_indices(np.concatenate(per))
         frames = np.asarray(self._exemplar_decode(jnp.asarray(picks)))
         frames = unnormalize(frames, self.pose_mean, self.pose_std)
         return [(frames[bounds[b]: bounds[b + 1]], per[b])

@@ -346,3 +346,49 @@ def test_beam_generation(pipeline_artifacts):
 
     with pytest.raises(ValueError):
         _sampling_generator(art, temperature=1.0, beam_width=4)
+
+
+def test_exemplar_continuity_retrieval(pipeline_artifacts):
+    """Continuity-aware retrieval picks, per token, the candidate
+    window whose opening latent is nearest the previous pick's closing
+    latent — so the mean splice jump can only be <= the random policy's
+    (same tokens, argmin over the same candidate sets)."""
+    art = pipeline_artifacts
+    gen_r = _generator(art, "exemplar")
+    f_r, t_r = gen_r.generate(WORDS, duration_s=4.0)
+    gen_c = GestureGenerator(
+        t2t_model=art["t2t"][0], t2t_variables=art["t2t"][1],
+        seq_model=art["seq"][0], seq_variables=art["seq"][1],
+        dae_model=art["dae"][0], dae_variables=art["dae"][1],
+        vocab=art["vocab"], pose_mean=art["store"].pose_mean,
+        pose_std=art["store"].pose_std, n_frames=N_POSES,
+        sentence_frame_length=SENT_LEN, fps=FPS, max_words=16,
+        mode="exemplar", latent_bank=art["bank"], seed=0,
+        exemplar_continuity=True)
+    f_c, t_c = gen_c.generate(WORDS, duration_s=4.0)
+    np.testing.assert_array_equal(t_c, t_r)   # same predicted tokens
+    assert f_c.shape == f_r.shape
+    assert np.isfinite(f_c).all()
+
+    def jump(f):
+        ks = np.arange(N_POSES, f.shape[0], N_POSES)
+        return float(np.mean(np.linalg.norm(f[ks] - f[ks - 1], axis=1)))
+
+    # argmin over each candidate set cannot lose to a uniform draw over
+    # the same sets in expectation; on this fixture assert <=
+    assert jump(f_c) <= jump(f_r) + 1e-6
+
+    # bank-level contract: each pick opens at the candidate nearest the
+    # previous pick's close
+    bank = gen_c._exemplars
+    picks = bank.pick_indices_continuity(t_c)
+    lats = np.asarray(art["bank"]["dae_latents"], np.float32)
+    for i in range(1, len(picks)):
+        cand = bank._index[bank._resolve(int(t_c[i]))]
+        d = np.sum((lats[cand, 0] - lats[picks[i - 1], -1]) ** 2, axis=1)
+        assert picks[i] == cand[np.argmin(d)]
+
+    # batched path chains per transcript, same contract
+    batch = gen_c.generate_batch([WORDS, WORDS_B], 4.0)
+    for frames, tokens in batch:
+        assert np.isfinite(frames).all()

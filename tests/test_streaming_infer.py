@@ -193,3 +193,27 @@ def test_audio_streaming_sampled(rng):
     assert tokens.shape == (4,)                 # 2 windows x 2 steps
     assert tokens.min() >= 0 and tokens.max() < 8
     assert all(np.isfinite(f).all() for f, _ in out)
+
+
+def test_streaming_exemplar_continuity_matches_batch(pipeline_artifacts):
+    """The continuity pick chain threads across streamed windows via
+    the session carry, reproducing the batch path exactly (both start
+    from one seeded random first pick)."""
+    art = pipeline_artifacts
+    from gesture2vec_tpu.infer.text2gesture import GestureGenerator
+
+    def mk():
+        return GestureGenerator(
+            t2t_model=art["t2t"][0], t2t_variables=art["t2t"][1],
+            seq_model=art["seq"][0], seq_variables=art["seq"][1],
+            dae_model=art["dae"][0], dae_variables=art["dae"][1],
+            vocab=art["vocab"], pose_mean=art["store"].pose_mean,
+            pose_std=art["store"].pose_std, n_frames=N_POSES,
+            sentence_frame_length=SENT_LEN, fps=FPS, max_words=16,
+            mode="exemplar", latent_bank=art["bank"], seed=0,
+            exemplar_continuity=True)
+
+    f_batch, t_batch = mk().generate(WORDS, duration_s=4.0)
+    f_stream, t_stream = _stream_all(mk(), WORDS, 4.0)
+    np.testing.assert_array_equal(t_stream, t_batch)
+    np.testing.assert_allclose(f_stream, f_batch, atol=1e-5)
