@@ -120,6 +120,9 @@ def main():
             ("decode_sample_t0.7", "decode", {"temperature": 0.7}),
             ("decode_sample_t1.0", "decode", {"temperature": 1.0}),
             ("decode_beam4", "decode", {"beam_width": 4}),
+            # overlap-blended chunk decode (reference-style blending
+            # applied to the token decode): kills the seam jump locally
+            ("decode_overlap4", "decode", {"decode_overlap": 4}),
             ("exemplar_sample_t1.0", "exemplar", {"temperature": 1.0}),
             ("exemplar", "exemplar", {}),
             # continuity-aware retrieval (motion matching, beyond

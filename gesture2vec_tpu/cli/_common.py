@@ -44,7 +44,8 @@ def build_generator(t2t_checkpoint: str, rep_checkpoint: str,
                     latent_bank_path: Optional[str] = None,
                     seed: int = 0, temperature: float = 0.0,
                     top_k: int = 0, beam_width: int = 0,
-                    exemplar_continuity: bool = False):
+                    exemplar_continuity: bool = False,
+                    decode_overlap: int = 0):
     """Load the three pipeline checkpoints and assemble the
     GestureGenerator. Returns (generator, t2t_config)."""
     from gesture2vec_tpu.cluster.latent_dataset import load_latent_dataset
@@ -78,7 +79,8 @@ def build_generator(t2t_checkpoint: str, rep_checkpoint: str,
         fps=cfg.motion_resampling_framerate, mode=mode,
         latent_bank=bank, seed=seed, temperature=temperature,
         top_k=top_k, beam_width=beam_width,
-        exemplar_continuity=exemplar_continuity)
+        exemplar_continuity=exemplar_continuity,
+        decode_overlap=decode_overlap)
     return gen, cfg
 
 

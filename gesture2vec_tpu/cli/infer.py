@@ -51,6 +51,11 @@ def main() -> None:
                         help="beam-search token decode with this "
                              "many hypotheses (0/1 = greedy; "
                              "exclusive with --temperature)")
+    parser.add_argument("--decode-overlap", type=int, default=0,
+                        help="decode mode: overlap-blend this many "
+                             "frames across chunk boundaries "
+                             "(reference-style sliding-window "
+                             "blending applied to the token decode)")
     parser.add_argument("--exemplar-continuity",
                         action="store_true",
                         help="exemplar mode: continuity-aware "
@@ -83,7 +88,8 @@ def main() -> None:
                                temperature=args.temperature,
                                top_k=args.top_k,
                                beam_width=args.beam_width,
-                               exemplar_continuity=args.exemplar_continuity)
+                               exemplar_continuity=args.exemplar_continuity,
+                               decode_overlap=args.decode_overlap)
     to_bvh = load_bvh_exporter(args.dataset, args.pipeline,
                                args.twh_variant)
 

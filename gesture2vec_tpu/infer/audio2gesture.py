@@ -59,6 +59,9 @@ class AudioGestureGenerator:
     # exemplar mode: continuity-aware retrieval (motion matching) —
     # same contract as infer/text2gesture.GestureGenerator
     exemplar_continuity: bool = False
+    # decode mode: overlap-blended chunk decode (same contract as
+    # infer/text2gesture.GestureGenerator.decode_overlap)
+    decode_overlap: int = 0
 
     def __post_init__(self):
         self.n_steps = self.sentence_frame_length // self.n_frames
@@ -169,11 +172,21 @@ class AudioGestureGenerator:
                         (st >= 0)[:, None],
                         jnp.take(cbs, jnp.maximum(st, 0), axis=0), 0.0)
             hidden = jnp.transpose(flat.reshape(N, L, H), (1, 0, 2))
-            latents = seq.apply(
+            b = int(self.decode_overlap)
+            out = seq.apply(
                 self.seq_variables, hidden, jnp.zeros((N, seq.rep_dim)),
                 method=seq.rollout,
-                rngs={"dropout": jax.random.PRNGKey(0)}
-            ).reshape(-1, seq.rep_dim)
+                rngs={"dropout": jax.random.PRNGKey(0)},
+                n_steps=(seq.n_frames + b) if b else None)
+            if b:
+                F = seq.n_frames
+                main = out[:, :F]
+                w = ((jnp.arange(b) + 1.0) / (b + 1.0))[None, :, None]
+                main = main.at[1:, :b].set(
+                    (1 - w) * out[:-1, F:F + b] + w * out[1:, :b])
+                latents = main.reshape(-1, seq.rep_dim)
+            else:
+                latents = out.reshape(-1, seq.rep_dim)
             return dae.apply(self.dae_variables, latents,
                              method=dae.decode)
 

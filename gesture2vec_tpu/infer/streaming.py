@@ -153,6 +153,11 @@ def build_streaming_step(g):
                          method=t2t.decode_tokens, **kw)
 
     if g.mode == "decode":
+        if getattr(g, "decode_overlap", 0):
+            raise ValueError("decode_overlap is not supported by the "
+                             "streaming session (the crossfade needs "
+                             "the next chunk's head before emitting); "
+                             "use chunk_continuity for streamed decode")
         seq, dae = g.seq_model, g.dae_model
 
         def token_hidden(tokens, stage_tokens):

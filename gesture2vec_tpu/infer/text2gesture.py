@@ -92,6 +92,15 @@ class GestureGenerator:
     # (inference_text2embedding.py:606-612), minimizing the splice jump
     # at chunk boundaries
     exemplar_continuity: bool = False
+    # decode mode only (beyond reference): overlap-blended chunk decode.
+    # Each chunk's GRU rolls decode_overlap extra frames past its
+    # trained length and the next chunk's head crossfades with that
+    # tail — the reference's sliding-window blending idea
+    # (inference.py:64-90) applied to the token decode. Frames outside
+    # the blend regions are bit-identical to the unblended decode.
+    # Exclusive with chunk_continuity; the fused Pallas decoder is
+    # fixed-length, so use_fused_decoder falls back to the scan path.
+    decode_overlap: int = 0
 
     def __post_init__(self):
         self.n_steps = self.sentence_frame_length // self.n_frames
@@ -147,6 +156,17 @@ class GestureGenerator:
         if beam and sampling:
             raise ValueError("beam_width>1 and temperature>0 are "
                              "mutually exclusive decode policies")
+        if self.decode_overlap:
+            if self.chunk_continuity:
+                raise ValueError("decode_overlap and chunk_continuity "
+                                 "are mutually exclusive chunk-"
+                                 "transition mechanisms")
+            if self.use_fused_decoder:
+                import logging
+                logging.warning("decode_overlap needs the scan decoder "
+                                "(variable rollout length); disabling "
+                                "use_fused_decoder")
+                self.use_fused_decoder = False
 
         def _tw(key):
             """Decode-apply kwargs for the configured decode policy:
@@ -326,9 +346,24 @@ class GestureGenerator:
                         n_steps=seq.n_frames)
                     return jnp.transpose(ys, (1, 0, 2)).reshape(
                         -1, seq.rep_dim)
+                b = int(self.decode_overlap)
                 out = seq.apply(self.seq_variables, hidden, seed0,
                                 method=seq.rollout,
-                                rngs={"dropout": jax.random.PRNGKey(0)})
+                                rngs={"dropout": jax.random.PRNGKey(0)},
+                                n_steps=(seq.n_frames + b) if b else None)
+                if b:
+                    # crossfade each chunk's extra tail into the next
+                    # chunk's head (linear weights, in-graph); frames
+                    # outside the blend regions are bit-identical to
+                    # the unblended decode (same scan prefix)
+                    F = seq.n_frames
+                    main = out[:, :F]
+                    tail = out[:-1, F:F + b]
+                    head = out[1:, :b]
+                    w = ((jnp.arange(b) + 1.0)
+                         / (b + 1.0))[None, :, None]
+                    main = main.at[1:, :b].set((1 - w) * tail + w * head)
+                    return main.reshape(-1, seq.rep_dim)
                 return out.reshape(-1, seq.rep_dim)
 
             def body(prev_last, xs):

@@ -291,7 +291,8 @@ class SeqVQAutoencoder(nn.Module):
         return hidden
 
     def rollout(self, dec_hidden: jnp.ndarray, seed_frame: jnp.ndarray,
-                train: bool = False) -> jnp.ndarray:
+                train: bool = False,
+                n_steps: Optional[int] = None) -> jnp.ndarray:
         """Pure generative rollout for token->motion synthesis
         (ref: inference_text2embedding.py:488-519): every emitted frame
         is a DECODER OUTPUT - the seed frame is consumed as the first
@@ -303,7 +304,12 @@ class SeqVQAutoencoder(nn.Module):
         :517-518) but the decoder MODULE zeroes internally either way
         (Autoencoder_VQVAE_model.py:568-569), which DecoderStep
         reproduces. dec_hidden (L, B, H) from the token codebook,
-        seed_frame (B, D) -> (B, n_frames, D)."""
+        seed_frame (B, D) -> (B, n_frames, D).
+
+        n_steps (static) overrides the rollout length: the GRU can
+        roll past its trained chunk length, which overlap-blended
+        decode uses for crossfade frames (the first n_frames of a
+        longer rollout are bit-identical to the default rollout)."""
         apply_sd = train or self.eval_step_dropout
         if self._dtype is not None:
             dec_hidden = dec_hidden.astype(self._dtype)
@@ -316,7 +322,7 @@ class SeqVQAutoencoder(nn.Module):
 
         scan = make_decoder_scan(body, train)
         (_, _), outs = scan(self.decoder_step, (seed_frame, dec_hidden),
-                            jnp.arange(self.n_frames))
+                            jnp.arange(n_steps or self.n_frames))
         return jnp.transpose(outs, (1, 0, 2))
 
     def decode(self, dec_hidden: jnp.ndarray, out_poses: jnp.ndarray,

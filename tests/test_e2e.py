@@ -392,3 +392,32 @@ def test_exemplar_continuity_retrieval(pipeline_artifacts):
     batch = gen_c.generate_batch([WORDS, WORDS_B], 4.0)
     for frames, tokens in batch:
         assert np.isfinite(frames).all()
+
+
+def test_decode_overlap_blend(pipeline_artifacts):
+    """Overlap-blended decode: frames outside the b-frame blend regions
+    are bit-identical to the plain decode (same rollout prefix); the
+    chunk-boundary jump shrinks; exclusivity with chunk_continuity."""
+    art = pipeline_artifacts
+    plain = _generator(art, "decode")
+    f0, t0 = plain.generate(WORDS, duration_s=4.0)
+    gb = _sampling_generator(art, temperature=0.0, decode_overlap=3)
+    fb, tb = gb.generate(WORDS, duration_s=4.0)
+    np.testing.assert_array_equal(tb, t0)
+    assert fb.shape == f0.shape
+    b = 3
+    for k in range(f0.shape[0] // N_POSES):
+        s = k * N_POSES
+        lo = s + (b if k else 0)
+        np.testing.assert_allclose(fb[lo:s + N_POSES],
+                                   f0[lo:s + N_POSES], atol=1e-5)
+
+    def jump(f):
+        ks = np.arange(N_POSES, f.shape[0], N_POSES)
+        return float(np.mean(np.linalg.norm(f[ks] - f[ks - 1], axis=1)))
+
+    assert jump(fb) < jump(f0)
+
+    with pytest.raises(ValueError):
+        _sampling_generator(art, temperature=0.0, decode_overlap=3,
+                            chunk_continuity=True)
