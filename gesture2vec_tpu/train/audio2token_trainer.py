@@ -84,7 +84,8 @@ def init_state(model: Audio2Token, rng: jax.Array,
 
 
 def make_train_step(model: Audio2Token,
-                    optimizer: optax.GradientTransformation):
+                    optimizer: optax.GradientTransformation,
+                    label_smoothing: float = 0.0):
     multi = model.token_stages > 1
 
     def step(state: A2TTrainState, *args):
@@ -102,7 +103,8 @@ def make_train_step(model: Audio2Token,
                 {"params": params, "batch_stats": state.batch_stats},
                 enc_in, targets, train=True, rngs={"dropout": rng},
                 mutable=["batch_stats"])
-            loss = token_cross_entropy(res["logits"], targets)
+            loss = token_cross_entropy(res["logits"], targets,
+                                       label_smoothing=label_smoothing)
             if multi:
                 from gesture2vec_tpu.train.text2token_trainer import \
                     _stage_ce
@@ -173,7 +175,8 @@ def train_audio2token(config: Config, data: Dict[str, np.ndarray],
     place = batch_placer(mesh)
     if mesh is not None:
         logging.info("training over mesh %s", config.mesh_shape)
-    train_step = make_train_step(model, optimizer)
+    train_step = make_train_step(model, optimizer,
+                                 label_smoothing=config.label_smoothing)
     eval_step = make_eval_step(model)
 
     def save(st, save_rng, epoch1):

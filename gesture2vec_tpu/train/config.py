@@ -29,7 +29,7 @@ _BOOL_FLAGS = {
     "autoencoder_vae", "autoencoder_freeze_encoder", "autoencoder_vq",
     "text2_embedding_discrete", "use_similarity", "Modality_Audio",
     "Modality_Text", "Modality_Gesture", "eval_dropout_quirk",
-    "save_optimizer",
+    "save_optimizer", "keep_best",
 }
 
 
@@ -137,6 +137,15 @@ class Config:
     # (one per RVQ stage) so decode-mode inference can rebuild the full
     # multi-stage quantized hidden instead of stage 0 only; requires a
     # vq_variant="rvq" Part-b teacher. 1 = reference behavior.
+    label_smoothing: float = 0.0  # Part-d/audio token CE label smoothing
+    # (training only; eval CE stays plain so reported numbers compare).
+    # 0.0 = reference parity — the reference trains plain CE
+    # (train_seq2seq.py:499-530)
+    keep_best: bool = False  # token trainers: also track/checkpoint the
+    # best-val-loss epoch and return that state instead of the final
+    # epoch's (early-stopping selection; the reference keeps only
+    # fixed-cadence checkpoints and its Part d overfits past ~1/3 of its
+    # schedule — QUALITY.md). False = reference behavior.
     eval_dropout_quirk: bool = True  # reproduce the reference's eval-time
     # 0.95 decoder dropout (ref: Autoencoder_VQVAE_model.py:570)
     audio_fusion: str = "audio"  # audio2token encoder: "audio" (the

@@ -6,6 +6,7 @@ Rebuilds the reference's loss math exactly
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -49,13 +50,24 @@ def kld_loss_standard(mean: jnp.ndarray, logvar: jnp.ndarray) -> jnp.ndarray:
 
 
 def token_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray,
-                        ignore_first: bool = True) -> jnp.ndarray:
+                        ignore_first: bool = True,
+                        label_smoothing: float = 0.0) -> jnp.ndarray:
     """CE over gesture-token logits, skipping position 0 like the
-    reference (ref: train_seq2seq.py:520-530 slices [:, 1:])."""
+    reference (ref: train_seq2seq.py:520-530 slices [:, 1:]).
+
+    label_smoothing (beyond reference, opt-in via config
+    `label_smoothing`): standard smoothed-target CE — a training
+    regularizer for Part d's overfitting-prone token translation.
+    0.0 (default) is the reference's plain integer-label CE; eval
+    paths always use 0.0 so reported val CE stays comparable."""
     if ignore_first:
         logits = logits[:, 1:, :]
         targets = targets[:, 1:]
     flat_logits = logits.reshape(-1, logits.shape[-1])
     flat_targets = targets.reshape(-1).astype(jnp.int32)
+    if label_smoothing:
+        onehot = jax.nn.one_hot(flat_targets, flat_logits.shape[-1])
+        labels = optax.smooth_labels(onehot, label_smoothing)
+        return optax.softmax_cross_entropy(flat_logits, labels).mean()
     return optax.softmax_cross_entropy_with_integer_labels(
         flat_logits, flat_targets).mean()

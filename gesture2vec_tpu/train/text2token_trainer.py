@@ -84,7 +84,8 @@ def _stage_ce(res: Dict[str, Any], stage_targets) -> jnp.ndarray:
 
 
 def make_train_step(model: Text2Token,
-                    optimizer: optax.GradientTransformation):
+                    optimizer: optax.GradientTransformation,
+                    label_smoothing: float = 0.0):
     multi = model.token_stages > 1
 
     def step(state: T2TTrainState, word_ids, lengths, targets,
@@ -96,7 +97,8 @@ def make_train_step(model: Text2Token,
                 {"params": params, "batch_stats": state.batch_stats},
                 word_ids, lengths, targets, train=True,
                 rngs={"dropout": rng}, mutable=["batch_stats"])
-            loss = token_cross_entropy(res["logits"], targets)
+            loss = token_cross_entropy(res["logits"], targets,
+                                       label_smoothing=label_smoothing)
             if multi:
                 loss = loss + _stage_ce(res, stage[0])
             return loss, mut["batch_stats"]
@@ -170,7 +172,8 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
     place = batch_placer(mesh)
     if mesh is not None:
         logging.info("training over mesh %s", config.mesh_shape)
-    train_step = make_train_step(model, optimizer)
+    train_step = make_train_step(model, optimizer,
+                                 label_smoothing=config.label_smoothing)
     eval_step = make_eval_step(model)
 
     def save(st, save_rng, epoch1):

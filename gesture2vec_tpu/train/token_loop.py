@@ -59,6 +59,14 @@ def run_token_training(config: Config, state: Any, rng: jax.Array,
     history: Dict[str, List[float]] = {"train_loss": [], "val_loss": [],
                                        "val_acc": []}
     meter = AverageMeter("loss", ":.4f")
+    # keep_best (beyond reference, opt-in): snapshot the best-val-loss
+    # state to host (the live state's buffers are donated every step,
+    # so a reference alone would read freed memory) and return/save it
+    # instead of the final epoch's. The reference keeps fixed-cadence
+    # checkpoints only and its Part d overfits well before the end of
+    # its schedule (QUALITY.md loss curves).
+    keep_best = bool(getattr(config, "keep_best", False))
+    best_loss, best_snapshot, best_epoch = float("inf"), None, -1
 
     for epoch in range(start_epoch, config.epochs):
         perm = np.random.default_rng(seed + epoch).permutation(n)
@@ -99,8 +107,20 @@ def run_token_training(config: Config, state: Any, rng: jax.Array,
         logging.info("EP %d done: train %.4f val %.4f acc %.3f", epoch,
                      meter.avg, history["val_loss"][-1],
                      history["val_acc"][-1])
+        vloss = history["val_loss"][-1]
+        if keep_best and vloss == vloss and vloss < best_loss:
+            best_loss, best_epoch = vloss, epoch
+            best_snapshot = jax.device_get(state)
 
         if (epoch + 1) % save_every == 0 or epoch + 1 == config.epochs:
             save_checkpoint(state, rng, epoch + 1)
 
+    if keep_best and best_snapshot is not None:
+        history["best_epoch"] = [best_epoch]
+        history["best_val_loss"] = [best_loss]
+        if best_epoch + 1 != config.epochs:
+            save_checkpoint(best_snapshot, rng, best_epoch + 1)
+        logging.info("keep_best: returning epoch %d (val %.4f) instead "
+                     "of the final epoch", best_epoch, best_loss)
+        return best_snapshot, history
     return state, history

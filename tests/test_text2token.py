@@ -229,3 +229,75 @@ def test_beam_decode_model_level():
     b4b = m.apply(vs, eo, dh, tgt, enc_mask=mask, beam_width=4,
                   method=m.beam_decode)
     np.testing.assert_array_equal(t4, np.asarray(b4b["tokens"]))
+
+
+def test_label_smoothing_ce_hand_computed():
+    """label_smoothing=0 is bit-identical to the reference's plain
+    integer-label CE; >0 matches the hand-computed smoothed-target CE
+    (beyond reference, config `label_smoothing`)."""
+    from gesture2vec_tpu.train.losses import token_cross_entropy
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(2, 4, 5)).astype(np.float32)
+    targets = rng.integers(0, 5, size=(2, 4)).astype(np.int32)
+
+    plain = float(token_cross_entropy(jnp.asarray(logits),
+                                      jnp.asarray(targets)))
+    zero = float(token_cross_entropy(jnp.asarray(logits),
+                                     jnp.asarray(targets),
+                                     label_smoothing=0.0))
+    assert plain == zero
+
+    alpha, k = 0.2, 5
+    lg = logits[:, 1:].reshape(-1, k)
+    tg = targets[:, 1:].reshape(-1)
+    logp = lg - np.log(np.exp(lg).sum(-1, keepdims=True))
+    labels = np.full_like(lg, alpha / k)
+    labels[np.arange(len(tg)), tg] += 1.0 - alpha
+    expected = float(np.mean(-(labels * logp).sum(-1)))
+    got = float(token_cross_entropy(jnp.asarray(logits),
+                                    jnp.asarray(targets),
+                                    label_smoothing=alpha))
+    assert abs(got - expected) < 1e-5
+
+
+def test_label_smoothing_trains(rng):
+    cfg = _config(epochs=2, label_smoothing=0.1)
+    data = _dataset(rng, n=64)
+    cfg = cfg.replace(batch_size=16)
+    state, hist = train_text2token(cfg, data, data, N_WORDS)
+    assert np.isfinite(hist["train_loss"]).all()
+    # smoothed CE is bounded below by the smoothing entropy floor, so
+    # it must exceed a plain-CE run's floor at convergence; here just
+    # assert the loss went down (it trains)
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+
+def test_keep_best_returns_best_epoch():
+    """keep_best: the shared token loop snapshots the best-val-loss
+    state and returns/saves it instead of the final epoch's (the state
+    is donated every step, so the snapshot must be a host copy)."""
+    from gesture2vec_tpu.train.token_loop import run_token_training
+
+    cfg = load_config(dict(name="kb", epochs=3, batch_size=2,
+                           random_seed=0, keep_best=True))
+    data = {"x": np.zeros((2, 1), np.float32)}
+    saved = []
+
+    def train_step(state, x, rng):
+        return state + 1.0, {"loss": jnp.zeros(())}
+
+    def eval_step(state, x):
+        # val loss dips at state==1 (end of epoch 0), then worsens
+        return jnp.abs(state - 1.0), jnp.zeros(()), None
+
+    state, hist = run_token_training(
+        cfg, jnp.zeros(()), jax.random.PRNGKey(0), 0, ("x",),
+        data, data, train_step, eval_step, lambda a: a,
+        lambda st, r, ep1: saved.append((ep1, float(st))),
+        save_every=100, log_every=100)
+
+    assert hist["best_epoch"] == [0]
+    assert float(state) == 1.0          # epoch-0 state, not the final 3.0
+    assert (1, 1.0) in saved            # best epoch checkpointed
+    assert (3, 3.0) in saved            # final epoch still checkpointed
