@@ -120,6 +120,15 @@ def main():
             ("decode_sample_t0.7", "decode", {"temperature": 0.7}),
             ("decode_sample_t1.0", "decode", {"temperature": 1.0}),
             ("decode_beam4", "decode", {"beam_width": 4}),
+            # soft-mixture decode (beyond reference): the GS-Soft
+            # decoder trains on SOFT codebook mixtures, so the hard
+            # codebook[argmax] vertex is out of distribution by design
+            # (QUALITY.md VQ ablation); feed the Part-d-probability-
+            # weighted mixture instead
+            ("decode_soft_t0.5", "decode", {"soft_decode": 0.5}),
+            ("decode_soft_t1.0", "decode", {"soft_decode": 1.0}),
+            ("decode_soft_sample_t1.0", "decode",
+             {"soft_decode": 1.0, "temperature": 1.0}),
             # overlap-blended chunk decode (reference-style blending
             # applied to the token decode): kills the seam jump locally
             ("decode_overlap4", "decode", {"decode_overlap": 4}),

@@ -62,6 +62,12 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("out", nargs="?", default="/tmp/quality_out")
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--stages", type=int, default=2,
+                    help="residual-VQ stage count for BOTH the rvq "
+                         "Part b and the multi-stage Part d (the "
+                         "ablation's 4-stage bottleneck halves the "
+                         "2-stage decode ceiling again; default 2 = "
+                         "the committed chain)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -88,6 +94,8 @@ def main():
     print("backend:", jax.devices()[0].platform)
 
     fast = args.fast
+    suffix = "" if args.stages == 2 else f"_s{args.stages}"
+    rvq_dir, t2t_dir = "vq_rvq" + suffix, "t2t_rvq" + suffix
     n_frames, rep, fps, sent_len = 20, 40, 20, 120
     hid = 64 if fast else 200
     codes = 32 if fast else 64
@@ -125,12 +133,12 @@ def main():
         learning_rate=0.002, rep_learning_dim=rep, n_poses=n_frames,
         n_pre_poses=1, autoencoder_vq=True,
         autoencoder_vq_components=codes, random_seed=0,
-        autoencoder_vq_variant="rvq", rvq_stages=2,
+        autoencoder_vq_variant="rvq", rvq_stages=args.stages,
         rvq_reestimate_every=(2 if fast else 10),
-        model_save_path=os.path.join(args.out, "vq_rvq")))
+        model_save_path=os.path.join(args.out, rvq_dir)))
     sq_state, sq_hist = train_seq_ae(
         sq_cfg, lat_train, lat_val,
-        save_dir=os.path.join(args.out, "vq_rvq"), save_every=1000)
+        save_dir=os.path.join(args.out, rvq_dir), save_every=1000)
     seq = make_seq_ae(sq_cfg)
     seq_vars = {"params": sq_state.params,
                 "batch_stats": sq_state.batch_stats}
@@ -154,12 +162,12 @@ def main():
         learning_rate=0.001, sentence_frame_length=sent_len,
         n_poses=n_frames, n_pre_poses=1, autoencoder_vq=True,
         autoencoder_vq_components=codes, autoencoder_att=True,
-        wordembed_dim=100, random_seed=0, token_stages=2,
-        model_save_path=os.path.join(args.out, "t2t_rvq")))
+        wordembed_dim=100, random_seed=0, token_stages=args.stages,
+        model_save_path=os.path.join(args.out, t2t_dir)))
     t2t_state, t2t_hist = train_text2token(
         t2t_cfg, sent, sent_val, vocab.n_words,
         embedding_weights=vocab.word_embedding_weights,
-        save_dir=os.path.join(args.out, "t2t_rvq"), save_every=1000)
+        save_dir=os.path.join(args.out, t2t_dir), save_every=1000)
     t2t = make_text2token(t2t_cfg, vocab.n_words)
     t2t_vars = {"params": t2t_state.params,
                 "batch_stats": t2t_state.batch_stats}
@@ -178,7 +186,8 @@ def main():
                                     std=store.pose_std)
 
     def eval_chain(t2t_m, t2t_v, seq_m, seq_v, chain_bank,
-                   chain_bank_val, n_codes, temperature=0.0):
+                   chain_bank_val, n_codes, temperature=0.0,
+                   soft_decode=0.0):
         g = GestureGenerator(
             t2t_model=t2t_m, t2t_variables=t2t_v, seq_model=seq_m,
             seq_variables=seq_v, dae_model=dae, dae_variables=dae_vars,
@@ -186,7 +195,7 @@ def main():
             pose_std=store.pose_std, n_frames=n_frames,
             sentence_frame_length=sent_len, fps=fps, max_words=24,
             mode="decode", latent_bank=chain_bank, seed=0,
-            temperature=temperature)
+            temperature=temperature, soft_decode=soft_decode)
         m, frames = eval_generated_vs_gt(
             g, store, val_store, dae, dae_vars, seq_m, seq_v, n_frames,
             n_codes, chain_bank_val, chain_bank, fps)
@@ -203,9 +212,14 @@ def main():
     # distribution-matching decode policy (models/text2token)
     rvq_sampled = eval_chain(t2t, t2t_vars, seq, seq_vars, bank,
                              bank_val, codes, temperature=1.0)
+    # soft-mixture decode (beyond reference): rebuild each chunk's
+    # hidden from the Part-d softmax mixture of codebook rows instead
+    # of the hard argmax row (infer/text2gesture soft_decode)
+    rvq_soft = eval_chain(t2t, t2t_vars, seq, seq_vars, bank,
+                          bank_val, codes, soft_decode=1.0)
 
     # ---------------- committed gssoft chain, same session ------------
-    gss_metrics = gss_sampled = None
+    gss_metrics = gss_sampled = gss_soft = None
     vq_ck = sorted(glob.glob(os.path.join(args.out, "vqvae",
                                           "vqvae_checkpoint_*.bin")))
     t2_ck = sorted(glob.glob(os.path.join(args.out, "t2t",
@@ -234,18 +248,24 @@ def main():
         gss_sampled = eval_chain(t2t_g, t2t_g_vars, seq_g, seq_g_vars,
                                  bank_g, bank_g_val,
                                  seq_g.vq_components, temperature=1.0)
+        gss_soft = eval_chain(t2t_g, t2t_g_vars, seq_g, seq_g_vars,
+                              bank_g, bank_g_val,
+                              seq_g.vq_components, soft_decode=1.0)
 
     payload = {"frame_floor_shared_dae_space": frame_floor,
                "rvq_multistage_chain": rvq_metrics,
                "rvq_multistage_chain_sampled_t1": rvq_sampled,
+               "rvq_multistage_chain_soft_t1": rvq_soft,
                "gssoft_reference_parity_chain": gss_metrics,
                "gssoft_reference_parity_chain_sampled_t1": gss_sampled,
+               "gssoft_reference_parity_chain_soft_t1": gss_soft,
                "train": {"part_b_val_loss": sq_hist["val_loss"][-1],
                          "part_b_stage0_perplexity":
                              sq_hist["perplexity"][-1],
                          "part_d_val_ce": t2t_hist["val_loss"][-1],
                          "part_d_val_acc": t2t_hist["val_acc"][-1]}}
-    out_path = os.path.join(args.out, "metrics_rvq_e2e.json")
+    out_path = os.path.join(args.out,
+                            f"metrics_rvq_e2e{suffix}.json")
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print("wrote", out_path)
@@ -264,8 +284,10 @@ def main():
 
     row("rvq multi-stage chain", rvq_metrics)
     row("rvq multi-stage chain, sampled T=1", rvq_sampled)
+    row("rvq multi-stage chain, soft T=1", rvq_soft)
     row("gssoft reference-parity chain", gss_metrics)
     row("gssoft chain, sampled T=1", gss_sampled)
+    row("gssoft chain, soft T=1", gss_soft)
 
 
 if __name__ == "__main__":

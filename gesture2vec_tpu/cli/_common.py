@@ -45,7 +45,8 @@ def build_generator(t2t_checkpoint: str, rep_checkpoint: str,
                     seed: int = 0, temperature: float = 0.0,
                     top_k: int = 0, beam_width: int = 0,
                     exemplar_continuity: bool = False,
-                    decode_overlap: int = 0):
+                    decode_overlap: int = 0,
+                    soft_decode: float = 0.0):
     """Load the three pipeline checkpoints and assemble the
     GestureGenerator. Returns (generator, t2t_config)."""
     from gesture2vec_tpu.cluster.latent_dataset import load_latent_dataset
@@ -80,7 +81,7 @@ def build_generator(t2t_checkpoint: str, rep_checkpoint: str,
         latent_bank=bank, seed=seed, temperature=temperature,
         top_k=top_k, beam_width=beam_width,
         exemplar_continuity=exemplar_continuity,
-        decode_overlap=decode_overlap)
+        decode_overlap=decode_overlap, soft_decode=soft_decode)
     return gen, cfg
 
 

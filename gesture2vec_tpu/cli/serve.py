@@ -56,12 +56,21 @@ def main() -> None:
                              "frames across chunk boundaries "
                              "(reference-style sliding-window "
                              "blending applied to the token decode)")
+    parser.add_argument("--soft-decode", type=float, default=0.0,
+                        help="decode mode: rebuild each chunk's "
+                             "hidden from the softmax codebook "
+                             "mixture at this temperature instead "
+                             "of the hard argmax row (0 = reference "
+                             "behavior; the GS-Soft decoder is "
+                             "trained on soft mixtures)")
     parser.add_argument("--exemplar-continuity",
                         action="store_true",
                         help="exemplar mode: continuity-aware "
                              "retrieval (motion matching) instead "
                              "of the reference's random pick")
     parser.add_argument("--platform", default=None)
+    from gesture2vec_tpu.utils.jaxcache import add_jax_cache_flag
+    add_jax_cache_flag(parser)
     args = parser.parse_args()
 
     from gesture2vec_tpu.cli._common import (build_generator,
@@ -71,6 +80,8 @@ def main() -> None:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    from gesture2vec_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache(args.jax_cache)
 
     from gesture2vec_tpu.data.store import ClipStore
     from gesture2vec_tpu.io.bvh import write_bvh
@@ -87,7 +98,8 @@ def main() -> None:
                              top_k=args.top_k,
                                beam_width=args.beam_width,
                                exemplar_continuity=args.exemplar_continuity,
-                               decode_overlap=args.decode_overlap)
+                               decode_overlap=args.decode_overlap,
+                               soft_decode=args.soft_decode)
     to_bvh = load_bvh_exporter(args.dataset, args.pipeline,
                                args.twh_variant)
 

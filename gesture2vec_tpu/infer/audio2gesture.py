@@ -62,6 +62,11 @@ class AudioGestureGenerator:
     # decode mode: overlap-blended chunk decode (same contract as
     # infer/text2gesture.GestureGenerator.decode_overlap)
     decode_overlap: int = 0
+    # decode mode: soft-mixture decode (same contract as
+    # infer/text2gesture.GestureGenerator.soft_decode): >0 rebuilds each
+    # chunk's hidden from softmax(step logits / soft_decode) @ codebook
+    # instead of the hard codebook[argmax] row
+    soft_decode: float = 0.0
 
     def __post_init__(self):
         self.n_steps = self.sentence_frame_length // self.n_frames
@@ -84,6 +89,22 @@ class AudioGestureGenerator:
         if beam and sampling:
             raise ValueError("beam_width>1 and temperature>0 are "
                              "mutually exclusive decode policies")
+        soft = float(self.soft_decode)
+        if soft and self.mode != "decode":
+            raise ValueError("soft_decode only applies to decode mode")
+        if soft and beam:
+            raise ValueError("soft_decode needs the per-step predictive "
+                             "distribution, which beam search does not "
+                             "produce; use greedy or sampled decode")
+
+        def _mix_probs(logits, tokens):
+            """softmax(logits / soft) per step, with the step-0 row (the
+            seed/carry step's synthetic one-hot) replaced by the hard
+            one-hot of its token — see text2gesture._mix_probs."""
+            p = jax.nn.softmax(logits / soft, axis=-1)
+            hard0 = jax.nn.one_hot(tokens[..., 0], logits.shape[-1],
+                                   dtype=p.dtype)[..., None, :]
+            return jnp.concatenate([hard0, p[..., 1:, :]], axis=-2)
 
         def _tw(key):
             """Decode-apply kwargs for the configured decode policy
@@ -133,40 +154,63 @@ class AudioGestureGenerator:
                 toks = res["tokens"][0]
                 next_seed = jnp.zeros((n_steps,), jnp.int32) \
                     .at[:n_pre].set(toks[-n_pre:])
+                ys = {"tok": toks}
                 if multi:
                     sr = res["stage_tokens"][0]
-                    stage = jnp.concatenate(
+                    ys["st"] = jnp.concatenate(
                         [jnp.full((1, sr.shape[1]), -1, sr.dtype), sr],
                         axis=0)
-                    return next_seed, (toks, stage)
-                return next_seed, toks
+                if soft:
+                    ys["p"] = _mix_probs(res["logits"][0], toks)
+                    if multi:
+                        sp = jax.nn.softmax(
+                            res["stage_logits"][0] / soft, axis=-1)
+                        # all-zero step-0 row = the -1 sentinel's zero
+                        # stage contribution
+                        ys["sp"] = jnp.concatenate(
+                            [jnp.zeros((1,) + sp.shape[1:], sp.dtype),
+                             sp], axis=0)
+                return next_seed, ys
 
             n_windows = (enc_in[1] if isinstance(enc_in, tuple)
                          else enc_in).shape[0]
             _, ys = jax.lax.scan(body, seed0, jnp.arange(n_windows))
+            out = {"tok": ys["tok"].reshape(-1)}
             if multi:
-                all_toks, all_stage = ys
-                return (all_toks.reshape(-1),
-                        all_stage.reshape(-1, all_stage.shape[-1]))
-            return ys.reshape(-1)
+                out["st"] = ys["st"].reshape(-1, ys["st"].shape[-1])
+            if soft:
+                out["p"] = ys["p"].reshape(-1, ys["p"].shape[-1])
+                if multi:
+                    out["sp"] = ys["sp"].reshape(
+                        (-1,) + ys["sp"].shape[-2:])
+            return out
 
         @jax.jit
-        def decode_and_dae(tokens, stage_tokens=None):
+        def decode_and_dae(tokens, stage_tokens=None, probs=None,
+                           stage_probs=None):
             """tokens (N,) [+ stage ids (N, S-1), -1 = stage-0 only] ->
             motion frames (N * n_frames, pose_dim): batched Part-b chunk
             rollout + batched DAE decode. Every frame is a decoder
             output (seq.rollout) - the reference's generative rollout
             never emits its seed frame
-            (inference_text2embedding.py:488-519)."""
+            (inference_text2embedding.py:488-519). With soft decode,
+            probs/stage_probs replace the hard codebook lookups with
+            mixture matmuls (see text2gesture._token_hidden)."""
             cb = jnp.asarray(
                 self.seq_variables["params"]["vq_layer"]["codebook"])
             L, H = seq.n_layers, seq.hidden_size
             N = tokens.shape[0]
-            flat = jnp.take(cb, tokens, axis=0)
+            if probs is not None:
+                flat = probs @ cb
+            else:
+                flat = jnp.take(cb, tokens, axis=0)
             if stage_tokens is not None:
                 for s in range(stage_tokens.shape[-1]):
                     cbs = jnp.asarray(self.seq_variables["params"]
                                       ["vq_layer"][f"codebook_r{s + 1}"])
+                    if stage_probs is not None:
+                        flat = flat + stage_probs[:, s] @ cbs
+                        continue
                     st = stage_tokens[:, s]
                     flat = flat + jnp.where(
                         (st >= 0)[:, None],
@@ -264,19 +308,11 @@ class AudioGestureGenerator:
         else:
             key = jax.random.PRNGKey(0)
         pred = self._predict_tokens_all(enc_in, seed0, key)
-        multi = getattr(self.a2t_model, "token_stages", 1) > 1
-        if multi:
-            tokens_j, stage_j = pred
-            tokens = np.asarray(tokens_j)
-        else:
-            tokens = np.asarray(pred)
+        tokens = np.asarray(pred["tok"])
         if self.mode == "decode":
-            if multi:
-                frames = np.asarray(self._decode_and_dae(tokens_j,
-                                                         stage_j))
-            else:
-                frames = np.asarray(
-                    self._decode_and_dae(jnp.asarray(tokens)))
+            frames = np.asarray(self._decode_and_dae(
+                pred["tok"], pred.get("st"), pred.get("p"),
+                pred.get("sp")))
         else:
             picks = (self._exemplars.pick_indices_continuity(tokens)
                      if self.exemplar_continuity

@@ -133,6 +133,15 @@ def build_streaming_step(g):
     sampling = g.temperature > 0.0
     beam = int(g.beam_width) if g.beam_width > 1 else 0
     temp, topk = float(g.temperature), int(g.top_k)
+    soft = float(getattr(g, "soft_decode", 0.0))
+
+    def _mix_probs(logits, tokens):
+        """Soft-decode mixture (see text2gesture._mix_probs): softmax
+        at temperature `soft`, step-0 seed row kept hard."""
+        p = jax.nn.softmax(logits / soft, axis=-1)
+        hard0 = jax.nn.one_hot(tokens[..., 0], logits.shape[-1],
+                               dtype=p.dtype)[..., None, :]
+        return jnp.concatenate([hard0, p[..., 1:, :]], axis=-2)
 
     def decode_window(word_ids, length, seed_tokens, key):
         """(S,) ids, scalar length, (n_steps,) seed -> res dict of
@@ -160,16 +169,23 @@ def build_streaming_step(g):
                              "use chunk_continuity for streamed decode")
         seq, dae = g.seq_model, g.dae_model
 
-        def token_hidden(tokens, stage_tokens):
+        def token_hidden(tokens, stage_tokens, probs=None,
+                         stage_probs=None):
             cb = jnp.asarray(g.seq_variables["params"]["vq_layer"]
                              ["codebook"])
             L, H = seq.n_layers, seq.hidden_size
-            flat = jnp.take(cb, tokens, axis=0)
+            if probs is not None:
+                flat = probs @ cb
+            else:
+                flat = jnp.take(cb, tokens, axis=0)
             if stage_tokens is not None:
                 for s in range(stage_tokens.shape[-1]):
                     cbs = jnp.asarray(
                         g.seq_variables["params"]["vq_layer"]
                         [f"codebook_r{s + 1}"])
+                    if stage_probs is not None:
+                        flat = flat + stage_probs[:, s] @ cbs
+                        continue
                     st = stage_tokens[:, s]
                     flat = flat + jnp.where(
                         (st >= 0)[:, None],
@@ -187,35 +203,47 @@ def build_streaming_step(g):
             res = decode_window(word_ids, length, seed_tokens, key)
             toks = res["tokens"][0]
             stage = None
+            probs = stage_probs = None
             if multi:
                 sr = res["stage_tokens"][0]
                 stage = jnp.concatenate(
                     [jnp.full((1, sr.shape[-1]), -1, sr.dtype), sr],
                     axis=0)
+            if soft:
+                probs = _mix_probs(res["logits"][0], toks)
+                if multi:
+                    sp = jax.nn.softmax(res["stage_logits"][0] / soft,
+                                        axis=-1)
+                    stage_probs = jnp.concatenate(
+                        [jnp.zeros((1,) + sp.shape[1:], sp.dtype), sp],
+                        axis=0)
             if continuity:
                 # per-chunk scan seeded from the previous chunk's
                 # last frame, carried ACROSS windows via prev_last
                 # (the batch path's scan carry never resets)
                 def body(pl, xs):
-                    tok, st = xs
                     hid = token_hidden(
-                        tok[None], None if st is None else st[None])
+                        xs["tok"][None],
+                        xs["st"][None] if "st" in xs else None,
+                        xs["p"][None] if "p" in xs else None,
+                        xs["sp"][None] if "sp" in xs else None)
                     out = seq.apply(
                         g.seq_variables, hid, pl[None],
                         method=seq.rollout,
                         rngs={"dropout": jax.random.PRNGKey(0)})[0]
                     return out[-1], out
 
-                if stage is None:
-                    new_last, chunks = jax.lax.scan(
-                        lambda p, t: body(p, (t, None)), prev_last,
-                        toks)
-                else:
-                    new_last, chunks = jax.lax.scan(
-                        body, prev_last, (toks, stage))
+                xs = {"tok": toks}
+                if stage is not None:
+                    xs["st"] = stage
+                if probs is not None:
+                    xs["p"] = probs
+                if stage_probs is not None:
+                    xs["sp"] = stage_probs
+                new_last, chunks = jax.lax.scan(body, prev_last, xs)
                 lat = chunks.reshape(-1, seq.rep_dim)
             else:
-                hidden = token_hidden(toks, stage)
+                hidden = token_hidden(toks, stage, probs, stage_probs)
                 seed0 = jnp.zeros((toks.shape[0], seq.rep_dim))
                 lat = seq.apply(
                     g.seq_variables, hidden, seed0,
@@ -356,6 +384,13 @@ def build_audio_streaming_step(g):
     beam = int(g.beam_width) if g.beam_width > 1 else 0
     temp, topk = float(g.temperature), int(g.top_k)
     exemplar = g.mode == "exemplar"
+    soft = float(getattr(g, "soft_decode", 0.0))
+
+    def _mix_probs(logits, tokens):
+        p = jax.nn.softmax(logits / soft, axis=-1)
+        hard0 = jax.nn.one_hot(tokens[..., 0], logits.shape[-1],
+                               dtype=p.dtype)[..., None, :]
+        return jnp.concatenate([hard0, p[..., 1:, :]], axis=-2)
 
     @jax.jit
     def device_step(enc_in, seed_tokens, key):
@@ -387,11 +422,22 @@ def build_audio_streaming_step(g):
         cb = jnp.asarray(g.seq_variables["params"]["vq_layer"]
                          ["codebook"])
         L, H = seq.n_layers, seq.hidden_size
-        flat = jnp.take(cb, toks, axis=0)
+        if soft:
+            flat = _mix_probs(res["logits"][0], toks) @ cb
+        else:
+            flat = jnp.take(cb, toks, axis=0)
         if stage is not None:
             for s in range(stage.shape[-1]):
                 cbs = jnp.asarray(g.seq_variables["params"]["vq_layer"]
                                   [f"codebook_r{s + 1}"])
+                if soft:
+                    sp = jax.nn.softmax(
+                        res["stage_logits"][0][:, s] / soft, axis=-1)
+                    sp = jnp.concatenate(
+                        [jnp.zeros((1, sp.shape[-1]), sp.dtype), sp],
+                        axis=0)
+                    flat = flat + sp @ cbs
+                    continue
                 st = stage[:, s]
                 flat = flat + jnp.where(
                     (st >= 0)[:, None],

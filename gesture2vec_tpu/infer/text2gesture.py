@@ -92,6 +92,16 @@ class GestureGenerator:
     # (inference_text2embedding.py:606-612), minimizing the splice jump
     # at chunk boundaries
     exemplar_continuity: bool = False
+    # decode mode only (beyond reference): soft-mixture decode. The
+    # GS-Soft tokenizer trains its decoder on SOFT codebook mixtures,
+    # so the hard codebook[argmax] vertex that decode mode feeds is out
+    # of distribution by design (QUALITY.md VQ ablation). >0 rebuilds
+    # each chunk's hidden from the Part-d predictive distribution
+    # instead: softmax(step logits / soft_decode) @ codebook, in-graph.
+    # Seed/carried steps keep the hard vertex (their "logits" are a
+    # synthetic one-hot, not a model prediction). soft_decode -> 0
+    # converges to the hard decode; 1.0 uses the model's own softmax.
+    soft_decode: float = 0.0
     # decode mode only (beyond reference): overlap-blended chunk decode.
     # Each chunk's GRU rolls decode_overlap extra frames past its
     # trained length and the next chunk's head crossfades with that
@@ -156,6 +166,26 @@ class GestureGenerator:
         if beam and sampling:
             raise ValueError("beam_width>1 and temperature>0 are "
                              "mutually exclusive decode policies")
+        soft = float(self.soft_decode)
+        if soft and self.mode != "decode":
+            raise ValueError("soft_decode only applies to decode mode "
+                             "(exemplar retrieval is indexed by hard "
+                             "tokens)")
+        if soft and beam:
+            raise ValueError("soft_decode needs the per-step predictive "
+                             "distribution, which beam search does not "
+                             "produce; use greedy or sampled decode")
+
+        def _mix_probs(logits, tokens):
+            """Per-step codebook mixture for soft decode: softmax of the
+            decode logits at temperature `soft`, with step-0 rows (the
+            seed/carry steps, whose "logits" are a synthetic one-hot,
+            ref :643-649 parity) replaced by the hard one-hot of the
+            token that actually fed downstream."""
+            p = jax.nn.softmax(logits / soft, axis=-1)
+            hard0 = jax.nn.one_hot(tokens[..., 0], logits.shape[-1],
+                                   dtype=p.dtype)[..., None, :]
+            return jnp.concatenate([hard0, p[..., 1:, :]], axis=-2)
         if self.decode_overlap:
             if self.chunk_continuity:
                 raise ValueError("decode_overlap and chunk_continuity "
@@ -210,7 +240,9 @@ class GestureGenerator:
             scan over windows for the seed-carried token decode (or one
             fully-batched decode when window_carry=False).
             word_ids (W, S), lengths (W,), seed0 (n_steps,); key drives
-            the stochastic decode (unused at temperature 0)."""
+            the stochastic decode (unused at temperature 0). When
+            soft_decode > 0 a second output carries the per-step
+            mixture distribution (W*n_steps, K)."""
             if not window_carry:
                 W = word_ids.shape[0]
                 targets = jnp.zeros((W, n_steps), jnp.int32)
@@ -224,6 +256,10 @@ class GestureGenerator:
                     res = t2t.apply(self.t2t_variables, word_ids,
                                     lengths, targets, train=False,
                                     **_tw(key))
+                if soft:
+                    return (res["tokens"].reshape(-1),
+                            _mix_probs(res["logits"], res["tokens"])
+                            .reshape(-1, t2t.n_tokens))
                 return res["tokens"].reshape(-1)
 
             enc_outs, dec_hidden = t2t.apply(
@@ -239,8 +275,16 @@ class GestureGenerator:
                 toks = res["tokens"][0]
                 next_seed = jnp.zeros((n_steps,), jnp.int32) \
                     .at[:n_pre].set(toks[-n_pre:])
+                if soft:
+                    return next_seed, (
+                        toks, _mix_probs(res["logits"][0], toks))
                 return next_seed, toks
 
+            if soft:
+                _, (all_toks, all_probs) = jax.lax.scan(
+                    body, seed0, jnp.arange(word_ids.shape[0]))
+                return (all_toks.reshape(-1),
+                        all_probs.reshape(-1, t2t.n_tokens))
             _, all_toks = jax.lax.scan(body, seed0,
                                        jnp.arange(word_ids.shape[0]))
             return all_toks.reshape(-1)               # (W * n_steps,)
@@ -248,12 +292,23 @@ class GestureGenerator:
         if multi:
             S1 = t2t.token_stages - 1
 
+            def _stage_mix(stage_logits):
+                """(..., T-1, S-1, K) stage logits -> (..., T, S-1, K)
+                mixture with an all-zero step-0 row (the seed step's -1
+                sentinel = no stage contribution)."""
+                p = jax.nn.softmax(stage_logits / soft, axis=-1)
+                z = jnp.zeros(p.shape[:-3] + (1,) + p.shape[-2:],
+                              p.dtype)
+                return jnp.concatenate([z, p], axis=-3)
+
             @jax.jit
             def predict_tokens_stages(word_ids, lengths, seed0, key):
                 """Like predict_tokens_all, but also returns the
                 residual-stage ids (W*n_steps, S-1); seed steps carry a
                 -1 sentinel (no head predicts them) and decode masks
-                their stage contribution to zero."""
+                their stage contribution to zero. When soft_decode > 0
+                two more outputs carry the stage-0 and residual-stage
+                mixture distributions."""
                 if not window_carry:
                     W = word_ids.shape[0]
                     targets = jnp.zeros((W, n_steps), jnp.int32)
@@ -272,6 +327,12 @@ class GestureGenerator:
                     sr = res["stage_tokens"]
                     pad = jnp.full((W, 1, S1), -1, sr.dtype)
                     stage = jnp.concatenate([pad, sr], axis=1)
+                    if soft:
+                        return (t0.reshape(-1), stage.reshape(-1, S1),
+                                _mix_probs(res["logits"], t0)
+                                .reshape(-1, t2t.n_tokens),
+                                _stage_mix(res["stage_logits"])
+                                .reshape(-1, S1, t2t.n_tokens))
                     return t0.reshape(-1), stage.reshape(-1, S1)
 
                 enc_outs, dec_hidden = t2t.apply(
@@ -292,8 +353,21 @@ class GestureGenerator:
                         [jnp.full((1, S1), -1, sr.dtype), sr], axis=0)
                     next_seed = jnp.zeros((n_steps,), jnp.int32) \
                         .at[:n_pre].set(toks[-n_pre:])
+                    if soft:
+                        return next_seed, (
+                            toks, stage,
+                            _mix_probs(res["logits"][0], toks),
+                            _stage_mix(res["stage_logits"][0]))
                     return next_seed, (toks, stage)
 
+                if soft:
+                    _, (all_toks, all_stage, all_p, all_sp) = \
+                        jax.lax.scan(body, seed0,
+                                     jnp.arange(word_ids.shape[0]))
+                    return (all_toks.reshape(-1),
+                            all_stage.reshape(-1, S1),
+                            all_p.reshape(-1, t2t.n_tokens),
+                            all_sp.reshape(-1, S1, t2t.n_tokens))
                 _, (all_toks, all_stage) = jax.lax.scan(
                     body, seed0, jnp.arange(word_ids.shape[0]))
                 return (all_toks.reshape(-1),
@@ -301,25 +375,39 @@ class GestureGenerator:
 
         chunk_continuity = self.chunk_continuity
 
-        def _token_hidden(tokens, stage_tokens):
+        def _token_hidden(tokens, stage_tokens, probs=None,
+                          stage_probs=None):
             """(N,) [+ (N, S-1) stage ids, -1 = no contribution] ->
-            (L, N, H) decoder hidden from the codebook row sum."""
+            (L, N, H) decoder hidden from the codebook row sum. With
+            soft decode, probs (N, K) [+ stage_probs (N, S-1, K)]
+            replace the hard row lookups with mixture matmuls
+            (probs @ codebook) — the expected codebook vector under the
+            Part-d predictive distribution."""
             cb = jnp.asarray(
                 self.seq_variables["params"]["vq_layer"]["codebook"])
             L, H = seq.n_layers, seq.hidden_size
             N = tokens.shape[0]
-            flat = jnp.take(cb, tokens, axis=0)
+            if probs is not None:
+                flat = probs @ cb
+            else:
+                flat = jnp.take(cb, tokens, axis=0)
             if stage_tokens is not None:
                 for s in range(stage_tokens.shape[-1]):
                     cbs = jnp.asarray(self.seq_variables["params"]
                                       ["vq_layer"][f"codebook_r{s + 1}"])
+                    if stage_probs is not None:
+                        # step-0 rows are all-zero => zero contribution,
+                        # the same sentinel semantics as the hard mask
+                        flat = flat + stage_probs[:, s] @ cbs
+                        continue
                     st = stage_tokens[:, s]
                     flat = flat + jnp.where(
                         (st >= 0)[:, None],
                         jnp.take(cbs, jnp.maximum(st, 0), axis=0), 0.0)
             return jnp.transpose(flat.reshape(N, L, H), (1, 0, 2))
 
-        def decode_tokens_core(tokens, use_fused, stage_tokens=None):
+        def decode_tokens_core(tokens, use_fused, stage_tokens=None,
+                               probs=None, stage_probs=None):
             """tokens (N,) -> latents (N*n_frames, rep_dim).
 
             Every frame is a decoder OUTPUT (seq.rollout) - the
@@ -334,7 +422,8 @@ class GestureGenerator:
             chunk's last output."""
             if not chunk_continuity:
                 N = tokens.shape[0]
-                hidden = _token_hidden(tokens, stage_tokens)
+                hidden = _token_hidden(tokens, stage_tokens, probs,
+                                       stage_probs)
                 seed0 = jnp.zeros((N, seq.rep_dim))
                 if use_fused:
                     from gesture2vec_tpu.ops.decoder_pallas import \
@@ -367,23 +456,27 @@ class GestureGenerator:
                 return out.reshape(-1, seq.rep_dim)
 
             def body(prev_last, xs):
-                tok, st = xs
-                hidden = _token_hidden(tok[None],
-                                       None if st is None else st[None])
+                hidden = _token_hidden(
+                    xs["tok"][None],
+                    xs["st"][None] if "st" in xs else None,
+                    xs["p"][None] if "p" in xs else None,
+                    xs["sp"][None] if "sp" in xs else None)
                 out = seq.apply(self.seq_variables, hidden,
                                 prev_last[None], method=seq.rollout,
                                 rngs={"dropout": jax.random.PRNGKey(0)})[0]
                 return out[-1], out
 
-            xs = (tokens, stage_tokens)
-            if stage_tokens is None:
-                # scan can't carry a None leaf; close over it instead
-                _, chunks = jax.lax.scan(
-                    lambda p, t: body(p, (t, None)),
-                    jnp.zeros((seq.rep_dim,), jnp.float32), tokens)
-            else:
-                _, chunks = jax.lax.scan(
-                    body, jnp.zeros((seq.rep_dim,), jnp.float32), xs)
+            # dict xs: lax.scan maps over pytree leaves, so optional
+            # stage/mixture inputs just appear as extra keys
+            xs = {"tok": tokens}
+            if stage_tokens is not None:
+                xs["st"] = stage_tokens
+            if probs is not None:
+                xs["p"] = probs
+            if stage_probs is not None:
+                xs["sp"] = stage_probs
+            _, chunks = jax.lax.scan(
+                body, jnp.zeros((seq.rep_dim,), jnp.float32), xs)
             return chunks.reshape(-1, seq.rep_dim)
 
         decode_tokens_all = jax.jit(
@@ -404,11 +497,23 @@ class GestureGenerator:
             """The whole decode-mode generation as ONE device program:
             window token scan -> batched chunk decode -> DAE decode."""
             if multi:
+                if soft:
+                    tokens, stage, p, sp = predict_tokens_stages(
+                        word_ids, lengths, seed0, key)
+                    latents = decode_tokens_core(
+                        tokens, self.use_fused_decoder, stage, p, sp)
+                    return dae_decode(latents), tokens
                 tokens, stage = predict_tokens_stages(word_ids, lengths,
                                                       seed0, key)
                 latents = decode_tokens_core(tokens,
                                              self.use_fused_decoder,
                                              stage)
+                return dae_decode(latents), tokens
+            if soft:
+                tokens, p = predict_tokens_all(word_ids, lengths, seed0,
+                                               key)
+                latents = decode_tokens_core(
+                    tokens, self.use_fused_decoder, probs=p)
                 return dae_decode(latents), tokens
             tokens = predict_tokens_all(word_ids, lengths, seed0, key)
             latents = decode_tokens_all(tokens)
@@ -427,6 +532,14 @@ class GestureGenerator:
             batching rule under vmap)."""
             keys = jax.random.split(key, word_ids.shape[0])
             if multi:
+                if soft:
+                    toks, stage, p, sp = jax.vmap(
+                        lambda w, l, k: predict_tokens_stages(
+                            w, l, seed0, k))(word_ids, lengths, keys)
+                    lats = jax.vmap(
+                        lambda t, s, p_, sp_: decode_tokens_core(
+                            t, False, s, p_, sp_))(toks, stage, p, sp)
+                    return dae_decode(lats), toks
                 toks, stage = jax.vmap(
                     lambda w, l, k: predict_tokens_stages(w, l, seed0,
                                                           k))(
@@ -434,6 +547,14 @@ class GestureGenerator:
                 lats = jax.vmap(
                     lambda t, s: decode_tokens_core(t, False, s))(toks,
                                                                   stage)
+                return dae_decode(lats), toks
+            if soft:
+                toks, p = jax.vmap(
+                    lambda w, l, k: predict_tokens_all(w, l, seed0, k))(
+                        word_ids, lengths, keys)
+                lats = jax.vmap(
+                    lambda t, p_: decode_tokens_core(t, False,
+                                                     probs=p_))(toks, p)
                 return dae_decode(lats), toks
             toks = jax.vmap(
                 lambda w, l, k: predict_tokens_all(w, l, seed0, k))(

@@ -421,3 +421,55 @@ def test_decode_overlap_blend(pipeline_artifacts):
     with pytest.raises(ValueError):
         _sampling_generator(art, temperature=0.0, decode_overlap=3,
                             chunk_continuity=True)
+
+
+def test_soft_decode(pipeline_artifacts):
+    """Soft-mixture decode (soft_decode>0): the chunk hidden becomes the
+    Part-d-probability-weighted codebook mixture. Tokens are unchanged
+    (the mixture replaces only the hidden); a near-argmax mixture
+    temperature converges to the hard decode; the batch path matches
+    the single path; chunk_continuity composes; exemplar/beam combos
+    are rejected."""
+    art = pipeline_artifacts
+    plain = _generator(art, "decode")
+    f0, t0 = plain.generate(WORDS, duration_s=4.0)
+
+    # near-zero mixture temperature -> softmax ~ one-hot(argmax) ->
+    # the hard decode (stable softmax, so 1e-4 is safe)
+    g_eps = _sampling_generator(art, temperature=0.0, soft_decode=1e-4)
+    fe, te = g_eps.generate(WORDS, duration_s=4.0)
+    np.testing.assert_array_equal(te, t0)
+    np.testing.assert_allclose(fe, f0, atol=1e-3)
+
+    # T=1 mixture: same tokens, different finite frames
+    g1 = _sampling_generator(art, temperature=0.0, soft_decode=1.0)
+    f1, t1 = g1.generate(WORDS, duration_s=4.0)
+    np.testing.assert_array_equal(t1, t0)
+    assert np.isfinite(f1).all()
+    assert not np.allclose(f1, f0, atol=1e-3)
+
+    # batched transcripts reproduce the single path
+    outs = g1.generate_batch([WORDS, WORDS], 4.0)
+    np.testing.assert_array_equal(outs[0][1], t1)
+    np.testing.assert_allclose(outs[0][0], f1, atol=1e-4)
+
+    # composes with chunk_continuity (dict-xs scan path)
+    gc = _sampling_generator(art, temperature=0.0, soft_decode=1.0,
+                             chunk_continuity=True)
+    fc, tc = gc.generate(WORDS, duration_s=4.0)
+    np.testing.assert_array_equal(tc, t0)
+    assert np.isfinite(fc).all()
+
+    # invalid combinations fail fast
+    with pytest.raises(ValueError):
+        GestureGenerator(
+            t2t_model=art["t2t"][0], t2t_variables=art["t2t"][1],
+            seq_model=art["seq"][0], seq_variables=art["seq"][1],
+            dae_model=art["dae"][0], dae_variables=art["dae"][1],
+            vocab=art["vocab"], pose_mean=art["store"].pose_mean,
+            pose_std=art["store"].pose_std, n_frames=N_POSES,
+            sentence_frame_length=SENT_LEN, fps=FPS, max_words=16,
+            mode="exemplar", latent_bank=art["bank"], soft_decode=1.0)
+    with pytest.raises(ValueError):
+        _sampling_generator(art, temperature=0.0, soft_decode=1.0,
+                            beam_width=3)

@@ -243,3 +243,55 @@ def test_multi_stage_decode_policies(rng):
 
     with pytest.raises(ValueError):
         mk(beam_width=3, temperature=1.0)
+
+
+def test_multi_stage_soft_decode(rng):
+    """soft_decode on the multi-stage chain: stage-0 AND residual-stage
+    hiddens become per-head softmax mixtures; tokens match greedy; a
+    near-argmax mixture temperature reproduces the hard decode."""
+    from gesture2vec_tpu.infer.text2gesture import GestureGenerator
+    from gesture2vec_tpu.text.vocab import build_vocab
+    from gesture2vec_tpu.train.dae_trainer import make_frame_model
+
+    seq_model, seq_vars = _init_seq()
+    dae_cfg = load_config(dict(name="rvq_dae3", model="DAE",
+                               hidden_size=REP, epochs=1, batch_size=8,
+                               learning_rate=1e-3, input_motion_dim=24,
+                               random_seed=0))
+    dae = make_frame_model(dae_cfg)
+    dae_vars = dae.init({"params": jax.random.PRNGKey(7)},
+                        jnp.zeros((2, 24), jnp.float32))
+    vocab = build_vocab("rvq3", [["hello", "world", "test"]],
+                        embedding_dim=16)
+    t2t_cfg = _t2t_cfg(wordembed_dim=16)
+    t2t = make_text2token(t2t_cfg, vocab.n_words)
+    t2t_vars = t2t.init({"params": jax.random.PRNGKey(2),
+                         "dropout": jax.random.PRNGKey(3)},
+                        jnp.zeros((2, 8), jnp.int32),
+                        jnp.full((2,), 8, jnp.int32),
+                        jnp.zeros((2, N_STEPS), jnp.int32), train=False)
+    t2t_vars = {"params": t2t_vars["params"],
+                "batch_stats": t2t_vars.get("batch_stats", {})}
+
+    def mk(**kw):
+        return GestureGenerator(
+            t2t_model=t2t, t2t_variables=t2t_vars, seq_model=seq_model,
+            seq_variables=seq_vars, dae_model=dae,
+            dae_variables=dae_vars, vocab=vocab,
+            pose_mean=np.zeros(24, np.float32),
+            pose_std=np.ones(24, np.float32), n_frames=10,
+            sentence_frame_length=60, fps=20, max_words=8,
+            mode="decode", seed=0, **kw)
+
+    words = [["hello", 0.1, 0.5], ["world", 1.0, 1.6],
+             ["test", 2.0, 2.8]]
+    f0, t0 = mk().generate(words, duration_s=6.0)
+
+    fe, te = mk(soft_decode=1e-4).generate(words, duration_s=6.0)
+    np.testing.assert_array_equal(te, t0)
+    np.testing.assert_allclose(fe, f0, atol=1e-3)
+
+    f1, t1 = mk(soft_decode=1.0).generate(words, duration_s=6.0)
+    np.testing.assert_array_equal(t1, t0)
+    assert np.isfinite(f1).all()
+    assert not np.allclose(f1, f0, atol=1e-3)

@@ -217,3 +217,15 @@ def test_streaming_exemplar_continuity_matches_batch(pipeline_artifacts):
     f_stream, t_stream = _stream_all(mk(), WORDS, 4.0)
     np.testing.assert_array_equal(t_stream, t_batch)
     np.testing.assert_allclose(f_stream, f_batch, atol=1e-5)
+
+
+def test_streaming_soft_decode_matches_batch(pipeline_artifacts):
+    """soft_decode: the streamed per-window mixture decode reproduces
+    the batch path exactly (same logits, same mixture, same carry)."""
+    art = pipeline_artifacts
+    gen_b = _sampling_generator(art, temperature=0.0, soft_decode=1.0)
+    f_batch, t_batch = gen_b.generate(WORDS, duration_s=4.0)
+    gen_s = _sampling_generator(art, temperature=0.0, soft_decode=1.0)
+    f_stream, t_stream = _stream_all(gen_s, WORDS, 4.0)
+    np.testing.assert_array_equal(t_stream, t_batch)
+    np.testing.assert_allclose(f_stream, f_batch, atol=1e-5)
