@@ -37,11 +37,15 @@ def main() -> None:
                              "reconstruction (nb_play_mocap equivalent, "
                              "ref: pymo/viz_tools.py:190)")
     parser.add_argument("--platform", default=None)
+    from gesture2vec_tpu.utils.jaxcache import add_jax_cache_flag
+    add_jax_cache_flag(parser)
     args = parser.parse_args()
 
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    from gesture2vec_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache(args.jax_cache)
 
     import numpy as np
 

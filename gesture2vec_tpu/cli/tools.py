@@ -99,10 +99,14 @@ def main() -> None:
     b.add_argument("--out", default="baseline.bvh")
     b.add_argument("--duration", type=float, default=None)
     b.add_argument("--platform", default=None)
+    from gesture2vec_tpu.utils.jaxcache import add_jax_cache_flag
+    add_jax_cache_flag(b)
     args = parser.parse_args()
     if getattr(args, "platform", None):
         import jax
         jax.config.update("jax_platforms", args.platform)
+    from gesture2vec_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache(getattr(args, "jax_cache", "auto"))
     if args.cmd == "baseline-infer":
         baseline_infer(args.baseline_checkpoint, args.transcript,
                        args.store, args.pipeline, args.out, args.duration)

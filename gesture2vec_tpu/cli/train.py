@@ -44,6 +44,8 @@ def main() -> None:
                              ":450-545)")
     parser.add_argument("--platform", default=None,
                         help="force jax platform (cpu/tpu)")
+    from gesture2vec_tpu.utils.jaxcache import add_jax_cache_flag
+    add_jax_cache_flag(parser)
     args = parser.parse_args()
 
     from gesture2vec_tpu.cli._common import ensure_virtual_devices
@@ -51,6 +53,8 @@ def main() -> None:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    from gesture2vec_tpu.utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache(args.jax_cache)
 
     from gesture2vec_tpu.data.datasets import all_frames, pose_windows
     from gesture2vec_tpu.data.store import ClipStore
