@@ -34,6 +34,19 @@ def main() -> None:
     parser.add_argument("--max-batch", type=int, default=32,
                     help="fused-batch cap; 32 is the measured v5e peak (benchmarks/serve_falloff.py)")
     parser.add_argument("--batch-window-ms", type=float, default=50.0)
+    parser.add_argument("--stream-batch", type=int, default=1,
+                        help="continuous batching of concurrent "
+                             "/stream sessions (decode mode): fuse up "
+                             "to this many due window steps into one "
+                             "device program. Default 1 = per-session "
+                             "dispatch, which measured FASTER at this "
+                             "model scale (async dispatch already "
+                             "pipelines; benchmarks/"
+                             "streaming_concurrency.py)")
+    parser.add_argument("--stream-batch-window-ms", type=float,
+                        default=10.0,
+                        help="how long a due stream step waits for "
+                             "peers before dispatching")
     parser.add_argument("--request-timeout", type=float, default=120.0,
                         help="seconds a request may wait for generation "
                              "(raise for cold-start compiles)")
@@ -111,7 +124,10 @@ def main() -> None:
     httpd = serve(gen, host=args.host, port=args.port,
                   export_bvh=export_bvh, max_batch=args.max_batch,
                   batch_window_s=args.batch_window_ms / 1000.0, mesh=mesh,
-                  request_timeout_s=args.request_timeout)
+                  request_timeout_s=args.request_timeout,
+                  stream_batch=args.stream_batch,
+                  stream_batch_window_s=args.stream_batch_window_ms
+                  / 1000.0)
     logging.info("serving on http://%s:%d (mode=%s, max_batch=%d, "
                  "window=%.0fms)", args.host, httpd.server_address[1],
                  args.mode, args.max_batch, args.batch_window_ms)

@@ -24,6 +24,8 @@ same bank semantics as the batch path.
 """
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -283,6 +285,153 @@ def build_streaming_step(g):
         return frames, toks, next_seed, prev_last
 
     return step
+
+
+class StreamStepBatcher:
+    """Continuous batching for concurrent streaming sessions (decode
+    mode): fuse due per-window steps across live sessions into ONE
+    vmapped device program - the LLM-serving lever applied to gesture
+    streams. The batcher exposes a `step`-compatible callable
+    (StreamingGestureSession(gen, step=batcher.step)): calls queue for
+    up to `window_s`, the collector stacks up to `max_batch` of them
+    INSIDE the jitted program (host-side stacking of device carries
+    would pay one tunnel fetch per row per arg - measured to dominate),
+    pads to a power-of-two bucket so arbitrary concurrency reuses a
+    handful of compiled programs, and runs one jit(vmap(step)). Each
+    caller gets bit-identical results to its own unbatched step - the
+    sessions' carries never mix (vmap semantics), pinned by
+    tests/test_streaming_infer.py.
+
+    MEASURED VERDICT (benchmarks/streaming_concurrency.py, v5e via the
+    tunnel): OFF by default. JAX async dispatch already pipelines
+    concurrent B=1 stream steps - per-session dispatch sustains
+    160-190 windows/s aggregate from 16-64 sessions (~1000 live
+    avatars/chip at one window per 6 s) with p50 latency still near the
+    single-stream floor, while fusing adds batch-formation latency and
+    lockstep convoying without throughput gain (speedup 0.1-0.5x at
+    every concurrency measured; these ~200-wide GRU steps leave the
+    chip idle either way, so there is no compute contention for fusion
+    to relieve). The batcher ships as an opt-in
+    (g2v-serve --stream-batch N) for deployments where the chip IS
+    compute-saturated - much bigger models or many chips behind one
+    host - mirroring how the Pallas kernels ship (reference designs,
+    off by default, benchmarks/README.md).
+
+    Decode mode only: the exemplar step has a host retrieval stage
+    between two device calls; constructing a batcher for an exemplar
+    generator raises. Beyond reference (the reference has no serving or
+    streaming story at all)."""
+
+    def __init__(self, generator, max_batch: int = 16,
+                 window_s: float = 0.01):
+        if generator.mode != "decode":
+            raise ValueError("StreamStepBatcher supports decode mode "
+                             "only (the exemplar step retrieves on "
+                             "host mid-step)")
+        self.gen = generator
+        self.max_batch = int(max_batch)
+        self.window_s = float(window_s)
+        self.stats = {"calls": 0, "batches": 0, "batched_calls": 0}
+        self._base_step = build_streaming_step(generator)
+        self._vsteps: Dict[int, object] = {}
+        self._lock = threading.Lock()
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    # -- the injectable session step ----------------------------------
+    def step(self, word_ids, length, seed_tokens, prev_last, key):
+        """Same signature/results as build_streaming_step(gen); blocks
+        until the fused batch containing this call completes."""
+        done = threading.Event()
+        slot = {"done": done}
+        self._q.put((slot, (word_ids, length, seed_tokens, prev_last,
+                            key)))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    # -- collector -----------------------------------------------------
+    def _vstep(self, bucket: int):
+        with self._lock:
+            if bucket not in self._vsteps:
+                base = self._base_step
+
+                # rows: tuple of B per-session arg tuples. Stacking
+                # INSIDE the jitted program is load-bearing on a
+                # tunnel-attached chip: the session carries (seed,
+                # prev_last) live on device, and a host-side
+                # np.asarray/stack would pay one device->host fetch
+                # per row per arg (~30 ms each) — measured to make the
+                # fused step slower than unbatched dispatch. This way
+                # the whole fused step is ONE dispatch.
+                @jax.jit
+                def vstep(rows):
+                    stacked = tuple(
+                        jnp.stack([r[i] for r in rows])
+                        for i in range(5))
+                    return jax.vmap(base)(*stacked)
+
+                self._vsteps[bucket] = vstep
+            return self._vsteps[bucket]
+
+    def _bucket(self, n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, self.max_batch)
+
+    def _run(self) -> None:
+        import time
+        while not self._stop.is_set():
+            first = self._q.get()
+            if first is None:
+                return
+            batch = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(batch) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=left)
+                except queue.Empty:
+                    break
+                if item is None:
+                    return
+                batch.append(item)
+            try:
+                self._execute(batch)
+            except Exception as e:  # deliver the failure to every caller
+                for slot, _ in batch:
+                    slot["error"] = e
+                    slot["done"].set()
+
+    def _execute(self, batch) -> None:
+        n = len(batch)
+        self.stats["calls"] += n
+        self.stats["batches"] += 1
+        if n == 1:
+            slot, args = batch[0]
+            slot["result"] = self._base_step(*args)
+            slot["done"].set()
+            return
+        self.stats["batched_calls"] += n
+        bucket = self._bucket(n)
+        # pad to the bucket with copies of row 0 (results discarded)
+        rows = [args for _, args in batch]
+        rows += [rows[0]] * (bucket - n)
+        outs = self._vstep(bucket)(tuple(rows))
+        for i, (slot, _) in enumerate(batch):
+            slot["result"] = tuple(o[i] for o in outs)
+            slot["done"].set()
 
 
 class AudioStreamingGestureSession:

@@ -25,10 +25,17 @@ Endpoints (stdlib http.server, thread-per-connection):
                      ({"window", "t0_s", "t1_s", "frames_shape",
                      "frames_b64", "dtype", "tokens"}), then a final
                      {"done": true, "windows": N} line. Streaming
-                     requests bypass the micro-batcher (they are
-                     latency-oriented); all sessions share ONE compiled
-                     per-window program (infer/streaming.py), so
-                     concurrent streams do not recompile.
+                     requests bypass the transcript micro-batcher; all
+                     sessions share ONE compiled per-window program
+                     (infer/streaming.py) and JAX async dispatch
+                     pipelines their B=1 steps (measured: 160-190
+                     windows/s aggregate from 16-64 concurrent
+                     streams, benchmarks/streaming_concurrency.py).
+                     --stream-batch N > 1 opts into continuous
+                     batching (StreamStepBatcher) for deployments
+                     where the chip is compute-saturated; at this
+                     model scale it measured slower, so the default
+                     is per-session dispatch.
 """
 from __future__ import annotations
 
@@ -166,6 +173,9 @@ class BatchingWorker:
                 break
             req.error = "server shutting down"
             req.done.set()
+        sp = getattr(self, "stream_programs", None)
+        if sp is not None:
+            sp.close()
 
     # ------------------------------------------------------------ internal
     def _drain(self, first: _Pending) -> List[_Pending]:
@@ -251,32 +261,64 @@ class BatchingWorker:
 
 
 class _StreamPrograms:
-    """Lazy, locked holder for the shared streaming step program: built
-    once on the first /stream request (jax.jit caches by function
-    identity, so per-request builds would recompile every stream)."""
+    """Lazy, locked holder for the shared streaming step: built once on
+    the first /stream request (jax.jit caches by function identity, so
+    per-request builds would recompile every stream).
 
-    def __init__(self, generator):
+    batch_max > 1 opts decode-mode generators into a StreamStepBatcher
+    (continuous batching): due window steps from concurrent streams
+    fuse into one vmapped device program. Measured on this chip to be
+    SLOWER than letting async dispatch pipeline the B=1 steps
+    (benchmarks/streaming_concurrency.py), so the server default is 1;
+    exemplar mode (host retrieval mid-step) always uses the plain
+    shared step."""
+
+    def __init__(self, generator, batch_max: int = 16,
+                 batch_window_s: float = 0.01):
         self._generator = generator
+        self._batch_max = batch_max
+        self._batch_window_s = batch_window_s
         self._lock = threading.Lock()
         self._step = None
+        self.batcher = None
 
     def get(self):
         with self._lock:
             if self._step is None:
-                from gesture2vec_tpu.infer.streaming import \
-                    build_streaming_step
-                self._step = build_streaming_step(self._generator)
+                from gesture2vec_tpu.infer.streaming import (
+                    StreamStepBatcher, build_streaming_step)
+                if (self._generator.mode == "decode"
+                        and self._batch_max > 1):
+                    self.batcher = StreamStepBatcher(
+                        self._generator, max_batch=self._batch_max,
+                        window_s=self._batch_window_s)
+                    self._step = self.batcher.step
+                else:
+                    self._step = build_streaming_step(self._generator)
             return self._step
+
+    def close(self) -> None:
+        with self._lock:
+            if self.batcher is not None:
+                self.batcher.close()
 
 
 def make_handler(worker: BatchingWorker,
                  export_bvh: Optional[Callable[[np.ndarray], str]] = None,
-                 request_timeout_s: float = 120.0):
+                 request_timeout_s: float = 120.0,
+                 stream_batch: int = 1,
+                 stream_batch_window_s: float = 0.01):
     """export_bvh: frames -> BVH text (None disables format=bvh).
     request_timeout_s bounds the wait for generation (incl. the first
-    requests' XLA compile, which can dominate on a cold server)."""
+    requests' XLA compile, which can dominate on a cold server).
+    stream_batch/stream_batch_window_s configure continuous batching of
+    concurrent /stream sessions (decode mode; stream_batch<=1 = the
+    measured default: per-session dispatch, see _StreamPrograms)."""
 
-    stream_programs = _StreamPrograms(worker.generator)
+    stream_programs = _StreamPrograms(
+        worker.generator, batch_max=stream_batch,
+        batch_window_s=stream_batch_window_s)
+    worker.stream_programs = stream_programs  # stats + close
 
     class Handler(BaseHTTPRequestHandler):
         # chunked transfer (used by /stream) requires HTTP/1.1; every
@@ -299,8 +341,13 @@ def make_handler(worker: BatchingWorker,
 
         def do_GET(self):
             if self.path == "/healthz":
+                sb = stream_programs.batcher
+                extra = ({"stream_batches": sb.stats["batches"],
+                          "stream_batched_calls":
+                              sb.stats["batched_calls"]}
+                         if sb is not None else {})
                 self._send_json(200, {"ok": True, **worker.stats,
-                                      **worker.latency_stats()})
+                                      **worker.latency_stats(), **extra})
             else:
                 self._send_json(404, {"error": "not found"})
 
@@ -433,13 +480,17 @@ def serve(generator, host: str = "127.0.0.1", port: int = 8008,
           max_batch: int = BatchingWorker.DEFAULT_MAX_BATCH,
           batch_window_s: float = 0.05,
           mesh=None,
-          request_timeout_s: float = 120.0) -> ThreadingHTTPServer:
+          request_timeout_s: float = 120.0,
+          stream_batch: int = 1,
+          stream_batch_window_s: float = 0.01) -> ThreadingHTTPServer:
     """Build and return the server (caller runs serve_forever())."""
     # bind first: an EADDRINUSE must not leak a running collector thread
     httpd = ThreadingHTTPServer((host, port), BaseHTTPRequestHandler)
     worker = BatchingWorker(generator, max_batch=max_batch,
                             batch_window_s=batch_window_s, mesh=mesh)
-    httpd.RequestHandlerClass = make_handler(worker, export_bvh,
-                                             request_timeout_s)
+    httpd.RequestHandlerClass = make_handler(
+        worker, export_bvh, request_timeout_s,
+        stream_batch=stream_batch,
+        stream_batch_window_s=stream_batch_window_s)
     httpd.worker = worker  # for stats/close
     return httpd

@@ -43,9 +43,12 @@ def enable_compilation_cache(spec: str = "auto") -> Optional[str]:
 
     import jax
     jax.config.update("jax_compilation_cache_dir", cache_dir)
-    # cache everything that takes visible time; tiny programs stay
-    # uncached to keep the directory small
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # Cache small programs too: on a tunnel-attached TPU even trivial
+    # dispatch-level jits (convert_element_type, threefry_seed, ...)
+    # take ~0.35 s each to compile, and a CLI startup runs dozens of
+    # them — measured to dominate first-generation time (benchmarks/
+    # coldstart.py). The default 1 s threshold would never cache them.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     try:
         # cache per-backend autotuning etc. where the jax version
         # supports it (best effort; name varies across versions)

@@ -229,3 +229,61 @@ def test_streaming_soft_decode_matches_batch(pipeline_artifacts):
     f_stream, t_stream = _stream_all(gen_s, WORDS, 4.0)
     np.testing.assert_array_equal(t_stream, t_batch)
     np.testing.assert_allclose(f_stream, f_batch, atol=1e-5)
+
+
+def test_stream_step_batcher_matches_unbatched(pipeline_artifacts):
+    """Continuous batching (StreamStepBatcher): concurrent sessions
+    fused into one vmapped step produce the same windows as their own
+    unbatched sessions; carries never mix across sessions; bucket
+    padding rows are discarded; exemplar generators are rejected."""
+    import threading
+
+    from tests.test_e2e import WORDS_B
+
+    from gesture2vec_tpu.infer.streaming import StreamStepBatcher
+
+    art = pipeline_artifacts
+    gen = _generator(art, "decode")
+
+    # unbatched ground truth per transcript
+    refs = {}
+    for name, words, dur in (("a", WORDS, 4.0), ("b", WORDS_B, 4.0),
+                             ("c", WORDS[:4], 4.0)):
+        sess = StreamingGestureSession(gen)
+        sess.push(words, now_s=0.0)
+        out = sess.finish(dur)
+        refs[name] = (np.concatenate([f for f, _ in out]),
+                      np.concatenate([t for _, t in out]))
+
+    batcher = StreamStepBatcher(gen, max_batch=4, window_s=0.2)
+    try:
+        results = {}
+
+        def drive(name, words, dur):
+            sess = StreamingGestureSession(gen, step=batcher.step)
+            sess.push(words, now_s=0.0)
+            out = sess.finish(dur)
+            results[name] = (np.concatenate([f for f, _ in out]),
+                             np.concatenate([t for _, t in out]))
+
+        threads = [threading.Thread(target=drive, args=(n, w, d))
+                   for n, w, d in (("a", WORDS, 4.0), ("b", WORDS_B, 4.0),
+                                   ("c", WORDS[:4], 4.0))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert set(results) == {"a", "b", "c"}
+        for name in "abc":
+            np.testing.assert_array_equal(results[name][1],
+                                          refs[name][1])
+            np.testing.assert_allclose(results[name][0], refs[name][0],
+                                       atol=1e-4)
+        # with 3 concurrent sessions and a generous window at least one
+        # fused batch should have formed
+        assert batcher.stats["calls"] >= 6  # 3 sessions x 2 windows
+    finally:
+        batcher.close()
+
+    with pytest.raises(ValueError):
+        StreamStepBatcher(_generator(art, "exemplar"))
