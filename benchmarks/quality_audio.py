@@ -181,14 +181,15 @@ def main():
                                     stride=n_frames_chunk,
                                     mean=store.pose_mean,
                                     std=store.pose_std)
-    def eval_policy(temperature):
+    def eval_policy(temperature, soft_decode=0.0):
         gen = AudioGestureGenerator(
             a2t_model=a2t, a2t_variables=a2t_vars, seq_model=seq,
             seq_variables=seq_vars, dae_model=dae, dae_variables=dae_vars,
             pose_mean=store.pose_mean, pose_std=store.pose_std,
             n_frames=n_frames_chunk, sentence_frame_length=sent_len,
             fps=fps, audio_sr=AUDIO_SR, mode="decode", latent_bank=bank,
-            vocab=vocab, max_words=24, temperature=temperature)
+            vocab=vocab, max_words=24, temperature=temperature,
+            soft_decode=soft_decode)
 
         gen_toks, gt_toks, gen_lat_list = [], [], []
         for clip in val_store:
@@ -231,10 +232,14 @@ def main():
     # stochastic decode over the same checkpoints (see QUALITY.md
     # decode-policy table for the text chain's equivalent)
     metrics_sampled = eval_policy(1.0)
+    # soft-mixture decode (same lever as the text chain's QUALITY.md
+    # soft rows: feed the predicted codebook mixture, tokens unchanged)
+    metrics_soft = eval_policy(0.0, soft_decode=1.0)
     metrics = {"val_ce": hist["val_loss"][-1],
                "val_token_accuracy_teacher_forced": hist["val_acc"][-1],
                **metrics,
-               "sampled_t1": metrics_sampled}
+               "sampled_t1": metrics_sampled,
+               "soft_t1": metrics_soft}
     out_name = ("metrics_audio_both.json" if both
                 else "metrics_audio.json")
     with open(os.path.join(args.out, out_name), "w") as f:

@@ -75,6 +75,7 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
     import jax
+    import jax.numpy as jnp
 
     import os
     import sys
@@ -96,11 +97,30 @@ def main():
     batcher = StreamStepBatcher(gen, max_batch=n_max,
                                 window_s=args.batch_window_ms / 1000.0)
 
-    # warm-up: compile the plain step and every bucket the sweep can hit
+    # warm-up: compile the plain step and EVERY bucket the sweep can
+    # hit. Driving sessions is not enough - fused batch sizes drift as
+    # sessions desynchronize, so a bucket can first form mid-
+    # measurement and pollute that row with its compile. Compile each
+    # bucket program directly on synthetic rows instead.
     print("warm-up (compiles)...")
     drive_sessions(gen, plain_step, 1, 2, words, unit)
-    for n in args.sessions:
-        drive_sessions(gen, batcher.step, n, 2, words, unit)
+    row = (jnp.zeros((gen.max_words,), jnp.int32),
+           jnp.asarray(np.int32(1)),
+           jnp.zeros((gen.n_steps,), jnp.int32),
+           jnp.zeros((gen.seq_model.rep_dim,), jnp.float32),
+           jax.random.PRNGKey(0))
+    b = 1
+    buckets = set()
+    while b <= n_max:
+        buckets.add(b)
+        b *= 2
+    buckets.add(n_max)
+    for b in sorted(buckets):
+        if b == 1:
+            continue
+        outs = batcher._vstep(b)(tuple([row] * b))
+        np.asarray(outs[0])                      # sync the compile
+        print(f"  bucket {b} compiled")
 
     rows = []
     for n in args.sessions:
