@@ -260,6 +260,21 @@ def main():
         codes, bank_val, bank, fps)
     gvg.pop("_hist_gen"), gvg.pop("_hist_gt")
 
+    # soft-mixture decode over the same checkpoints (the text chain's
+    # largest decode-mode fidelity lever, QUALITY.md soft rows) —
+    # measures whether it generalizes to the TWH dataset family
+    gen_soft = GestureGenerator(
+        t2t_model=t2t, t2t_variables=t2t_vars, seq_model=seq,
+        seq_variables=seq_vars, dae_model=dae, dae_variables=dae_vars,
+        vocab=vocab, pose_mean=store.pose_mean, pose_std=store.pose_std,
+        n_frames=n_chunk, sentence_frame_length=sent_len, fps=fps,
+        max_words=max_words, mode="decode", latent_bank=bank, seed=0,
+        soft_decode=1.0)
+    gvg_soft, _ = eval_generated_vs_gt(
+        gen_soft, store, val_store, dae, dae_vars, seq, seq_vars,
+        n_chunk, codes, bank_val, bank, fps)
+    gvg_soft.pop("_hist_gen"), gvg_soft.pop("_hist_gt")
+
     metrics = {
         "corpus": {"n_files": n_files, "duration_s": duration_s,
                    "codes": codes, "hidden": hid, "variant": "test1",
@@ -276,6 +291,7 @@ def main():
                    "val_ce_last": t2t_hist["val_loss"][-1],
                    "val_acc": t2t_hist["val_acc"][-1]},
         "generated_vs_ground_truth": gvg,
+        "generated_vs_ground_truth_soft_t1": gvg_soft,
     }
     with open(os.path.join(args.out, "metrics_genea.json"), "w") as f:
         json.dump(metrics, f, indent=2)
