@@ -81,7 +81,8 @@ def build_generator(t2t_checkpoint: str, rep_checkpoint: str,
         latent_bank=bank, seed=seed, temperature=temperature,
         top_k=top_k, beam_width=beam_width,
         exemplar_continuity=exemplar_continuity,
-        decode_overlap=decode_overlap, soft_decode=soft_decode)
+        decode_overlap=decode_overlap, soft_decode=soft_decode,
+        text_context_s=getattr(cfg, "text_context_s", 0.0))
     return gen, cfg
 
 

@@ -223,7 +223,8 @@ def main() -> None:
               fps=cfg.motion_resampling_framerate, mean=mean, std=std,
               include_audio=args.part == "audio" and not both,
               include_raw_audio=both, mesh=sweep_mesh,
-              emit_stage_tokens=cfg.token_stages > 1)
+              emit_stage_tokens=cfg.token_stages > 1,
+              text_context_s=cfg.text_context_s)
     sent = build_sentence_dataset(train_store, vocab, **kw)
     sent_val = build_sentence_dataset(val_store, vocab, **kw)
 

@@ -66,12 +66,21 @@ def pose_windows(store: ClipStore, n_poses: int, stride: int,
 
 
 def sentence_windows(store: ClipStore, frame_length: int, stride: int,
-                     fps: int, min_words: int = 4
+                     fps: int, min_words: int = 4,
+                     context_s: float = 0.0
                      ) -> List[dict]:
     """Sentence-level windows with word lists - the Part-d sample layout
     (ref: data_preprocessor.py:155-247: windows of sentence_frame_length,
     skipped when fewer than 4 words fall inside,
-    ref: data_preprocessor.py:247)."""
+    ref: data_preprocessor.py:247).
+
+    context_s > 0 (beyond reference, config `text_context_s`) extends
+    each window's WORD range backwards by that many seconds: motion at
+    a window's start can depend on a word spoken just before it (motif
+    crossfades straddle window boundaries), which the reference's
+    window-local lookup cannot see. The min_words filter still applies
+    to the window's own time range, so the window population is
+    identical to context_s=0."""
     out = []
     for ci, clip in enumerate(store.clips):
         n_frames = clip["n_frames"]
@@ -86,6 +95,9 @@ def sentence_windows(store: ClipStore, frame_length: int, stride: int,
             inside = [w for w in words if w[2] > t0 and w[1] < t1]
             if len(inside) < min_words:
                 continue
+            if context_s > 0:
+                inside = [w for w in words
+                          if w[2] > t0 - context_s and w[1] < t1]
             out.append({"clip": ci, "frame0": f0, "words": inside,
                         "t0": t0, "t1": t1})
     return out

@@ -35,7 +35,8 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
                            audio_sr: int = 16000,
                            sentence_embedding=None,
                            mesh=None,
-                           emit_stage_tokens: bool = False
+                           emit_stage_tokens: bool = False,
+                           text_context_s: float = 0.0
                            ) -> Dict[str, np.ndarray]:
     """Returns arrays:
       word_ids (N, max_words) int32 padded with PAD=0, SOS/EOS included
@@ -55,7 +56,8 @@ def build_sentence_dataset(store: ClipStore, vocab: Vocab, *,
     """
     mean = store.pose_mean if mean is None else mean
     std = store.pose_std if std is None else std
-    wins = sentence_windows(store, sentence_frame_length, stride, fps)
+    wins = sentence_windows(store, sentence_frame_length, stride, fps,
+                            context_s=text_context_s)
     if not wins:
         raise ValueError("no sentence windows (too few words or frames)")
 

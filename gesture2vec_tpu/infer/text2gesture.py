@@ -92,6 +92,11 @@ class GestureGenerator:
     # (inference_text2embedding.py:606-612), minimizing the splice jump
     # at chunk boundaries
     exemplar_continuity: bool = False
+    # beyond reference (config `text_context_s`): extend each window's
+    # word lookup backwards by this many seconds — must match the value
+    # the Part-d checkpoint was TRAINED with (build_generator wires it
+    # from the checkpoint config); 0 = the reference's window-local rule
+    text_context_s: float = 0.0
     # decode mode only (beyond reference): soft-mixture decode. The
     # GS-Soft tokenizer trains its decoder on SOFT codebook mixtures,
     # so the hard codebook[argmax] vertex that decode mode feeds is out
@@ -580,7 +585,9 @@ class GestureGenerator:
                          ) -> Tuple[np.ndarray, int]:
         # overlap rule like the reference window word lookup
         # (ref: inference_text2embedding.py:293 via
-        # data_preprocessor.get_words_in_time_range :335-363)
+        # data_preprocessor.get_words_in_time_range :335-363), extended
+        # backwards by text_context_s (must match training)
+        t0 = t0 - float(self.text_context_s)
         inside = [w[0] for w in words if w[2] > t0 and w[1] < t1]
         ids = self.vocab.words_to_ids(inside)[: self.max_words]
         arr = np.zeros((self.max_words,), np.int32)

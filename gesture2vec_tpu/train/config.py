@@ -137,6 +137,12 @@ class Config:
     # (one per RVQ stage) so decode-mode inference can rebuild the full
     # multi-stage quantized hidden instead of stage 0 only; requires a
     # vq_variant="rvq" Part-b teacher. 1 = reference behavior.
+    text_context_s: float = 0.0  # Part d (beyond reference): extend
+    # each sentence window's WORD lookup backwards by this many seconds
+    # (dataset build AND inference) — motion at a window's start can
+    # depend on a word spoken just before it (crossfades straddle
+    # window boundaries), which the reference's window-local lookup
+    # misses. 0.0 = reference behavior.
     label_smoothing: float = 0.0  # Part-d/audio token CE label smoothing
     # (training only; eval CE stays plain so reported numbers compare).
     # 0.0 = reference parity — the reference trains plain CE

@@ -473,3 +473,30 @@ def test_soft_decode(pipeline_artifacts):
     with pytest.raises(ValueError):
         _sampling_generator(art, temperature=0.0, soft_decode=1.0,
                             beam_width=3)
+
+
+def test_text_context_window_lookup(pipeline_artifacts):
+    """text_context_s: the generator's per-window word lookup extends
+    backwards by context_s (a word that ended before t0 is included);
+    0 keeps the reference's window-local rule."""
+    art = pipeline_artifacts
+    plain = _generator(art, "decode")
+    gctx = _sampling_generator(art, temperature=0.0, text_context_s=2.0)
+    words = [["early", 0.2, 0.8], ["hello", 3.1, 3.4],
+             ["world", 3.6, 3.9], ["more", 4.1, 4.4],
+             ["words", 4.6, 4.9]]
+    # window [3.0, 6.0): "early" (ends 0.8) is outside even with 2 s of
+    # context; window [3.0,6.0) with t0-2.0=1.0 still excludes it, but
+    # a word ending at 1.5 would be included — test both boundaries
+    ids_p, len_p = plain._window_word_ids(words, 3.0, 6.0)
+    ids_c, len_c = gctx._window_word_ids(words, 3.0, 6.0)
+    assert len_c == len_p  # "early" ends before t0 - 2
+    words2 = [["early", 0.2, 1.5]] + words[1:]
+    ids_p2, len_p2 = plain._window_word_ids(words2, 3.0, 6.0)
+    ids_c2, len_c2 = gctx._window_word_ids(words2, 3.0, 6.0)
+    assert len_p2 == len_p and len_c2 == len_p + 1
+    v = art["vocab"]
+    assert ids_c2[0] == v.words_to_ids(["early"])[0]
+    # generation still runs end to end with the extended lookup
+    frames, tokens = gctx.generate(words2, duration_s=6.0)
+    assert np.isfinite(frames).all()

@@ -77,3 +77,43 @@ def test_twh_split_rule_every_100th_to_val(tmp_path, monkeypatch):
     val = ClipStore(os.path.join(out, "val"))
     assert len(val.clips) == 1 and val.clips[0]["vid"] == "rec_0"
     assert len(train.clips) == 2
+
+
+def test_window_text_context_extends_word_range_backwards():
+    """text_context_s (beyond reference): the word range extends back
+    by context_s seconds; the min_words filter and the window
+    population stay exactly the reference's (window-local)."""
+    from gesture2vec_tpu.data.datasets import sentence_windows
+
+    class _Store:
+        clips = [{"n_frames": 240,
+                  "words": [["way_before", 0.1, 0.6],
+                            ["before", 4.0, 4.6],      # in [t0-3, t0)
+                            ["in1", 6.5, 6.9], ["in2", 7.0, 7.4],
+                            ["in3", 8.0, 8.4], ["in4", 9.0, 9.4],
+                            ["late", 11.8, 12.5]]}]
+
+    plain = sentence_windows(_Store(), frame_length=120, stride=120,
+                             fps=20, min_words=4)
+    ctx = sentence_windows(_Store(), frame_length=120, stride=120,
+                           fps=20, min_words=4, context_s=3.0)
+    assert [w["t0"] for w in plain] == [w["t0"] for w in ctx]
+    p0 = [w for w in plain if w["t0"] == 6.0][0]
+    c0 = [w for w in ctx if w["t0"] == 6.0][0]
+    assert [x[0] for x in p0["words"]] == ["in1", "in2", "in3", "in4",
+                                           "late"]
+    assert [x[0] for x in c0["words"]] == ["before", "in1", "in2",
+                                           "in3", "in4", "late"]
+
+    # a window with >= min_words only WITH context must still be
+    # dropped (population parity with the reference)
+    class _Sparse:
+        clips = [{"n_frames": 240,
+                  "words": [["a", 0.1, 0.5], ["b", 1.0, 1.4],
+                            ["c", 2.0, 2.4],
+                            ["d", 6.5, 6.9], ["e", 7.0, 7.4],
+                            ["f", 8.0, 8.4], ["g", 9.0, 9.4]]}]
+    for kw in ({}, {"context_s": 10.0}):
+        wins = sentence_windows(_Sparse(), frame_length=120, stride=120,
+                                fps=20, min_words=4, **kw)
+        assert [w["t0"] for w in wins] == [6.0]
