@@ -337,6 +337,9 @@ class StreamStepBatcher:
         self._lock = threading.Lock()
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
+        # set while the collector holds a batch open in its window
+        # (synchronization hook for shutdown tests/diagnostics)
+        self.collecting = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -344,11 +347,23 @@ class StreamStepBatcher:
         self._stop.set()
         self._q.put(None)
         self._thread.join(timeout=5)
+        # fail any callers still queued (their step() would otherwise
+        # block forever on done.wait())
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[0]["error"] = RuntimeError("batcher closed")
+                item[0]["done"].set()
 
     # -- the injectable session step ----------------------------------
     def step(self, word_ids, length, seed_tokens, prev_last, key):
         """Same signature/results as build_streaming_step(gen); blocks
         until the fused batch containing this call completes."""
+        if self._stop.is_set():
+            raise RuntimeError("batcher closed")
         done = threading.Event()
         slot = {"done": done}
         self._q.put((slot, (word_ids, length, seed_tokens, prev_last,
@@ -395,7 +410,9 @@ class StreamStepBatcher:
             if first is None:
                 return
             batch = [first]
+            self.collecting.set()
             deadline = time.monotonic() + self.window_s
+            stopping = False
             while len(batch) < self.max_batch:
                 left = deadline - time.monotonic()
                 if left <= 0:
@@ -405,7 +422,10 @@ class StreamStepBatcher:
                 except queue.Empty:
                     break
                 if item is None:
-                    return
+                    # shutdown sentinel mid-collection: still execute
+                    # the batch already collected, then exit
+                    stopping = True
+                    break
                 batch.append(item)
             try:
                 self._execute(batch)
@@ -413,6 +433,9 @@ class StreamStepBatcher:
                 for slot, _ in batch:
                     slot["error"] = e
                     slot["done"].set()
+            self.collecting.clear()
+            if stopping:
+                return
 
     def _execute(self, batch) -> None:
         n = len(batch)

@@ -287,3 +287,40 @@ def test_stream_step_batcher_matches_unbatched(pipeline_artifacts):
 
     with pytest.raises(ValueError):
         StreamStepBatcher(_generator(art, "exemplar"))
+
+
+def test_stream_step_batcher_close_unblocks(pipeline_artifacts):
+    """close(): a shutdown sentinel arriving mid-collection still
+    executes the already-collected batch; queued-after-close items get
+    a failure instead of blocking forever; step() after close raises."""
+    import threading
+
+    from gesture2vec_tpu.infer.streaming import StreamStepBatcher
+
+    gen = _generator(pipeline_artifacts, "decode")
+    batcher = StreamStepBatcher(gen, max_batch=4, window_s=30.0)
+    sess = StreamingGestureSession(gen, step=batcher.step)
+    sess.push(WORDS, now_s=0.0)
+    out = {}
+
+    def drive():
+        # exactly one window; its step will sit in the 30 s batch
+        # window until close()'s sentinel forces execution of the
+        # partial batch
+        out["res"] = sess.finish(sess.unit)
+
+    t = threading.Thread(target=drive)
+    t.start()
+    assert batcher.collecting.wait(timeout=120), \
+        "step never reached the batch window"
+    batcher.close()
+    t.join(timeout=60)
+    assert not t.is_alive(), "caller stayed blocked through close()"
+    assert "res" in out and len(out["res"]) == 1
+    assert np.isfinite(out["res"][0][0]).all()
+
+    with pytest.raises(RuntimeError):
+        batcher.step(np.zeros((16,), np.int32), np.int32(1),
+                     np.zeros((gen.n_steps,), np.int32),
+                     np.zeros((gen.seq_model.rep_dim,), np.float32),
+                     None)
