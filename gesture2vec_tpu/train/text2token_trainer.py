@@ -37,9 +37,29 @@ def make_text2token(config: Config, n_words: int,
                     embedding_weights: Optional[np.ndarray] = None
                     ) -> Text2Token:
     """pose_dim := vq components when discrete
-    (ref: text2embedding_model.py:543-544)."""
+    (ref: text2embedding_model.py:543-544).
+
+    `t2t_arch: transformer` in the YAML selects the beyond-reference
+    parallel transformer variant (models/transformer) - identical API,
+    trained/checkpointed/served through the same code paths."""
     set_scan_unroll(config.scan_unroll)
     n_steps = config.sentence_frame_length // config.n_poses
+    if config.extras.get("t2t_arch", "gru") == "transformer":
+        from gesture2vec_tpu.models.transformer import (
+            TransformerText2Token)
+        return TransformerText2Token(
+            n_words=n_words,
+            n_tokens=config.autoencoder_vq_components,
+            hidden_size=config.hidden_size,
+            n_layers=config.n_layers,
+            n_steps=n_steps,
+            n_pre_poses=config.n_pre_poses,
+            dropout=config.dropout_prob,
+            word_embed_size=config.wordembed_dim,
+            n_heads=int(config.extras.get("t2t_heads", 4)),
+            embedding_weights=embedding_weights,
+            token_stages=config.token_stages,
+            compute_dtype=config.compute_dtype)
     return Text2Token(
         n_words=n_words,
         n_tokens=config.autoencoder_vq_components,
@@ -101,7 +121,8 @@ def make_train_step(model: Text2Token,
                                        label_smoothing=label_smoothing)
             if multi:
                 loss = loss + _stage_ce(res, stage[0])
-            return loss, mut["batch_stats"]
+            # transformer arch has no BatchNorm -> no batch_stats
+            return loss, mut.get("batch_stats", state.batch_stats)
 
         (loss, new_bs), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
