@@ -118,7 +118,7 @@ def bench_seq_ae(batch_size, iters, compute_dtype="float32",
 
 
 def bench_t2t(batch_size, iters, max_words=32, unroll=1,
-              compute_dtype="float32"):
+              compute_dtype="float32", arch="gru"):
     from gesture2vec_tpu.train import text2token_trainer
 
     cfg = load_config(dict(name="bench_d", model="seq2seq",
@@ -129,6 +129,7 @@ def bench_t2t(batch_size, iters, max_words=32, unroll=1,
                            learning_rate=5e-4, epochs=1,
                            batch_size=batch_size, random_seed=0,
                            scan_unroll=unroll,
+                           t2t_arch=arch,
                            compute_dtype=compute_dtype))
     model = text2token_trainer.make_text2token(cfg, n_words=8000)
     opt = make_optimizer(cfg.learning_rate)
@@ -147,10 +148,16 @@ def bench_t2t(batch_size, iters, max_words=32, unroll=1,
     args_ = (words, lens, tgt, jax.random.PRNGKey(1))
     t = bench_steps(step, state, args_, iters)
     tag = " bf16" if compute_dtype == "bfloat16" else "     "
-    _report(f"part d (text->tokens{tag})", batch_size, t, "sentences/s",
-            step, state, args_,
-            F.text2token_forward_flops(batch_size, max_words=max_words,
-                                       n_steps=model.n_steps))
+    if arch == "transformer":
+        fwd = F.transformer_t2t_forward_flops(batch_size,
+                                              max_words=max_words,
+                                              n_steps=model.n_steps)
+        label = f"part d transformer{tag}"
+    else:
+        fwd = F.text2token_forward_flops(batch_size, max_words=max_words,
+                                         n_steps=model.n_steps)
+        label = f"part d (text->tokens{tag})"
+    _report(label, batch_size, t, "sentences/s", step, state, args_, fwd)
 
 
 def main():
@@ -161,7 +168,7 @@ def main():
     ap.add_argument("--unroll", type=int, default=1,
                     help="GRU/decoder scan unroll factor (A/B knob)")
     ap.add_argument("--parts", default="a,b,b16,d,d16",
-                    help="comma list from {a,b,b16,d,d16}")
+                    help="comma list from {a,b,b16,d,d16,dt,dt16}")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -181,6 +188,11 @@ def main():
         bench_t2t(args.batch, args.iters, unroll=args.unroll)
     if "d16" in parts:
         bench_t2t(args.batch, args.iters, unroll=args.unroll,
+                  compute_dtype="bfloat16")
+    if "dt" in parts:
+        bench_t2t(args.batch, args.iters, arch="transformer")
+    if "dt16" in parts:
+        bench_t2t(args.batch, args.iters, arch="transformer",
                   compute_dtype="bfloat16")
 
 

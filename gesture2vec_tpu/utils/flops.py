@@ -124,6 +124,36 @@ def text2token_forward_flops(batch: int, max_words: int = 32,
     return f
 
 
+def transformer_t2t_forward_flops(batch: int, max_words: int = 32,
+                                  embed: int = 300, hidden: int = 200,
+                                  n_layers: int = 2, n_steps: int = 4,
+                                  codes: int = 512) -> float:
+    """TransformerText2Token TRAIN forward (models/transformer): one
+    parallel encoder pass over max_words positions + one parallel
+    teacher-forced decoder pass over n_steps-1 positions. Attention
+    score/apply matmuls are 4*B*Tq*Tk*H FLOPs total (2 each); MLP is
+    4x expansion. The autoregressive EVAL rollout instead runs the
+    decoder pass n_steps-1 times (multiply the decoder term
+    accordingly)."""
+    B, S, H, T = batch, max_words, hidden, n_steps - 1
+    f = dense_flops(B * S, embed, H)                  # embed projection
+    per_enc = (4 * dense_flops(B * S, H, H)           # QKV + O
+               + 4.0 * B * S * S * H                  # scores + apply
+               + dense_flops(B * S, H, 4 * H)
+               + dense_flops(B * S, 4 * H, H))
+    f += n_layers * per_enc
+    per_dec = (4 * dense_flops(B * T, H, H)           # self QKV + O
+               + 4.0 * B * T * T * H
+               + 2 * dense_flops(B * T, H, H)         # cross Q + O
+               + 2 * dense_flops(B * S, H, H)         # cross K + V
+               + 4.0 * B * T * S * H
+               + dense_flops(B * T, H, 4 * H)
+               + dense_flops(B * T, 4 * H, H))
+    f += n_layers * per_dec
+    f += dense_flops(B * T, H, codes)                 # out layer
+    return f
+
+
 def e2e_decode_flops(n_tokens: int, n_frames: int = 20, rep: int = 40,
                      hidden: int = 200, n_layers: int = 2,
                      motion_dim: int = 135) -> float:
