@@ -181,6 +181,20 @@ class GestureGenerator:
                              "distribution, which beam search does not "
                              "produce; use greedy or sampled decode")
 
+        # batched-window enc masks: the transformer arch takes (and
+        # needs) a per-SENTENCE (W, S) valid mask — its pad rows carry
+        # content, so a batch-max mask would make decodes depend on
+        # batch composition (advisor finding, round 3). The GRU arch's
+        # Attn takes a (S,) batch-max mask (reference parity: packed
+        # sequences trimmed to max length, pad hiddens frozen).
+        per_sent_mask = type(t2t).__name__ == "TransformerText2Token"
+
+        def _batched_mask(word_ids, lengths):
+            if per_sent_mask:
+                return (jnp.arange(word_ids.shape[1])[None, :]
+                        < lengths[:, None])
+            return jnp.arange(word_ids.shape[1]) < jnp.max(lengths)
+
         def _mix_probs(logits, tokens):
             """Per-step codebook mixture for soft decode: softmax of the
             decode logits at temperature `soft`, with step-0 rows (the
@@ -254,8 +268,7 @@ class GestureGenerator:
                 if beam:
                     eo, dh = t2t.apply(self.t2t_variables, word_ids,
                                        lengths, method=t2t.encode_text)
-                    mask = (jnp.arange(word_ids.shape[1])
-                            < jnp.max(lengths))
+                    mask = _batched_mask(word_ids, lengths)
                     res = _decode_win(eo, dh, targets, mask, key)
                 else:
                     res = t2t.apply(self.t2t_variables, word_ids,
@@ -321,8 +334,7 @@ class GestureGenerator:
                         eo, dh = t2t.apply(self.t2t_variables, word_ids,
                                            lengths,
                                            method=t2t.encode_text)
-                        mask = (jnp.arange(word_ids.shape[1])
-                                < jnp.max(lengths))
+                        mask = _batched_mask(word_ids, lengths)
                         res = _decode_win(eo, dh, targets, mask, key)
                     else:
                         res = t2t.apply(self.t2t_variables, word_ids,

@@ -299,7 +299,12 @@ class TransformerText2Token(nn.Module):
                  ) -> Dict[str, Any]:
         enc_outs, dec_hidden = self.encode_text(tokens, lengths,
                                                 train=train)
-        enc_mask = jnp.arange(tokens.shape[1]) < jnp.max(lengths)
+        # per-SENTENCE valid mask, not batch-max: transformer pad rows
+        # carry content (pad-token embeddings through self-attention),
+        # so a batch-max mask would make a sentence's decode depend on
+        # batch composition (advisor finding, round 3)
+        enc_mask = (jnp.arange(tokens.shape[1])[None, :]
+                    < lengths[:, None])
         return self.decode_tokens(enc_outs, dec_hidden, target_tokens,
                                   train=train, enc_mask=enc_mask,
                                   temperature=temperature, top_k=top_k)
@@ -343,7 +348,11 @@ class TransformerText2Token(nn.Module):
         # chosen token after. The carry is just the (B, T-1) input
         # buffer - the parallel decoder recomputes the prefix each step
         # (T = 6 at production shapes; no recurrent state, no KV cache).
-        n_pre = min(self.n_pre_poses, T)
+        # n_pre clamps to >= 1 so buf0[:, 0] always carries the seed
+        # token (target[0]); with the literal n_pre_poses=0 the first
+        # step would condition on token id 0 instead of the seed, which
+        # the GRU variant never does (advisor finding, round 3).
+        n_pre = max(1, min(self.n_pre_poses, T))
         pos = jnp.arange(T - 1)[None, :]
         buf0 = jnp.where(pos < n_pre, target_tokens[:, :T - 1], 0)
 
@@ -423,7 +432,7 @@ class TransformerText2Token(nn.Module):
         B = target_tokens.shape[0]
         S1 = self.token_stages - 1
         multi = S1 > 0
-        n_pre = min(self.n_pre_poses, T)
+        n_pre = max(1, min(self.n_pre_poses, T))  # seed always in buf0
 
         encK = jnp.repeat(enc, K, axis=0)                  # (B*K, S, H)
         emK = None

@@ -36,6 +36,55 @@ def test_analytic_goldens_at_benchmark_shapes():
         == pytest.approx(6_274_816_000.0)
 
 
+def test_transformer_t2t_golden_hand_computed():
+    """Pin transformer_t2t_forward_flops — the bench MFU denominator
+    for the transformer Part d (advisor finding, round 3). The small
+    shape is hand-computed term by term (B=2, S=4, E=8, H=8, 1 layer,
+    T = n_steps-1 = 2, K=16):
+      embed proj           2*B*S*E*H                  = 1,024
+      enc QKV+O            4 * 2*B*S*H*H              = 4,096
+      enc scores+apply     4*B*S*S*H                  = 1,024
+      enc MLP (4x)         2 * 2*B*S*H*4H             = 8,192
+      dec self QKV+O       4 * 2*B*T*H*H              = 2,048
+      dec self scr+apply   4*B*T*T*H                  =   256
+      dec cross Q+O        2 * 2*B*T*H*H              = 1,024
+      dec cross K+V        2 * 2*B*S*H*H              = 2,048
+      dec cross scr+apply  4*B*T*S*H                  =   512
+      dec MLP (4x)         2 * 2*B*T*H*4H             = 4,096
+      out layer            2*B*T*H*K                  = 1,024
+      total                                           = 25,344"""
+    assert F.transformer_t2t_forward_flops(
+        2, max_words=4, embed=8, hidden=8, n_layers=1, n_steps=3,
+        codes=16) == pytest.approx(25_344.0)
+    # benchmark-shape golden (same derivation at B=128/S=32/H=200/L=2/
+    # T=3/K=512), update in lockstep with benchmarks/README.md
+    assert F.transformer_t2t_forward_flops(128, max_words=32, n_steps=4) \
+        == pytest.approx(10_836_582_400.0)
+
+
+def test_transformer_t2t_analytic_vs_xla():
+    """Cross-check the analytic count against XLA's cost model on the
+    real compiled TRAIN forward (the parallel teacher-forced pass — no
+    scan, so no unroll caveat applies)."""
+    from gesture2vec_tpu.models.transformer import TransformerText2Token
+    model = TransformerText2Token(
+        n_words=1000, n_tokens=512, hidden_size=200, n_layers=2,
+        n_steps=4, dropout=0.0)
+    rng = np.random.default_rng(0)
+    words = jnp.asarray(
+        rng.integers(4, 1000, size=(128, 32)).astype(np.int32))
+    lens = jnp.full((128,), 32, jnp.int32)
+    tgt = jnp.zeros((128, 4), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), words, lens, tgt)
+
+    def fwd(v, w, l, t):
+        return model.apply(v, w, l, t, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+    xla = F.xla_flops(jax.jit(fwd), variables, words, lens, tgt)
+    _band(F.transformer_t2t_forward_flops(128, max_words=32, n_steps=4),
+          xla)
+
+
 def _band(analytic, xla):
     assert 0.8 * xla <= analytic <= 2.0 * xla, (analytic, xla)
 

@@ -105,7 +105,7 @@ def test_encode_decode_split_matches_fused(rng):
     fused = model.apply(variables, toks, lens, tgt, train=False)
     eo, dh = model.apply(variables, toks, lens, method=model.encode_text)
     assert eo.shape == (MAXW, 4, 32) and dh.shape == (2, 4, 32)
-    mask = jnp.arange(MAXW) < jnp.max(lens)
+    mask = jnp.arange(MAXW)[None, :] < lens[:, None]
     split = model.apply(variables, eo, dh, tgt, train=False,
                         enc_mask=mask, method=model.decode_tokens)
     np.testing.assert_array_equal(np.asarray(fused["tokens"]),
@@ -121,7 +121,7 @@ def test_beam_width_one_is_greedy(rng):
     tgt = jnp.asarray(d["tokens"][:4])
     greedy = model.apply(variables, toks, lens, tgt, train=False)
     eo, dh = model.apply(variables, toks, lens, method=model.encode_text)
-    mask = jnp.arange(MAXW) < jnp.max(lens)
+    mask = jnp.arange(MAXW)[None, :] < lens[:, None]
     b1 = model.apply(variables, eo, dh, tgt, beam_width=1, enc_mask=mask,
                      method=model.beam_decode)
     np.testing.assert_array_equal(np.asarray(b1["tokens"]),
@@ -221,3 +221,34 @@ def test_padding_positions_do_not_leak(rng):
     np.testing.assert_allclose(np.asarray(a["logits"]),
                                np.asarray(b["logits"]), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_padding_leak_mixed_lengths(rng):
+    """A sentence's decode must not depend on BATCH COMPOSITION: with
+    mixed lengths, the per-sentence enc_mask must stop the short
+    sentence's cross-attention from reading its own pad rows (which
+    sit below the batch max and carry pad-embedding-derived content —
+    a batch-max mask would expose them; advisor finding, round 3)."""
+    model = make_text2token(_config(dropout_prob=0.0), N_WORDS)
+    d = _dataset(rng, n=2)
+    d["lengths"][0] = 4   # short sentence
+    d["lengths"][1] = 9   # long sentence sets the batch max
+    variables = _init(model, d, n=2)
+    toks = np.array(d["word_ids"][:2])
+    tgt = jnp.asarray(d["tokens"][:2])
+    lens = jnp.asarray(d["lengths"][:2])
+    a = model.apply(variables, jnp.asarray(toks), lens, tgt, train=False)
+    # garbage inside the short sentence's pad region but BELOW the
+    # batch max — exactly the rows a batch-max mask would attend to
+    toks[0, 4:9] = 3
+    b = model.apply(variables, jnp.asarray(toks), lens, tgt, train=False)
+    np.testing.assert_allclose(np.asarray(a["logits"]),
+                               np.asarray(b["logits"]), rtol=1e-5,
+                               atol=1e-6)
+    # and the same through the solo path: the short sentence decoded
+    # alone (its own padding) must match its decode inside the batch
+    solo = model.apply(variables, jnp.asarray(toks[:1]), lens[:1],
+                       tgt[:1], train=False)
+    np.testing.assert_allclose(np.asarray(solo["logits"][0]),
+                               np.asarray(b["logits"][0]), rtol=1e-4,
+                               atol=1e-5)
