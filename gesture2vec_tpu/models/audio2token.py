@@ -48,6 +48,8 @@ class Audio2Token(nn.Module):
     token_stages: int = 1  # >1: residual-stage heads, same contract as
     # Text2Token (feedback + res["logits"] stay stage-0;
     # res["stage_logits"] covers steps 1..)
+    stage_conditional: bool = False  # chain the stage heads (see
+    # text2token.stage_chain); train mode then needs stage_targets
     # "bfloat16": bf16 matmuls in the encoder GRU + decoder recurrence;
     # logits/CE/argmax stay fp32 (same discipline as Text2Token)
     compute_dtype: str = "float32"
@@ -70,7 +72,8 @@ class Audio2Token(nn.Module):
             hidden_size=self.hidden_size, n_tokens=self.n_tokens,
             n_layers=self.n_layers, dropout_p=self.dropout,
             use_attention=self.use_attention, dtype=self._dtype,
-            n_stage_heads=self.token_stages - 1)
+            n_stage_heads=self.token_stages - 1,
+            stage_conditional=self.stage_conditional)
 
     def encode_audio(self, encoder_inputs, train: bool = False
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -89,8 +92,8 @@ class Audio2Token(nn.Module):
 
     def decode_tokens(self, enc_outs: jnp.ndarray, dec_hidden: jnp.ndarray,
                       target_tokens: jnp.ndarray, train: bool = False,
-                      temperature: float = 0.0, top_k: int = 0
-                      ) -> Dict[str, Any]:
+                      temperature: float = 0.0, top_k: int = 0,
+                      stage_targets=None) -> Dict[str, Any]:
         """The autoregressive token decode given an audio encoding.
 
         temperature=0 (default) is the reference's greedy decode; >0
@@ -103,6 +106,10 @@ class Audio2Token(nn.Module):
         step_mod = self.decoder_step
 
         multi = self.token_stages > 1
+        cond = multi and self.stage_conditional
+        if cond and train and stage_targets is None:
+            raise ValueError("stage_conditional training needs "
+                             "stage_targets (B, n_steps, token_stages)")
 
         def body(mdl, carry, t):
             prev_token, hidden = carry
@@ -110,6 +117,17 @@ class Audio2Token(nn.Module):
                                                    axis=1, keepdims=False)
             token_in = jnp.where(t - 1 < self.n_pre_poses, teacher,
                                  prev_token)
+            if cond:
+                st = None
+                if train:
+                    st = jax.lax.dynamic_index_in_dim(
+                        stage_targets, t, axis=1, keepdims=False)
+                (logits, new_hidden, attn, stage_logits, best,
+                 stage_best) = mdl(token_in, hidden, enc_outs,
+                                   train=train, stage_teacher=st,
+                                   temperature=temperature, top_k=top_k)
+                return (best, new_hidden), (
+                    (logits, attn, stage_logits, stage_best), best)
             res = mdl(token_in, hidden, enc_outs, train=train)
             if multi:
                 logits, new_hidden, attn, stage_logits = res
@@ -160,10 +178,10 @@ class Audio2Token(nn.Module):
 
     def __call__(self, encoder_inputs, target_tokens: jnp.ndarray,
                  train: bool = False, temperature: float = 0.0,
-                 top_k: int = 0) -> Dict[str, Any]:
+                 top_k: int = 0, stage_targets=None) -> Dict[str, Any]:
         """encoder_inputs: see encode_audio; target_tokens (B, n_steps)."""
         enc_outs, dec_hidden = self.encode_audio(encoder_inputs,
                                                  train=train)
         return self.decode_tokens(enc_outs, dec_hidden, target_tokens,
                                   train=train, temperature=temperature,
-                                  top_k=top_k)
+                                  top_k=top_k, stage_targets=stage_targets)

@@ -84,6 +84,11 @@ def beam_decode_impl(model, enc_outs: jnp.ndarray,
     B = target_tokens.shape[0]
     S1 = getattr(model, "token_stages", 1) - 1
     multi = S1 > 0
+    # stage-conditional chain under beam: the chain conditions on each
+    # hypothesis's own argmax primary (made inside the step), not the
+    # beam-recombined token — stage codes never enter the beam score,
+    # so this only affects the reported stage ids, documented here
+    cond = multi and getattr(model, "stage_conditional", False)
 
     seed = target_tokens[:, 0]
     eo = jnp.repeat(enc_outs, K, axis=1)            # (S, B*K, H)
@@ -107,7 +112,10 @@ def beam_decode_impl(model, enc_outs: jnp.ndarray,
         token_in = jnp.where(t - 1 < n_pre, jnp.repeat(teacher, K),
                              tokens)
         res = mdl(token_in, hidden, eo, train=False, enc_mask=enc_mask)
-        if multi:
+        st_choice = None
+        if cond:
+            logits, new_hidden, _, stage_logits, _, st_choice = res
+        elif multi:
             logits, new_hidden, _, stage_logits = res
         else:
             logits, new_hidden, _ = res
@@ -123,7 +131,9 @@ def beam_decode_impl(model, enc_outs: jnp.ndarray,
         seqs = jnp.take_along_axis(seqs, parent[:, :, None], axis=1)
         seqs = seqs.at[:, :, t].set(new_tok)
         if multi:
-            st = jnp.argmax(stage_logits, axis=-1).reshape(B, K, S1)
+            st = (st_choice if cond
+                  else jnp.argmax(stage_logits, axis=-1)).reshape(
+                B, K, S1)
             st = jnp.take_along_axis(st, parent[:, :, None], axis=1)
             stages = jnp.take_along_axis(
                 stages, parent[:, :, None, None], axis=1)
@@ -145,6 +155,62 @@ def beam_decode_impl(model, enc_outs: jnp.ndarray,
         out["stage_tokens"] = jnp.take_along_axis(
             stages, best[:, None, None, None], axis=1)[:, 0, 1:, :]
     return out
+
+
+def stage_chain(mdl, out: jnp.ndarray, logits_f32: jnp.ndarray,
+                stage_teacher: Optional[jnp.ndarray],
+                temperature: float, top_k: int
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Conditional residual-stage heads (config.stage_conditional;
+    beyond reference — the reference has no multi-stage tokens at all).
+
+    Head s predicts stage s+1's code from the decoder state PLUS
+    embeddings of the stage <= s codes:
+        h_0 = out;  h_{s+1} = h_s + E_s(c_s);  logits_{s+1} = W_{s+1} h_{s+1}
+    mirroring the residual-VQ structure the codes come from (stage s+1
+    quantizes the residual GIVEN stages <= s). The independent-head
+    alternative must marginalize over the earlier stages' choices,
+    which is what blew up the 4-stage val CE (QUALITY.md 21.6 vs 8.3).
+
+    Teacher forcing: with `stage_teacher` (..., S) — column 0 the
+    primary code — the chain conditions on the ground-truth codes (the
+    train-time factorization). Without it the chain feeds its own
+    choices (greedy, or ancestral samples at temperature > 0 via the
+    module's "sample" rng), and the PRIMARY choice is made here too so
+    the conditioning code and the emitted code are the same draw.
+
+    Must execute inside the owning module's compact/apply context (the
+    Dense/Embed submodules register on `mdl`; head param names stay
+    `out_layer_r{s+1}` — the chain adds `stage_embed_{s}` tables).
+    Shapes: out (..., H), logits_f32 (..., K); returns
+    (stage_logits (..., S-1, K) fp32, best (...,), stage_best (..., S-1)).
+    """
+    H = out.shape[-1]
+    teach = stage_teacher is not None
+
+    def choose(lg):
+        if temperature > 0.0:
+            return sample_logits(lg, temperature, top_k,
+                                 mdl.make_rng("sample"))
+        return jnp.argmax(lg, axis=-1)
+
+    best = jnp.argmax(logits_f32, axis=-1) if teach else choose(logits_f32)
+    prev = stage_teacher[..., 0] if teach else best
+    emb_init = nn.initializers.normal(1.0 / np.sqrt(H))
+    h = out
+    stage_lg, stage_ch = [], []
+    for s in range(mdl.n_stage_heads):
+        e = nn.Embed(mdl.n_tokens, H, embedding_init=emb_init,
+                     dtype=mdl.dtype, name=f"stage_embed_{s}")(prev)
+        h = h + e
+        lg = nn.Dense(mdl.n_tokens, name=f"out_layer_r{s + 1}",
+                      dtype=mdl.dtype)(h).astype(jnp.float32)
+        stage_lg.append(lg)
+        c = stage_teacher[..., s + 1] if teach else choose(lg)
+        stage_ch.append(jnp.argmax(lg, axis=-1) if teach else c)
+        prev = c
+    return (jnp.stack(stage_lg, axis=-2), best,
+            jnp.stack(stage_ch, axis=-1))
 
 
 class TextEncoderRNN(nn.Module):
@@ -196,12 +262,20 @@ class TokenDecoderStep(nn.Module):
     n_stage_heads: int = 0  # extra residual-stage logit heads (the
     # multi-stage Part d for vq_variant="rvq" tokenizers; 0 keeps the
     # reference shape and return arity exactly)
+    stage_conditional: bool = False  # chain the stage heads: head s
+    # sees embeddings of the stage <= s codes (config.stage_conditional)
 
     @nn.compact
     def __call__(self, token: jnp.ndarray, hidden: jnp.ndarray,
                  encoder_outputs: jnp.ndarray, train: bool = False,
-                 enc_mask: Optional[jnp.ndarray] = None
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+                 enc_mask: Optional[jnp.ndarray] = None,
+                 stage_teacher: Optional[jnp.ndarray] = None,
+                 temperature: float = 0.0, top_k: int = 0
+                 ) -> Tuple[jnp.ndarray, ...]:
+        """Extra returns in the stage-conditional mode (see
+        _stage_chain): (..., stage_logits, best, stage_best) — the step
+        chooses its own tokens there so the conditioning codes and the
+        emitted codes are the same draw."""
         emb = nn.Embed(self.n_tokens, self.hidden_size,
                        name="token_embedding")(token)       # (B, H)
         x = nn.Dropout(0.5, deterministic=not train)(emb)  # ref :260
@@ -227,6 +301,11 @@ class TokenDecoderStep(nn.Module):
         logits = nn.Dense(self.n_tokens, name="out_layer",
                           dtype=self.dtype)(out)
         # CE loss and the argmax feedback read fp32 logits either way
+        if self.n_stage_heads and self.stage_conditional:
+            return (logits.astype(jnp.float32), new_hidden,
+                    attn_weights) + stage_chain(
+                self, out, logits.astype(jnp.float32), stage_teacher,
+                temperature, top_k)
         if self.n_stage_heads:
             stage = [nn.Dense(self.n_tokens, name=f"out_layer_r{s + 1}",
                               dtype=self.dtype)(out)
@@ -255,6 +334,8 @@ class Text2Token(nn.Module):
     token_stages: int = 1  # >1: predict residual-VQ stage tokens too
     # (one extra head per stage; feedback and res["logits"] stay
     # stage-0, res["stage_logits"] carries steps 1.. for the heads)
+    stage_conditional: bool = False  # chain the stage heads (see
+    # stage_chain); train mode then needs stage_targets (B, T, S)
     # "bfloat16": single-pass MXU matmuls in the TCN/GRU encoder and the
     # decoder recurrence; logits, CE, and the argmax token feedback stay
     # fp32 (same fp32-island discipline as seq_ae.SeqVQAutoencoder)
@@ -285,7 +366,8 @@ class Text2Token(nn.Module):
             hidden_size=self.hidden_size, n_tokens=self.n_tokens,
             n_layers=self.n_layers, dropout_p=self.dropout,
             use_attention=self.use_attention, dtype=self._dtype,
-            n_stage_heads=self.token_stages - 1)
+            n_stage_heads=self.token_stages - 1,
+            stage_conditional=self.stage_conditional)
 
     def encode_text(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
                     train: bool = False
@@ -299,7 +381,8 @@ class Text2Token(nn.Module):
     def decode_tokens(self, enc_outs: jnp.ndarray, dec_hidden: jnp.ndarray,
                       target_tokens: jnp.ndarray, train: bool = False,
                       enc_mask: Optional[jnp.ndarray] = None,
-                      temperature: float = 0.0, top_k: int = 0
+                      temperature: float = 0.0, top_k: int = 0,
+                      stage_targets: Optional[jnp.ndarray] = None
                       ) -> Dict[str, Any]:
         """The autoregressive token decode given a text encoding.
 
@@ -308,11 +391,12 @@ class Text2Token(nn.Module):
         back) and needs a "sample" rng stream at apply time."""
         return self._decode(enc_outs, dec_hidden, target_tokens, train,
                             enc_mask=enc_mask, temperature=temperature,
-                            top_k=top_k)
+                            top_k=top_k, stage_targets=stage_targets)
 
     def __call__(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
                  target_tokens: jnp.ndarray, train: bool = False,
-                 temperature: float = 0.0, top_k: int = 0
+                 temperature: float = 0.0, top_k: int = 0,
+                 stage_targets: Optional[jnp.ndarray] = None
                  ) -> Dict[str, Any]:
         """tokens (B, S) word ids; lengths (B,); target_tokens (B, n_steps)
         gesture-token ids (teacher signal). Returns logits
@@ -327,13 +411,15 @@ class Text2Token(nn.Module):
         enc_mask = jnp.arange(tokens.shape[1]) < jnp.max(lengths)
         return self._decode(enc_outs, dec_hidden, target_tokens, train,
                             enc_mask=enc_mask, temperature=temperature,
-                            top_k=top_k)
+                            top_k=top_k, stage_targets=stage_targets)
 
     def _decode(self, enc_outs: jnp.ndarray, dec_hidden: jnp.ndarray,
                 target_tokens: jnp.ndarray, train: bool,
                 enc_mask: Optional[jnp.ndarray] = None,
                 temperature: float = 0.0,
-                top_k: int = 0) -> Dict[str, Any]:
+                top_k: int = 0,
+                stage_targets: Optional[jnp.ndarray] = None
+                ) -> Dict[str, Any]:
 
         seed = target_tokens[:, 0]
         onehot0 = jax.nn.one_hot(seed, self.n_tokens)
@@ -345,6 +431,10 @@ class Text2Token(nn.Module):
         step_mod = self.decoder_step
 
         multi = self.token_stages > 1
+        cond = multi and self.stage_conditional
+        if cond and train and stage_targets is None:
+            raise ValueError("stage_conditional training needs "
+                             "stage_targets (B, n_steps, token_stages)")
 
         def body(mdl, carry, t):
             prev_token, hidden = carry
@@ -355,6 +445,21 @@ class Text2Token(nn.Module):
                                                    axis=1, keepdims=False)
             token_in = jnp.where(t - 1 < self.n_pre_poses, teacher,
                                  prev_token)
+            if cond:
+                # teacher-forced chain at train (this step's GT codes);
+                # self-chained (the step's own greedy/sampled choices,
+                # same draw that feeds back) at eval
+                st = None
+                if train:
+                    st = jax.lax.dynamic_index_in_dim(
+                        stage_targets, t, axis=1, keepdims=False)
+                (logits, new_hidden, attn, stage_logits, best,
+                 stage_best) = mdl(token_in, hidden, enc_outs,
+                                   train=train, enc_mask=enc_mask,
+                                   stage_teacher=st,
+                                   temperature=temperature, top_k=top_k)
+                return (best, new_hidden), (
+                    (logits, attn, stage_logits, stage_best), best)
             res = mdl(token_in, hidden, enc_outs, train=train,
                       enc_mask=enc_mask)
             if multi:

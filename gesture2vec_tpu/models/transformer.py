@@ -53,7 +53,7 @@ import numpy as np
 from flax import linen as nn
 
 from gesture2vec_tpu.models.gru import make_decoder_scan
-from gesture2vec_tpu.models.text2token import sample_logits
+from gesture2vec_tpu.models.text2token import sample_logits, stage_chain
 
 
 def sinusoidal_positions(length: int, dim: int) -> np.ndarray:
@@ -200,18 +200,29 @@ class _TokenDecoder(nn.Module):
     n_heads: int
     dropout: float
     n_stage_heads: int = 0
+    stage_conditional: bool = False  # chain the stage heads
+    # (text2token.stage_chain); extra returns below
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, buf: jnp.ndarray, enc: jnp.ndarray,
                  enc_mask: Optional[jnp.ndarray] = None,
-                 train: bool = False
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray,
-                            Optional[jnp.ndarray]]:
+                 train: bool = False,
+                 stage_teacher: Optional[jnp.ndarray] = None,
+                 temperature: float = 0.0, top_k: int = 0
+                 ) -> Tuple[jnp.ndarray, ...]:
         """buf (B, T) token ids, enc (B, S, H) -> fp32 (logits
         (B, T, K) where position j predicts step j+1, cross-attn
         weights (B, T, S) from the last layer, stage logits
-        (B, T, S-1, K) or None)."""
+        (B, T, S-1, K) or None).
+
+        Stage-conditional mode returns (logits, cross_w, stage_logits,
+        primary_choice (B, T), stage_choice (B, T, S-1)) — the whole
+        chain runs vectorized over positions: teacher-forced with
+        stage_teacher (B, T, S) at train, self-chained through each
+        position's own greedy/sampled choice at eval (the rollout then
+        reads position t-1's choice so the conditioning code and the
+        emitted code are the same draw)."""
         T = buf.shape[1]
         emb = nn.Embed(self.n_tokens, self.hidden_size,
                        dtype=self.dtype, name="token_embedding")(buf)
@@ -232,6 +243,11 @@ class _TokenDecoder(nn.Module):
         x = nn.LayerNorm(dtype=self.dtype, name="final_ln")(x)
         logits = nn.Dense(self.n_tokens, name="out_layer",
                           dtype=self.dtype)(x).astype(jnp.float32)
+        if self.n_stage_heads and self.stage_conditional:
+            stage_logits, best, stage_best = stage_chain(
+                self, x, logits, stage_teacher, temperature, top_k)
+            return (logits, cross_w.astype(jnp.float32), stage_logits,
+                    best, stage_best)
         stage_logits = None
         if self.n_stage_heads:
             heads = [nn.Dense(self.n_tokens, name=f"out_layer_r{s + 1}",
@@ -258,6 +274,8 @@ class TransformerText2Token(nn.Module):
     n_heads: int = 4
     embedding_weights: Optional[np.ndarray] = None
     token_stages: int = 1
+    stage_conditional: bool = False  # chain the residual-stage heads
+    # (text2token.stage_chain); train mode then needs stage_targets
     compute_dtype: str = "float32"
     # always attends (cross-attention is structural here); the field
     # exists because cli/infer gates its attention plots on it
@@ -277,7 +295,8 @@ class TransformerText2Token(nn.Module):
             n_tokens=self.n_tokens, hidden_size=self.hidden_size,
             n_layers=self.n_layers, n_heads=self.n_heads,
             dropout=self.dropout,
-            n_stage_heads=self.token_stages - 1, dtype=self._dtype)
+            n_stage_heads=self.token_stages - 1,
+            stage_conditional=self.stage_conditional, dtype=self._dtype)
 
     # --- public API --------------------------------------------------
 
@@ -295,7 +314,8 @@ class TransformerText2Token(nn.Module):
 
     def __call__(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
                  target_tokens: jnp.ndarray, train: bool = False,
-                 temperature: float = 0.0, top_k: int = 0
+                 temperature: float = 0.0, top_k: int = 0,
+                 stage_targets: Optional[jnp.ndarray] = None
                  ) -> Dict[str, Any]:
         enc_outs, dec_hidden = self.encode_text(tokens, lengths,
                                                 train=train)
@@ -307,13 +327,15 @@ class TransformerText2Token(nn.Module):
                     < lengths[:, None])
         return self.decode_tokens(enc_outs, dec_hidden, target_tokens,
                                   train=train, enc_mask=enc_mask,
-                                  temperature=temperature, top_k=top_k)
+                                  temperature=temperature, top_k=top_k,
+                                  stage_targets=stage_targets)
 
     def decode_tokens(self, enc_outs: jnp.ndarray,
                       dec_hidden: jnp.ndarray,
                       target_tokens: jnp.ndarray, train: bool = False,
                       enc_mask: Optional[jnp.ndarray] = None,
-                      temperature: float = 0.0, top_k: int = 0
+                      temperature: float = 0.0, top_k: int = 0,
+                      stage_targets: Optional[jnp.ndarray] = None
                       ) -> Dict[str, Any]:
         """Teacher-forced parallel pass in train mode; reference
         feedback semantics (autoregressive greedy/sampled) otherwise.
@@ -322,14 +344,26 @@ class TransformerText2Token(nn.Module):
         enc = jnp.transpose(enc_outs, (1, 0, 2))          # (B, S, H)
         T = self.n_steps
         multi = self.token_stages > 1
+        cond = multi and self.stage_conditional
         seed = target_tokens[:, 0]
         onehot0 = jax.nn.one_hot(seed, self.n_tokens)
 
         if train:
             # parallel teacher forcing: position j's input is
             # target[j], its logits predict step j+1
-            logits_all, cross_w, stage_all = self.decoder(
-                target_tokens[:, :T - 1], enc, enc_mask, train=True)
+            if cond:
+                if stage_targets is None:
+                    raise ValueError(
+                        "stage_conditional training needs stage_targets "
+                        "(B, n_steps, token_stages)")
+                # position j predicts step j+1: teacher codes align 1..
+                logits_all, cross_w, stage_all, _, stage_ch = \
+                    self.decoder(target_tokens[:, :T - 1], enc, enc_mask,
+                                 train=True,
+                                 stage_teacher=stage_targets[:, 1:, :])
+            else:
+                logits_all, cross_w, stage_all = self.decoder(
+                    target_tokens[:, :T - 1], enc, enc_mask, train=True)
             logits = jnp.concatenate([onehot0[:, None], logits_all],
                                      axis=1)               # (B, T, K)
             chosen = jnp.argmax(logits_all, axis=-1)
@@ -339,7 +373,8 @@ class TransformerText2Token(nn.Module):
                        [seed[:, None], chosen], axis=1)}
             if multi:
                 out["stage_logits"] = stage_all            # (B,T-1,S-1,K)
-                out["stage_tokens"] = jnp.argmax(stage_all, axis=-1)
+                out["stage_tokens"] = (stage_ch if cond else
+                                       jnp.argmax(stage_all, axis=-1))
             return out
 
         # autoregressive rollout, reference feedback semantics: the
@@ -358,11 +393,22 @@ class TransformerText2Token(nn.Module):
 
         def body(mdl, carry, t):
             buf, = carry
-            logits_all, cross_w, stage_all = mdl(buf, enc, enc_mask,
-                                                 train=False)
+            if cond:
+                # the decoder makes every position's choice itself (the
+                # chain conditions on it); read position t-1's
+                logits_all, cross_w, stage_all, prim_ch, stage_ch = mdl(
+                    buf, enc, enc_mask, train=False,
+                    temperature=temperature, top_k=top_k)
+            else:
+                logits_all, cross_w, stage_all = mdl(buf, enc, enc_mask,
+                                                     train=False)
             lg = jax.lax.dynamic_index_in_dim(logits_all, t - 1, axis=1,
                                               keepdims=False)
-            if temperature > 0.0:
+            if cond:
+                best = jax.lax.dynamic_index_in_dim(prim_ch, t - 1,
+                                                    axis=1,
+                                                    keepdims=False)
+            elif temperature > 0.0:
                 best = sample_logits(lg, temperature, top_k,
                                      mdl.make_rng("sample"))
             else:
@@ -384,7 +430,11 @@ class TransformerText2Token(nn.Module):
             if multi:
                 sl = jax.lax.dynamic_index_in_dim(stage_all, t - 1,
                                                   axis=1, keepdims=False)
-                if temperature > 0.0:
+                if cond:
+                    sb = jax.lax.dynamic_index_in_dim(stage_ch, t - 1,
+                                                      axis=1,
+                                                      keepdims=False)
+                elif temperature > 0.0:
                     sb = sample_logits(sl, temperature, top_k,
                                        mdl.make_rng("sample"))
                 else:
@@ -452,9 +502,20 @@ class TransformerText2Token(nn.Module):
             .at[:, :, 0].set(seed[:, None])
         stages0 = jnp.zeros((B, K, T, max(S1, 1)), jnp.int32)
 
+        cond = multi and self.stage_conditional
+
         def body(mdl, carry, t):
             bufK, logprob, seqs, stages = carry
-            logits_all, _, stage_all = mdl(bufK, encK, emK, train=False)
+            stage_ch = None
+            if cond:
+                # chain conditions on each hypothesis's own argmax
+                # primary (stage codes never enter the beam score —
+                # same caveat as text2token.beam_decode_impl)
+                logits_all, _, stage_all, _, stage_ch = mdl(
+                    bufK, encK, emK, train=False)
+            else:
+                logits_all, _, stage_all = mdl(bufK, encK, emK,
+                                               train=False)
             lg = jax.lax.dynamic_index_in_dim(logits_all, t - 1, axis=1,
                                               keepdims=False)
             logp = jax.nn.log_softmax(lg, axis=-1).reshape(B, K, V)
@@ -473,9 +534,14 @@ class TransformerText2Token(nn.Module):
             buf3 = jax.lax.dynamic_update_index_in_dim(buf3, write, tw,
                                                        axis=2)
             if multi:
-                sl = jax.lax.dynamic_index_in_dim(stage_all, t - 1,
-                                                  axis=1, keepdims=False)
-                st = jnp.argmax(sl, axis=-1).reshape(B, K, S1)
+                if cond:
+                    st = jax.lax.dynamic_index_in_dim(
+                        stage_ch, t - 1, axis=1,
+                        keepdims=False).reshape(B, K, S1)
+                else:
+                    sl = jax.lax.dynamic_index_in_dim(
+                        stage_all, t - 1, axis=1, keepdims=False)
+                    st = jnp.argmax(sl, axis=-1).reshape(B, K, S1)
                 st = jnp.take_along_axis(st, parent[:, :, None], axis=1)
                 stages = jnp.take_along_axis(
                     stages, parent[:, :, None, None], axis=1)

@@ -54,6 +54,7 @@ def make_audio2token(config: Config, n_words: int = 0) -> Audio2Token:
                        n_words=n_words,
                        embed_size=config.wordembed_dim,
                        token_stages=config.token_stages,
+                       stage_conditional=config.stage_conditional,
                        compute_dtype=config.compute_dtype)
 
 
@@ -87,6 +88,7 @@ def make_train_step(model: Audio2Token,
                     optimizer: optax.GradientTransformation,
                     label_smoothing: float = 0.0):
     multi = model.token_stages > 1
+    cond = multi and getattr(model, "stage_conditional", False)
 
     def step(state: A2TTrainState, *args):
         # args = (*encoder_inputs, targets[, stage_targets], rng): one
@@ -99,10 +101,11 @@ def make_train_step(model: Audio2Token,
         enc_in = enc_in[0] if len(enc_in) == 1 else tuple(enc_in)
 
         def loss_fn(params):
+            kw = {"stage_targets": stage} if cond else {}
             res, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 enc_in, targets, train=True, rngs={"dropout": rng},
-                mutable=["batch_stats"])
+                mutable=["batch_stats"], **kw)
             loss = token_cross_entropy(res["logits"], targets,
                                        label_smoothing=label_smoothing)
             if multi:

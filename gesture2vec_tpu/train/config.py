@@ -137,6 +137,15 @@ class Config:
     # (one per RVQ stage) so decode-mode inference can rebuild the full
     # multi-stage quantized hidden instead of stage 0 only; requires a
     # vq_variant="rvq" Part-b teacher. 1 = reference behavior.
+    stage_conditional: bool = False  # Part d, token_stages > 1: chain
+    # the residual-stage heads — head s predicts stage s+1's code from
+    # the decoder state PLUS embeddings of the stage <= s codes
+    # (teacher-forced at train, chained through the chosen codes at
+    # decode), instead of S independent heads off the same state.
+    # Motivation: independent summed-CE heads must marginalize over the
+    # earlier stages' choices (4-stage val CE blew up 21.6 vs 8.3,
+    # QUALITY.md), while the residual structure is conditional by
+    # construction. False = the round-3 independent-head behavior.
     text_context_s: float = 0.0  # Part d (beyond reference): extend
     # each sentence window's WORD lookup backwards by this many seconds
     # (dataset build AND inference) — motion at a window's start can

@@ -59,6 +59,7 @@ def make_text2token(config: Config, n_words: int,
             n_heads=int(config.extras.get("t2t_heads", 4)),
             embedding_weights=embedding_weights,
             token_stages=config.token_stages,
+            stage_conditional=config.stage_conditional,
             compute_dtype=config.compute_dtype)
     return Text2Token(
         n_words=n_words,
@@ -73,6 +74,7 @@ def make_text2token(config: Config, n_words: int,
         use_attention=config.autoencoder_att,
         embedding_weights=embedding_weights,
         token_stages=config.token_stages,
+        stage_conditional=config.stage_conditional,
         compute_dtype=config.compute_dtype)
 
 
@@ -107,16 +109,18 @@ def make_train_step(model: Text2Token,
                     optimizer: optax.GradientTransformation,
                     label_smoothing: float = 0.0):
     multi = model.token_stages > 1
+    cond = multi and getattr(model, "stage_conditional", False)
 
     def step(state: T2TTrainState, word_ids, lengths, targets,
              *rest):
         *stage, rng = rest
 
         def loss_fn(params):
+            kw = {"stage_targets": stage[0]} if cond else {}
             res, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 word_ids, lengths, targets, train=True,
-                rngs={"dropout": rng}, mutable=["batch_stats"])
+                rngs={"dropout": rng}, mutable=["batch_stats"], **kw)
             loss = token_cross_entropy(res["logits"], targets,
                                        label_smoothing=label_smoothing)
             if multi:
