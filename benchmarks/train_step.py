@@ -88,7 +88,7 @@ def bench_dae(batch_size, iters, unroll=1):
 
 
 def bench_seq_ae(batch_size, iters, compute_dtype="float32",
-                 unroll=1):
+                 unroll=1, arch="bigru"):
     from gesture2vec_tpu.train import seq_ae_trainer
 
     cfg = load_config(dict(name="bench_b", model="seq2seq",
@@ -101,6 +101,7 @@ def bench_seq_ae(batch_size, iters, compute_dtype="float32",
                            loss_l1_weight=5, loss_cont_weight=0.1,
                            loss_var_weight=0.5,
                            compute_dtype=compute_dtype,
+                           seq_arch=arch,
                            scan_unroll=unroll))
     model = seq_ae_trainer.make_seq_ae(cfg)
     opt = make_optimizer(cfg.learning_rate)
@@ -112,9 +113,11 @@ def bench_seq_ae(batch_size, iters, compute_dtype="float32",
     args_ = (x, jax.random.PRNGKey(1), jnp.asarray(0.0))
     t = bench_steps(step, state, args_, iters)
     tag = " bf16" if compute_dtype == "bfloat16" else ""
-    _report(f"part b (VQ-VAE tokenizer{tag})", batch_size, t, "windows/s",
+    label = (f"part b tf-encoder{tag}    " if arch == "transformer"
+             else f"part b (VQ-VAE tokenizer{tag})")
+    _report(label, batch_size, t, "windows/s",
             step, state, args_,
-            F.seq_ae_forward_flops(batch_size))
+            F.seq_ae_forward_flops(batch_size, encoder=arch))
 
 
 def bench_t2t(batch_size, iters, max_words=32, unroll=1,
@@ -168,7 +171,8 @@ def main():
     ap.add_argument("--unroll", type=int, default=1,
                     help="GRU/decoder scan unroll factor (A/B knob)")
     ap.add_argument("--parts", default="a,b,b16,d,d16",
-                    help="comma list from {a,b,b16,d,d16,dt,dt16}")
+                    help="comma list from {a,b,b16,bt,bt16,d,d16,"
+                         "dt,dt16}")
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -184,6 +188,11 @@ def main():
     if "b16" in parts:
         bench_seq_ae(args.batch, args.iters, compute_dtype="bfloat16",
                      unroll=args.unroll)
+    if "bt" in parts:
+        bench_seq_ae(args.batch, args.iters, arch="transformer")
+    if "bt16" in parts:
+        bench_seq_ae(args.batch, args.iters, arch="transformer",
+                     compute_dtype="bfloat16")
     if "d" in parts:
         bench_t2t(args.batch, args.iters, unroll=args.unroll)
     if "d16" in parts:

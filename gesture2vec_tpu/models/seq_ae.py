@@ -185,6 +185,10 @@ class SeqVQAutoencoder(nn.Module):
     conditioned: bool = True
     vq_flatten: str = "per_sample"
     eval_step_dropout: bool = False   # parity quirk (ref :570)
+    encoder_arch: str = "bigru"  # "bigru" (reference parity) |
+    # "transformer": the TPU-first parallel chunk encoder
+    # (models/seq_encoder.TransformerSeqEncoder; YAML `seq_arch`).
+    # Decoder/VQ untouched — token semantics identical downstream.
     # "float32" (default, fp32/HIGHEST matmuls - token-identity exact) or
     # "bfloat16": single-pass MXU matmuls in encoder/decoder for
     # throughput-first training; the VQ distance/argmax path and the
@@ -196,10 +200,17 @@ class SeqVQAutoencoder(nn.Module):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     def setup(self):
-        self.encoder = SeqEncoder(hidden_size=self.hidden_size,
-                                  n_layers=self.n_layers,
-                                  dropout=self.dropout,
-                                  dtype=self._dtype)
+        if self.encoder_arch == "transformer":
+            from gesture2vec_tpu.models.seq_encoder import (
+                TransformerSeqEncoder)
+            self.encoder = TransformerSeqEncoder(
+                hidden_size=self.hidden_size, n_layers=self.n_layers,
+                dropout=self.dropout, dtype=self._dtype)
+        else:
+            self.encoder = SeqEncoder(hidden_size=self.hidden_size,
+                                      n_layers=self.n_layers,
+                                      dropout=self.dropout,
+                                      dtype=self._dtype)
         self.in_do = nn.Dropout(self.dropout)
         self.decoder_step = DecoderStep(hidden_size=self.hidden_size,
                                         output_size=self.rep_dim,

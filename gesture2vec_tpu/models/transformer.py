@@ -73,6 +73,8 @@ class MHA(nn.Module):
     hidden_size: int
     n_heads: int
     dtype: Optional[Any] = None
+    precision: Optional[str] = None  # "highest" for token-identity
+    # paths in fp32 mode (TPU fp32 matmuls default to bf16 passes)
 
     @nn.compact
     def __call__(self, q_in: jnp.ndarray, kv_in: jnp.ndarray,
@@ -83,9 +85,12 @@ class MHA(nn.Module):
         weights (B, Tq, Tk) head-averaged fp32)."""
         H, nh = self.hidden_size, self.n_heads
         hd = H // nh
-        q = nn.Dense(H, dtype=self.dtype, name="q")(q_in)
-        k = nn.Dense(H, dtype=self.dtype, name="k")(kv_in)
-        v = nn.Dense(H, dtype=self.dtype, name="v")(kv_in)
+        q = nn.Dense(H, dtype=self.dtype, name="q",
+                     precision=self.precision)(q_in)
+        k = nn.Dense(H, dtype=self.dtype, name="k",
+                     precision=self.precision)(kv_in)
+        v = nn.Dense(H, dtype=self.dtype, name="v",
+                     precision=self.precision)(kv_in)
 
         def split(x):  # (B, T, H) -> (B, nh, T, hd)
             return x.reshape(x.shape[0], x.shape[1], nh, hd) \
@@ -96,16 +101,19 @@ class MHA(nn.Module):
         # sharpness is a token-identity path (fp32-island discipline,
         # CLAUDE.md / models/vq)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=self.precision)
         scores = scores.astype(jnp.float32) / np.sqrt(hd)
         if mask is not None:
             scores = jnp.where(mask, scores, -1e30)
         w = jax.nn.softmax(scores, axis=-1)
         wc = w.astype(v.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", wc, v)
+        out = jnp.einsum("bhqk,bhkd->bhqd", wc, v,
+                         precision=self.precision)
         out = out.transpose(0, 2, 1, 3).reshape(
             q_in.shape[0], q_in.shape[1], H)
-        out = nn.Dense(H, dtype=self.dtype, name="o")(out)
+        out = nn.Dense(H, dtype=self.dtype, name="o",
+                       precision=self.precision)(out)
         return out, jnp.mean(w, axis=1)
 
 
@@ -117,6 +125,7 @@ class Block(nn.Module):
     dropout: float
     cross: bool = False
     dtype: Optional[Any] = None
+    precision: Optional[str] = None  # see MHA
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, self_mask: Optional[jnp.ndarray],
@@ -128,21 +137,24 @@ class Block(nn.Module):
                                     deterministic=not train)(y)
         h = nn.LayerNorm(dtype=self.dtype, name="ln_self")(x)
         a, _ = MHA(self.hidden_size, self.n_heads, dtype=self.dtype,
+                   precision=self.precision,
                    name="self_attn")(h, h, mask=self_mask)
         x = x + drop(a)
         cross_w = None
         if self.cross:
             h = nn.LayerNorm(dtype=self.dtype, name="ln_cross")(x)
             a, cross_w = MHA(self.hidden_size, self.n_heads,
-                             dtype=self.dtype, name="cross_attn")(
+                             dtype=self.dtype,
+                             precision=self.precision,
+                             name="cross_attn")(
                 h, enc, mask=enc_mask)
             x = x + drop(a)
         h = nn.LayerNorm(dtype=self.dtype, name="ln_mlp")(x)
         h = nn.Dense(4 * self.hidden_size, dtype=self.dtype,
-                     name="mlp_in")(h)
+                     precision=self.precision, name="mlp_in")(h)
         h = nn.gelu(h)
         h = nn.Dense(self.hidden_size, dtype=self.dtype,
-                     name="mlp_out")(h)
+                     precision=self.precision, name="mlp_out")(h)
         return x + drop(h), cross_w
 
 

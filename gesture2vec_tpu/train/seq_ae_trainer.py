@@ -61,6 +61,9 @@ def make_seq_ae(config: Config, parity: bool = False) -> SeqVQAutoencoder:
         vq_flatten="torch_view" if parity else "per_sample",
         eval_step_dropout=config.eval_dropout_quirk and parity,
         compute_dtype=config.compute_dtype,
+        # `seq_arch: transformer` selects the TPU-first parallel chunk
+        # encoder (models/seq_encoder); decoder/VQ identical either way
+        encoder_arch=config.extras.get("seq_arch", "bigru"),
     )
 
 

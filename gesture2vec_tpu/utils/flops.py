@@ -69,13 +69,24 @@ def dae_forward_flops(batch: int, motion_dim: int = 135,
 
 def seq_ae_forward_flops(batch: int, n_frames: int = 20, rep: int = 40,
                          hidden: int = 200, n_layers: int = 2,
-                         codes: int = 512) -> float:
-    """SeqVQAutoencoder forward: in_layer + biGRU encoder, GS-Soft VQ
-    (mean/logvar projections + distance matrix), n_frames-1 decoder
-    steps (pre_linear + GRU stack + out_layer)."""
+                         codes: int = 512,
+                         encoder: str = "bigru") -> float:
+    """SeqVQAutoencoder forward: in_layer + encoder (biGRU, or the
+    TPU-first parallel transformer variant, models/seq_encoder),
+    GS-Soft VQ (mean/logvar projections + distance matrix), n_frames-1
+    decoder steps (pre_linear + GRU stack + out_layer)."""
     f = dense_flops(batch * n_frames, rep, hidden)
-    f += gru_flops(batch, n_frames, hidden, hidden, n_layers,
-                   bidirectional=True)
+    if encoder == "transformer":
+        B, T, H = batch, n_frames, hidden
+        per_blk = (4 * dense_flops(B * T, H, H)      # QKV + O
+                   + 4.0 * B * T * T * H             # scores + apply
+                   + dense_flops(B * T, H, 4 * H)
+                   + dense_flops(B * T, 4 * H, H))
+        f += n_layers * per_blk
+        f += dense_flops(B, H, n_layers * H)          # hidden_proj
+    else:
+        f += gru_flops(batch, n_frames, hidden, hidden, n_layers,
+                       bidirectional=True)
     lh = n_layers * hidden
     f += dense_flops(batch, lh, lh)            # vq mean_layer
     f += dense_flops(batch, lh, codes)         # vq logvar_layer
