@@ -39,13 +39,51 @@ WORD_DUR = 0.5        # seconds per spoken word
 N_MOTIFS = 10
 VOCAB = [f"motif{m}word{v}" for m in range(N_MOTIFS) for v in range(3)]
 
+# --hard corpus (round 4): the standard corpus saturates Part d by
+# epoch ~40 (QUALITY.md: train CE 0.23 vs val 2.5) so modeling gains
+# vanish into the dataset ceiling. Hard mode raises it: 16 motifs x 4
+# surface words (64 one-hot words) PLUS 32 compositional pair words
+# whose motion is the 50/50 blend of two motifs — the word->token
+# mapping can no longer be memorized per-motif, it must compose.
+N_MOTIFS_HARD = 16
+HARD_WORDS_PER_MOTIF = 4
+HARD_N_PAIRS = 32
+
 
 def motif_of(word: str) -> int:
     return VOCAB.index(word) % N_MOTIFS
 
 
+def _vocab_weights(hard: bool, n_motifs: int, seed: int):
+    """word -> motif-weight vector. One-hot for every surface word;
+    hard mode adds 50/50 pair words over deterministic motif pairs."""
+    if not hard:
+        return {w: _onehot(motif_of(w), n_motifs) for w in VOCAB}
+    words = {}
+    for m in range(n_motifs):
+        for v in range(HARD_WORDS_PER_MOTIF):
+            words[f"motif{m}word{v}"] = _onehot(m, n_motifs)
+    prng = np.random.default_rng(seed + 1000)
+    pairs = set()
+    while len(pairs) < HARD_N_PAIRS:
+        a, b = sorted(prng.integers(n_motifs, size=2).tolist())
+        if a != b:
+            pairs.add((a, b))
+    for a, b in sorted(pairs):
+        w = np.zeros(n_motifs)
+        w[a] = w[b] = 0.5
+        words[f"blend{a}x{b}"] = w
+    return words
+
+
+def _onehot(m: int, n: int) -> np.ndarray:
+    w = np.zeros(n)
+    w[m] = 1.0
+    return w
+
+
 def make_motif_corpus(root: str, n_files: int, duration_s: float,
-                      seed: int = 0) -> str:
+                      seed: int = 0, hard: bool = False) -> str:
     """Trinity-layout corpus whose motion is word-conditioned."""
     import json as _json
 
@@ -54,6 +92,11 @@ def make_motif_corpus(root: str, n_files: int, duration_s: float,
     os.makedirs(os.path.join(root, "Motion"), exist_ok=True)
     os.makedirs(os.path.join(root, "Transcripts"), exist_ok=True)
     rng = np.random.default_rng(seed)
+    n_motifs = N_MOTIFS_HARD if hard else N_MOTIFS
+    vocab_w = _vocab_weights(hard, n_motifs, seed)
+    # default path keeps VOCAB's exact order (committed corpora must
+    # reproduce bit-for-bit); hard mode sorts for determinism
+    vocab = VOCAB if not hard else sorted(vocab_w)
 
     # skeleton text + channel layout (shared across clips)
     lines = ["HIERARCHY"]
@@ -63,10 +106,10 @@ def make_motif_corpus(root: str, n_files: int, duration_s: float,
     n_rot = len(channel_joints) * 3
 
     # per-motif channel signatures: posture + oscillation
-    base = rng.uniform(-25.0, 25.0, size=(N_MOTIFS, n_rot))
-    amp = rng.uniform(4.0, 18.0, size=(N_MOTIFS, n_rot))
-    freq = rng.uniform(0.8, 3.0, size=(N_MOTIFS, n_rot))
-    phase = rng.uniform(0, 2 * np.pi, size=(N_MOTIFS, n_rot))
+    base = rng.uniform(-25.0, 25.0, size=(n_motifs, n_rot))
+    amp = rng.uniform(4.0, 18.0, size=(n_motifs, n_rot))
+    freq = rng.uniform(0.8, 3.0, size=(n_motifs, n_rot))
+    phase = rng.uniform(0, 2 * np.pi, size=(n_motifs, n_rot))
 
     n_frames = int(duration_s * FPS_RAW)
     t = np.arange(n_frames) / FPS_RAW
@@ -75,17 +118,21 @@ def make_motif_corpus(root: str, n_files: int, duration_s: float,
     for i in range(n_files):
         # word schedule: back-to-back words, WORD_DUR each
         n_words = int(duration_s / WORD_DUR) - 1
-        words = [VOCAB[rng.integers(len(VOCAB))] for _ in range(n_words)]
+        words = [vocab[rng.integers(len(vocab))] for _ in range(n_words)]
         starts = np.arange(n_words) * WORD_DUR + 0.05
 
-        # per-frame motif weights with cosine crossfades
-        weights = np.zeros((n_frames, N_MOTIFS))
+        # per-frame motif weights with cosine crossfades; hard-mode
+        # pair words carry a 0.5/0.5 vector (compositional blend),
+        # one-hot words reduce to the original column add exactly
+        weights = np.zeros((n_frames, n_motifs))
         for w_i, (word, s) in enumerate(zip(words, starts)):
-            m = motif_of(word)
+            wvec = vocab_w[word]
             e = s + WORD_DUR
             ramp_in = np.clip((t - s) / fade, 0.0, 1.0)
             ramp_out = np.clip((e - t) / fade, 0.0, 1.0)
-            weights[:, m] += np.minimum(ramp_in, ramp_out) ** 2
+            env = np.minimum(ramp_in, ramp_out) ** 2
+            for m in np.nonzero(wvec)[0]:
+                weights[:, m] += wvec[m] * env
         weights[weights.sum(1) == 0, 0] = 1.0
         weights /= weights.sum(1, keepdims=True)
 
@@ -239,6 +286,11 @@ def main():
     ap.add_argument("out", nargs="?", default="/tmp/quality_out")
     ap.add_argument("--fast", action="store_true",
                     help="smoke sizes (~2 min CPU)")
+    ap.add_argument("--hard", action="store_true",
+                    help="harder corpus: 16 motifs, 96-word vocab with "
+                         "32 compositional pair words, 2x clips — "
+                         "raises the dataset ceiling so Part-d "
+                         "modeling gains stay measurable")
     ap.add_argument("--platform", default=None,
                     help="cpu to force off the TPU")
     args = ap.parse_args()
@@ -280,7 +332,7 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     fast = args.fast
-    n_files = 4 if fast else 12
+    n_files = (4 if fast else 12) * (2 if args.hard else 1)
     duration_s = 30.0 if fast else 120.0
     n_frames_chunk, sent_len, fps = 20, 120, 20
     codes = 32 if fast else 64
@@ -293,7 +345,8 @@ def main():
     corpus = os.path.join(args.out, "corpus")
     if not os.path.exists(os.path.join(corpus, "store", "train",
                                        "meta.msgpack")):
-        make_motif_corpus(corpus, n_files=n_files, duration_s=duration_s)
+        make_motif_corpus(corpus, n_files=n_files, duration_s=duration_s,
+                          hard=args.hard)
         ingest_trinity(corpus, tgt_fps=fps, with_audio=False)
     store = ClipStore(os.path.join(corpus, "store", "train"))
     val_store = ClipStore(os.path.join(corpus, "store", "val"))
@@ -415,7 +468,7 @@ def main():
 
     metrics = {
         "corpus": {"n_files": n_files, "duration_s": duration_s,
-                   "codes": codes, "hidden": hid_b,
+                   "hard": args.hard, "codes": codes, "hidden": hid_b,
                    "train_windows": int(lat_train.shape[0]),
                    "train_sentences": int(sent["tokens"].shape[0]),
                    "val_sentences": int(sent_val["tokens"].shape[0])},
