@@ -84,7 +84,7 @@ def build_generator(hid: int = HID, rep: int = REP, k: int = K,
                     max_words: int = MAXW, n_layers: int = L,
                     wordembed: int = 300, fps: int = FPS,
                     vocab_words: int = 300, mode: str = "decode",
-                    bank_windows: int = 2000):
+                    bank_windows: int = 2000, **gen_kwargs):
     """Untrained production-shape pipeline models assembled into a
     GestureGenerator. Shared by bench.py, benchmarks/serve_bench.py and
     tests/test_serve.py (at smaller dims) — output quality is
@@ -158,7 +158,7 @@ def build_generator(hid: int = HID, rep: int = REP, k: int = K,
         vocab=vocab, pose_mean=np.zeros(dim, np.float32),
         pose_std=np.ones(dim, np.float32), n_frames=n_frames,
         sentence_frame_length=sent_len, fps=fps, max_words=max_words,
-        mode=mode, latent_bank=latent_bank, seed=0)
+        mode=mode, latent_bank=latent_bank, seed=0, **gen_kwargs)
 
 
 def bench_jax():
