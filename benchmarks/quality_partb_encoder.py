@@ -43,6 +43,10 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--skip-mfu", action="store_true",
                     help="quality panels only (e.g. on CPU)")
+    ap.add_argument("--mfu-only", action="store_true",
+                    help="reuse quality rows from an existing "
+                         "metrics_partb_encoder.json and run just the "
+                         "train-step MFU A/B/A")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -102,8 +106,13 @@ def main():
     vocab = build_vocab("partb_ab", [[w[0] for w in c["words"]]
                                      for c in store], embedding_dim=300)
 
+    out_path = os.path.join(args.out, "metrics_partb_encoder.json")
     results = {}
-    for arch in ("bigru", "transformer"):
+    if args.mfu_only:
+        with open(out_path) as f:
+            results = json.load(f)["results"]
+        print(f"quality rows reused from {out_path}")
+    for arch in () if args.mfu_only else ("bigru", "transformer"):
         cfg = load_config(dict(
             name=f"pb_{arch}", model="seq2seq", hidden_size=hid,
             n_layers=2, dropout_prob=0.1, epochs=epochs, batch_size=bs,
@@ -187,6 +196,16 @@ def main():
         print(f"\n=== {arch} ===")
         print(json.dumps(row, indent=2))
 
+    # persist the quality panels before the MFU pass so a bench crash
+    # never loses the (expensive) trained-chain rows
+    payload = {"floor_fgd": floor,
+               "space": f"frozen DAE latent frames (dim {rep})",
+               "epochs": epochs, "d_epochs": d_epochs, "hidden": hid,
+               "codes": codes, "results": results, "mfu": {}}
+    if not args.mfu_only:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+
     # ---- MFU A/B (same process, interleaved A/B/A) -----------------
     mfu = {}
     if not args.skip_mfu:
@@ -197,7 +216,7 @@ def main():
 
         for label, mbs, dtype in (("b1024_bf16", 1024, "bfloat16"),
                                   ("b128_fp32", 128, "float32")):
-            steps, states, argss = {}, {}, {}
+            steps, inits, argss = {}, {}, {}
             for arch in ("bigru", "transformer"):
                 cfg = load_config(dict(
                     name=f"mfu_{arch}", model="seq2seq",
@@ -208,8 +227,11 @@ def main():
                     random_seed=0, compute_dtype=dtype, seq_arch=arch))
                 model = seq_ae_trainer.make_seq_ae(cfg)
                 opt = make_optimizer(cfg.learning_rate)
-                states[arch] = seq_ae_trainer.init_state(
-                    cfg, model, jax.random.PRNGKey(0), opt)
+                # bench_steps DONATES the state arg (CLAUDE.md gotcha):
+                # a fresh init per A/B/A leg, never a reused state
+                inits[arch] = (lambda c=cfg, m=model, o=opt:
+                               seq_ae_trainer.init_state(
+                                   c, m, jax.random.PRNGKey(0), o))
                 steps[arch] = seq_ae_trainer.make_train_step(
                     cfg, model, opt, total_epochs=1)
                 xb = jnp.asarray(np.random.default_rng(0).normal(
@@ -220,7 +242,7 @@ def main():
             order = ["bigru", "transformer", "bigru"]
             iters = 5 if fast else 30
             for i, arch in enumerate(order):
-                t = bench_steps(steps[arch], states[arch], argss[arch],
+                t = bench_steps(steps[arch], inits[arch](), argss[arch],
                                 iters)
                 fwd = F.seq_ae_forward_flops(
                     mbs, encoder=("transformer"
@@ -232,11 +254,7 @@ def main():
             mfu[label] = rows
             print(f"\nMFU {label}: " + json.dumps(rows, indent=1))
 
-    payload = {"floor_fgd": floor,
-               "space": f"frozen DAE latent frames (dim {rep})",
-               "epochs": epochs, "d_epochs": d_epochs, "hidden": hid,
-               "codes": codes, "results": results, "mfu": mfu}
-    out_path = os.path.join(args.out, "metrics_partb_encoder.json")
+    payload["mfu"] = mfu
     with open(out_path, "w") as f:
         json.dump(payload, f, indent=1)
     print("wrote", out_path)
