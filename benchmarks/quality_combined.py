@@ -62,6 +62,10 @@ def main():
                     help="ignore existing variant checkpoints")
     ap.add_argument("--variants", default=None,
                     help="comma list to restrict (default: all four)")
+    ap.add_argument("--temps", default=None,
+                    help="comma list of extra sampled-decode temperatures "
+                         "to evaluate per variant (reuses checkpoints; "
+                         "writes metrics_combined_sweep.json)")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -230,9 +234,13 @@ def main():
             print(f"\n### {name}: val CE {t2t_hist['val_loss'][-1]:.3f} "
                   f"acc {t2t_hist['val_acc'][-1]:.3f}")
 
-        for label, extra in (("greedy", {}),
-                             ("sampled_t1", {"temperature": 1.0}),
-                             ("soft_t1", {"soft_decode": 1.0})):
+        modes = [("greedy", {}),
+                 ("sampled_t1", {"temperature": 1.0}),
+                 ("soft_t1", {"soft_decode": 1.0})]
+        if args.temps:
+            modes = [(f"sampled_t{t}", {"temperature": float(t)})
+                     for t in args.temps.split(",")]
+        for label, extra in modes:
             gen = GestureGenerator(
                 t2t_model=t2t, t2t_variables=t2t_vars, seq_model=seq,
                 seq_variables=seq_vars, dae_model=dae,
@@ -254,16 +262,18 @@ def main():
                   f"{m['hellinger']:.3f}")
         results["variants"][name] = var_res
 
-    out_path = os.path.join(args.out, "metrics_combined.json")
+    out_path = os.path.join(
+        args.out, "metrics_combined_sweep.json" if args.temps
+        else "metrics_combined.json")
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print("\nwrote", out_path)
 
     rows = []
     for name, vr in results["variants"].items():
-        for label in ("greedy", "sampled_t1", "soft_t1"):
-            if label in vr:
-                rows.append((vr[label]["frame_fgd_shared_dae_space"],
+        for label, m in vr.items():
+            if isinstance(m, dict) and "frame_fgd_shared_dae_space" in m:
+                rows.append((m["frame_fgd_shared_dae_space"],
                              name, label))
     rows.sort()
     print(f"\nranking (shared-frame FGD, floor {frame_floor:.2f}, "
