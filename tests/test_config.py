@@ -95,3 +95,29 @@ def test_all_shipped_configs_load():
         cfg = load_config(os.path.join(here, name))
         assert cfg.hidden_size > 0
         assert isinstance(cfg.autoencoder_vq, bool)
+
+def test_recommended_recipe_configs_build_models():
+    """The round-4 recommended recipe pair (configs/VQ-VAE_rvq.yml +
+    configs/seq2seqtxt_recommended.yml) must stay in sync with the
+    flags the combined-lever study promoted
+    (docs/quality/metrics_combined.json): 4-stage residual VQ, and a
+    stage-conditional transformer Part d with matching token_stages."""
+    from gesture2vec_tpu.train.seq_ae_trainer import make_seq_ae
+    from gesture2vec_tpu.train.text2token_trainer import make_text2token
+
+    here = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs")
+
+    b = load_config(os.path.join(here, "VQ-VAE_rvq.yml"))
+    assert b.autoencoder_vq_variant == "rvq"
+    assert b.rvq_stages == 4
+    assert b.rvq_reestimate_every > 0  # collapse guard stays on
+    seq = make_seq_ae(b)
+    assert type(seq).__name__ == "SeqVQAutoencoder"
+
+    d = load_config(os.path.join(here, "seq2seqtxt_recommended.yml"))
+    assert d.token_stages == b.rvq_stages  # heads must match stages
+    assert d.stage_conditional is True
+    assert d.extras.get("t2t_arch") == "transformer"
+    t2t = make_text2token(d, n_words=50)
+    assert "Transformer" in type(t2t).__name__
