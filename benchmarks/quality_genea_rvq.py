@@ -252,7 +252,9 @@ def main():
     path = os.path.join(args.out, "metrics_genea.json")
     metrics = json.load(open(path)) if os.path.exists(path) else {}
     metrics["frame_floor_shared_dae_space"] = frame_floor
-    metrics["rvq_multistage"] = block
+    key = ("rvq_multistage" if args.arch == "gru"
+           else f"rvq_multistage_{args.arch}")
+    metrics[key] = block
     if gss_shared is not None:
         metrics["gssoft_shared_space_reeval"] = gss_shared
     with open(path, "w") as f:
