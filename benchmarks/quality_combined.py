@@ -66,6 +66,10 @@ def main():
                     help="comma list of extra sampled-decode temperatures "
                          "to evaluate per variant (reuses checkpoints; "
                          "writes metrics_combined_sweep.json)")
+    ap.add_argument("--exemplar", action="store_true",
+                    help="evaluate the exemplar-retrieval modes instead "
+                         "of the decode modes (reuses checkpoints; "
+                         "writes metrics_combined_exemplar.json)")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -240,14 +244,22 @@ def main():
         if args.temps:
             modes = [(f"sampled_t{t}", {"temperature": float(t)})
                      for t in args.temps.split(",")]
+        if args.exemplar:
+            modes = [("exemplar", {"mode": "exemplar"}),
+                     ("exemplar_continuity",
+                      {"mode": "exemplar", "exemplar_continuity": True}),
+                     ("exemplar_sampled_t1",
+                      {"mode": "exemplar", "temperature": 1.0})]
         for label, extra in modes:
+            extra = dict(extra)
+            gen_mode = extra.pop("mode", "decode")
             gen = GestureGenerator(
                 t2t_model=t2t, t2t_variables=t2t_vars, seq_model=seq,
                 seq_variables=seq_vars, dae_model=dae,
                 dae_variables=dae_vars, vocab=vocab,
                 pose_mean=store.pose_mean, pose_std=store.pose_std,
                 n_frames=n_frames, sentence_frame_length=sent_len,
-                fps=fps, max_words=max_words, mode="decode",
+                fps=fps, max_words=max_words, mode=gen_mode,
                 latent_bank=bank, seed=0, text_context_s=ctx, **extra)
             m, frames = eval_generated_vs_gt(
                 gen, store, val_store, dae, dae_vars, seq, seq_vars,
@@ -262,9 +274,12 @@ def main():
                   f"{m['hellinger']:.3f}")
         results["variants"][name] = var_res
 
-    out_path = os.path.join(
-        args.out, "metrics_combined_sweep.json" if args.temps
-        else "metrics_combined.json")
+    out_name = "metrics_combined.json"
+    if args.temps:
+        out_name = "metrics_combined_sweep.json"
+    if args.exemplar:
+        out_name = "metrics_combined_exemplar.json"
+    out_path = os.path.join(args.out, out_name)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print("\nwrote", out_path)
