@@ -66,6 +66,9 @@ def main():
                     help="comma list of extra sampled-decode temperatures "
                          "to evaluate per variant (reuses checkpoints; "
                          "writes metrics_combined_sweep.json)")
+    ap.add_argument("--modes", default=None,
+                    help="comma list to restrict decode modes "
+                         "(greedy,sampled_t1,soft_t1)")
     ap.add_argument("--exemplar", action="store_true",
                     help="evaluate the exemplar-retrieval modes instead "
                          "of the decode modes (reuses checkpoints; "
@@ -181,11 +184,23 @@ def main():
                                     std=store.pose_std)
 
     VARIANTS = {
-        # name: (arch, stage_conditional, context_s)
-        "gru_indep": ("gru", False, 0.0),
-        "gru_cond": ("gru", True, 0.0),
-        "tf_cond": ("transformer", True, 0.0),
-        "tf_cond_ctx": ("transformer", True, args.context),
+        # name: (arch, stage_conditional, context_s, cfg_extra)
+        "gru_indep": ("gru", False, 0.0, {}),
+        "gru_cond": ("gru", True, 0.0, {}),
+        "tf_cond": ("transformer", True, 0.0, {}),
+        "tf_cond_ctx": ("transformer", True, args.context, {}),
+        # round-4 continuation: model-side levers on the tf_cond winner.
+        # The temperature sweep showed the residual gap is the model's
+        # DISTRIBUTION, not decode policy — these attack the
+        # distribution at train time. tf_cond_best: Part d overfits
+        # from ~epoch 40 (QUALITY.md), yet every variant above
+        # evaluates the final epoch-120 state; keep_best evaluates the
+        # best-val-CE snapshot instead. tf_cond_ls: label smoothing
+        # 0.1 regularizes the predictive distribution the sampled
+        # decode draws from.
+        "tf_cond_best": ("transformer", True, 0.0, {"keep_best": True}),
+        "tf_cond_ls": ("transformer", True, 0.0,
+                       {"label_smoothing": 0.1}),
     }
     if args.variants:
         keep = set(args.variants.split(","))
@@ -197,7 +212,7 @@ def main():
                             "epochs_d": (10 if fast else 120)},
                "variants": {}}
 
-    for name, (arch, cond, ctx) in VARIANTS.items():
+    for name, (arch, cond, ctx, xcfg) in VARIANTS.items():
         d_dir = os.path.join(args.out, f"cmb_{name}")
         t2t_cfg = load_config(dict(
             name=f"cmb_{name}", model="seq2seq", hidden_size=hid,
@@ -208,13 +223,13 @@ def main():
             autoencoder_vq_components=codes, autoencoder_att=True,
             wordembed_dim=100, random_seed=0, token_stages=S,
             stage_conditional=cond, text_context_s=ctx,
-            model_save_path=d_dir,
+            model_save_path=d_dir, **xcfg,
             extras=({"t2t_arch": arch} if arch != "gru" else {})))
         sent = sent_c if ctx else sent0
         sent_val = sent_c_val if ctx else sent0_val
         d_ck = sorted(glob.glob(os.path.join(d_dir, "*.bin")))
         var_res = {"arch": arch, "stage_conditional": cond,
-                   "context_s": ctx}
+                   "context_s": ctx, **xcfg}
         if d_ck and not args.retrain:
             t2t, t2t_vars, pl = checkpoints.load_checkpoint_and_model(
                 d_ck[-1], "text2embedding")
@@ -241,6 +256,9 @@ def main():
         modes = [("greedy", {}),
                  ("sampled_t1", {"temperature": 1.0}),
                  ("soft_t1", {"soft_decode": 1.0})]
+        if args.modes:
+            keep_modes = set(args.modes.split(","))
+            modes = [m for m in modes if m[0] in keep_modes]
         if args.temps:
             modes = [(f"sampled_t{t}", {"temperature": float(t)})
                      for t in args.temps.split(",")]
