@@ -60,6 +60,18 @@ def main():
         ingest_trinity(corpus, tgt_fps=fps, with_audio=False)
     store = ClipStore(os.path.join(corpus, "store", "train"))
     val_store = ClipStore(os.path.join(corpus, "store", "val"))
+    # same fail-fast size guard as quality_run.py: a stale corpus from
+    # a different --fast/--hard run must not be silently reused
+    # (round-4 advisor finding; mirror augmentation doubles clips,
+    # first file + its mirror are held out)
+    if (len(store) != 2 * (n_files - 1)
+            or abs(store[0]["poses"].shape[0] - duration_s * fps) > fps):
+        raise SystemExit(
+            f"cached corpus at {corpus} does not match the requested "
+            f"sizes (found {len(store)} train clips of "
+            f"{store[0]['poses'].shape[0]} frames, expected "
+            f"{2 * (n_files - 1)} of ~{int(duration_s * fps)}); delete "
+            f"it or use a fresh out dir")
     print(f"corpus: {len(store)} train clips, {len(val_store)} val")
 
     dae_dir = os.path.join(args.out, "dae")

@@ -201,6 +201,9 @@ def main():
         "tf_cond_best": ("transformer", True, 0.0, {"keep_best": True}),
         "tf_cond_ls": ("transformer", True, 0.0,
                        {"label_smoothing": 0.1}),
+        # round-5: the two levers combined (VERDICT r4 item 1)
+        "tf_cond_best_ls": ("transformer", True, 0.0,
+                            {"keep_best": True, "label_smoothing": 0.1}),
     }
     if args.variants:
         keep = set(args.variants.split(","))
@@ -227,14 +230,19 @@ def main():
             extras=({"t2t_arch": arch} if arch != "gru" else {})))
         sent = sent_c if ctx else sent0
         sent_val = sent_c_val if ctx else sent0_val
-        d_ck = sorted(glob.glob(os.path.join(d_dir, "*.bin")))
+        # latest_checkpoint prefers the keep_best snapshot over the
+        # final numbered epoch (round-4 advisor: sorted(glob)[-1]
+        # silently evaluated the overfit epoch-120 state for
+        # keep_best variants on reuse)
+        d_ck = checkpoints.latest_checkpoint(d_dir)
         var_res = {"arch": arch, "stage_conditional": cond,
                    "context_s": ctx, **xcfg}
         if d_ck and not args.retrain:
             t2t, t2t_vars, pl = checkpoints.load_checkpoint_and_model(
-                d_ck[-1], "text2embedding")
-            var_res["train"] = {"reused_checkpoint": True}
-            print(f"\n### {name}: reused {d_ck[-1]}")
+                d_ck, "text2embedding")
+            var_res["train"] = {"reused_checkpoint": os.path.basename(
+                d_ck)}
+            print(f"\n### {name}: reused {d_ck}")
         else:
             t0 = time.perf_counter()
             t2t_state, t2t_hist = train_text2token(
@@ -256,9 +264,6 @@ def main():
         modes = [("greedy", {}),
                  ("sampled_t1", {"temperature": 1.0}),
                  ("soft_t1", {"soft_decode": 1.0})]
-        if args.modes:
-            keep_modes = set(args.modes.split(","))
-            modes = [m for m in modes if m[0] in keep_modes]
         if args.temps:
             modes = [(f"sampled_t{t}", {"temperature": float(t)})
                      for t in args.temps.split(",")]
@@ -268,6 +273,16 @@ def main():
                       {"mode": "exemplar", "exemplar_continuity": True}),
                      ("exemplar_sampled_t1",
                       {"mode": "exemplar", "temperature": 1.0})]
+        if args.modes:  # applied LAST so it filters whatever set
+            # --temps/--exemplar built; unknown names are an error, not
+            # a silent zero-mode run (round-4 advisor finding)
+            known = {m[0] for m in modes}
+            keep_modes = set(args.modes.split(","))
+            bad = keep_modes - known
+            if bad:
+                raise SystemExit(f"--modes: unknown mode(s) "
+                                 f"{sorted(bad)}; known: {sorted(known)}")
+            modes = [m for m in modes if m[0] in keep_modes]
         for label, extra in modes:
             extra = dict(extra)
             gen_mode = extra.pop("mode", "decode")
@@ -297,6 +312,10 @@ def main():
         out_name = "metrics_combined_sweep.json"
     if args.exemplar:
         out_name = "metrics_combined_exemplar.json"
+    if args.modes:
+        # a --modes-restricted run must not clobber a full run's
+        # canonical results (round-4 advisor finding)
+        out_name = out_name.replace(".json", "_modes.json")
     out_path = os.path.join(args.out, out_name)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)

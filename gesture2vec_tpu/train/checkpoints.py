@@ -178,5 +178,27 @@ def load_checkpoint_and_model(path: str, what: str
     return model, variables, payload
 
 
-def checkpoint_filename(save_dir: str, name: str, epoch: int) -> str:
-    return os.path.join(save_dir, f"{name}_checkpoint_{epoch:03d}.bin")
+def checkpoint_filename(save_dir: str, name: str,
+                        epoch: "int | str") -> str:
+    """Numbered checkpoint path, or a tagged one (e.g. "best") when
+    `epoch` is a string — keep_best snapshots save under the distinct
+    "{name}_checkpoint_best.bin" so a numbered final-epoch file never
+    shadows them (round-4 advisor finding)."""
+    tag = f"{epoch:03d}" if isinstance(epoch, int) else str(epoch)
+    return os.path.join(save_dir, f"{name}_checkpoint_{tag}.bin")
+
+
+def latest_checkpoint(ckpt_dir: str, pattern: str = "*.bin"
+                      ) -> Optional[str]:
+    """The checkpoint a reuse path should load from `ckpt_dir`: the
+    keep_best snapshot ("*_checkpoint_best.bin") when one exists,
+    otherwise the highest-epoch file. Returns None when the dir has no
+    matching checkpoints. Every benchmark/CLI reuse path should go
+    through this instead of sorted(glob)[-1], which silently picks the
+    (possibly overfit) final epoch over a keep_best snapshot."""
+    import glob as _glob
+    paths = sorted(_glob.glob(os.path.join(ckpt_dir, pattern)))
+    if not paths:
+        return None
+    best = [p for p in paths if p.endswith("_checkpoint_best.bin")]
+    return best[-1] if best else paths[-1]

@@ -201,11 +201,11 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
                                  label_smoothing=config.label_smoothing)
     eval_step = make_eval_step(model)
 
-    def save(st, save_rng, epoch1):
+    def save(st, save_rng, epoch1, tag=None):
         if not save_dir:
             return
         path = checkpoints.checkpoint_filename(save_dir, config.name,
-                                               epoch1)
+                                               tag if tag else epoch1)
         checkpoints.save_checkpoint(
             path, config=config, epoch=epoch1, params=st.params,
             pose_dim=config.autoencoder_vq_components,

@@ -49,7 +49,8 @@ def run_token_training(config: Config, state: Any, rng: jax.Array,
 
     train_step(state, *placed_fields, rng) -> (state, {"loss": ...});
     eval_step(state, *placed_fields) -> (loss, acc, pred);
-    save_checkpoint(state, rng, epoch_1based) writes one checkpoint.
+    save_checkpoint(state, rng, epoch_1based, tag=None) writes one
+    checkpoint (tag="best" names the keep_best snapshot file).
     Losses stay on device between log points (a float() per step would
     host-sync every step — benchmarks/README.md's 12x methodology row).
     """
@@ -118,8 +119,11 @@ def run_token_training(config: Config, state: Any, rng: jax.Array,
     if keep_best and best_snapshot is not None:
         history["best_epoch"] = [best_epoch]
         history["best_val_loss"] = [best_loss]
-        if best_epoch + 1 != config.epochs:
-            save_checkpoint(best_snapshot, rng, best_epoch + 1)
+        # Save under the distinct "best" tag (not a numbered epoch):
+        # reuse paths pick checkpoints.latest_checkpoint, which prefers
+        # this file — a numbered best-epoch file would sort below the
+        # final epoch's and silently lose (round-4 advisor finding).
+        save_checkpoint(best_snapshot, rng, best_epoch + 1, tag="best")
         logging.info("keep_best: returning epoch %d (val %.4f) instead "
                      "of the final epoch", best_epoch, best_loss)
         return best_snapshot, history

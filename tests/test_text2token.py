@@ -1,4 +1,6 @@
 """Part-d text->gesture-token model: shapes, learning, checkpointing."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -294,10 +296,28 @@ def test_keep_best_returns_best_epoch():
     state, hist = run_token_training(
         cfg, jnp.zeros(()), jax.random.PRNGKey(0), 0, ("x",),
         data, data, train_step, eval_step, lambda a: a,
-        lambda st, r, ep1: saved.append((ep1, float(st))),
+        lambda st, r, ep1, tag=None: saved.append(
+            (tag if tag else ep1, float(st))),
         save_every=100, log_every=100)
 
     assert hist["best_epoch"] == [0]
     assert float(state) == 1.0          # epoch-0 state, not the final 3.0
-    assert (1, 1.0) in saved            # best epoch checkpointed
+    assert ("best", 1.0) in saved       # best snapshot under distinct tag
     assert (3, 3.0) in saved            # final epoch still checkpointed
+
+
+def test_latest_checkpoint_prefers_best(tmp_path):
+    """Reuse paths must load the keep_best snapshot over the final
+    numbered epoch (round-4 advisor: sorted(glob)[-1] silently
+    evaluated the overfit epoch-120 state under a keep_best label)."""
+    from gesture2vec_tpu.train import checkpoints
+
+    d = str(tmp_path)
+    assert checkpoints.latest_checkpoint(d) is None
+    for fn in ("m_checkpoint_040.bin", "m_checkpoint_120.bin"):
+        open(os.path.join(d, fn), "wb").close()
+    assert checkpoints.latest_checkpoint(d).endswith("_120.bin")
+    open(os.path.join(d, "m_checkpoint_best.bin"), "wb").close()
+    assert checkpoints.latest_checkpoint(d).endswith("_best.bin")
+    assert checkpoints.checkpoint_filename("/x", "m", "best") == \
+        "/x/m_checkpoint_best.bin"
