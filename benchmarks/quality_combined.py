@@ -263,7 +263,17 @@ def main():
 
         modes = [("greedy", {}),
                  ("sampled_t1", {"temperature": 1.0}),
-                 ("soft_t1", {"soft_decode": 1.0})]
+                 ("soft_t1", {"soft_decode": 1.0}),
+                 # round-5 per-stage policy (VERDICT r4 item 3): greedy
+                 # PRIMARY (semantic token choice — sampling it costs
+                 # BLEU 0.350 -> 0.099, QUALITY.md) + sampled residual
+                 # stages (the distributional dispersion that fixes the
+                 # sampled-decode FGD). Single-stage variants collapse
+                 # to greedy; skip for them.
+                 ("s0greedy_t1", {"temperature": 1.0,
+                                  "stage0_temperature": 0.0})]
+        if S <= 1:
+            modes = [m for m in modes if m[0] != "s0greedy_t1"]
         if args.temps:
             modes = [(f"sampled_t{t}", {"temperature": float(t)})
                      for t in args.temps.split(",")]

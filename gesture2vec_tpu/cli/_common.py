@@ -46,7 +46,8 @@ def build_generator(t2t_checkpoint: str, rep_checkpoint: str,
                     top_k: int = 0, beam_width: int = 0,
                     exemplar_continuity: bool = False,
                     decode_overlap: int = 0,
-                    soft_decode: float = 0.0):
+                    soft_decode: float = 0.0,
+                    stage0_temperature: float = -1.0):
     """Load the three pipeline checkpoints and assemble the
     GestureGenerator. Returns (generator, t2t_config)."""
     from gesture2vec_tpu.cluster.latent_dataset import load_latent_dataset
@@ -82,6 +83,7 @@ def build_generator(t2t_checkpoint: str, rep_checkpoint: str,
         top_k=top_k, beam_width=beam_width,
         exemplar_continuity=exemplar_continuity,
         decode_overlap=decode_overlap, soft_decode=soft_decode,
+        stage0_temperature=stage0_temperature,
         text_context_s=getattr(cfg, "text_context_s", 0.0))
     return gen, cfg
 

@@ -47,6 +47,12 @@ def main() -> None:
     parser.add_argument("--top-k", type=int, default=0,
                         help="truncate sampling to the k best tokens "
                              "(0 = full distribution)")
+    parser.add_argument("--stage0-temperature", type=float, default=-1.0,
+                        help="multi-stage Part d: override the PRIMARY "
+                             "token's temperature only (0 = greedy "
+                             "semantic choice while residual stages "
+                             "sample at --temperature); -1 = one "
+                             "policy for all stages")
     parser.add_argument("--beam-width", type=int, default=0,
                         help="beam-search token decode with this "
                              "many hypotheses (0/1 = greedy; "
@@ -101,7 +107,8 @@ def main() -> None:
                                beam_width=args.beam_width,
                                exemplar_continuity=args.exemplar_continuity,
                                decode_overlap=args.decode_overlap,
-                               soft_decode=args.soft_decode)
+                               soft_decode=args.soft_decode,
+                               stage0_temperature=args.stage0_temperature)
     to_bvh = load_bvh_exporter(args.dataset, args.pipeline,
                                args.twh_variant)
 

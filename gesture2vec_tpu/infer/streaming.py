@@ -132,7 +132,8 @@ def build_streaming_step(g):
     n_pre = t2t.n_pre_poses
     n_steps = g.n_steps
     multi = getattr(t2t, "token_stages", 1) > 1
-    sampling = g.temperature > 0.0
+    s0t = float(getattr(g, "stage0_temperature", -1.0))
+    sampling = g.temperature > 0.0 or s0t > 0.0
     beam = int(g.beam_width) if g.beam_width > 1 else 0
     temp, topk = float(g.temperature), int(g.top_k)
     soft = float(getattr(g, "soft_decode", 0.0))
@@ -159,6 +160,8 @@ def build_streaming_step(g):
         if sampling:
             kw = dict(temperature=temp, top_k=topk,
                       rngs={"sample": key})
+            if s0t >= 0.0:
+                kw["stage0_temperature"] = s0t
         return t2t.apply(g.t2t_variables, eo, dh, seed_tokens[None],
                          train=False, enc_mask=mask,
                          method=t2t.decode_tokens, **kw)

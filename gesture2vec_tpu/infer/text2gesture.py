@@ -80,6 +80,14 @@ class GestureGenerator:
     # seeded from `seed` and fresh per generate() call.
     temperature: float = 0.0
     top_k: int = 0
+    # per-stage decode policy (beyond reference, multi-stage Part d):
+    # >= 0 overrides the PRIMARY (stage-0) token's temperature only —
+    # 0.0 keeps the semantic token choice greedy while the residual
+    # stages sample at `temperature`, separating the token-identity
+    # decision (which sampling costs BLEU/acc, QUALITY.md) from the
+    # distributional dispersion the residual stages carry. -1 (default)
+    # keeps one policy for all stages (models/text2token.stage_chain).
+    stage0_temperature: float = -1.0
     # beam-search token decode (beyond reference; exclusive with
     # temperature>0): 0/1 = greedy, >1 searches that many hypotheses
     # per window in-graph (models/text2token.beam_decode_impl) and
@@ -165,7 +173,8 @@ class GestureGenerator:
                 self.use_fused_decoder = False
 
         window_carry = self.window_carry
-        sampling = self.temperature > 0.0
+        s0t = float(self.stage0_temperature)
+        sampling = self.temperature > 0.0 or s0t > 0.0
         temp, topk = float(self.temperature), int(self.top_k)
         beam = int(self.beam_width) if self.beam_width > 1 else 0
         if beam and sampling:
@@ -221,11 +230,15 @@ class GestureGenerator:
             """Decode-apply kwargs for the configured decode policy:
             empty at temperature 0 (greedy; the model never touches the
             "sample" stream), else the temperature/top_k statics plus
-            the per-call sample rng."""
+            the per-call sample rng (and the stage-0 override when
+            set)."""
             if not sampling:
                 return {}
-            return dict(temperature=temp, top_k=topk,
-                        rngs={"sample": key})
+            kw = dict(temperature=temp, top_k=topk,
+                      rngs={"sample": key})
+            if s0t >= 0.0:
+                kw["stage0_temperature"] = s0t
+            return kw
 
         def _decode_win(eo, dh, seeds, mask, key):
             """One window-batch token decode under the configured
@@ -614,7 +627,7 @@ class GestureGenerator:
         """Fresh sample-stream key per generate call (reproducible from
         `seed`); a constant when the decode is greedy so repeated greedy
         calls stay cache- and bit-identical."""
-        if self.temperature <= 0.0:
+        if self.temperature <= 0.0 and self.stage0_temperature <= 0.0:
             return jax.random.PRNGKey(0)
         return jax.random.PRNGKey(int(self._rng.integers(2 ** 31 - 1)))
 

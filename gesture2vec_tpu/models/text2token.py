@@ -159,7 +159,8 @@ def beam_decode_impl(model, enc_outs: jnp.ndarray,
 
 def stage_chain(mdl, out: jnp.ndarray, logits_f32: jnp.ndarray,
                 stage_teacher: Optional[jnp.ndarray],
-                temperature: float, top_k: int
+                temperature: float, top_k: int,
+                stage0_temperature: float = -1.0
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Conditional residual-stage heads (config.stage_conditional;
     beyond reference — the reference has no multi-stage tokens at all).
@@ -179,6 +180,14 @@ def stage_chain(mdl, out: jnp.ndarray, logits_f32: jnp.ndarray,
     module's "sample" rng), and the PRIMARY choice is made here too so
     the conditioning code and the emitted code are the same draw.
 
+    Per-stage decode policy (beyond reference, eval-only): the PRIMARY
+    (stage-0) choice uses `stage0_temperature` when >= 0 (0 = greedy)
+    while the residual-stage choices keep `temperature` — greedy
+    stage 0 + sampled residual stages separates the semantic token
+    choice (which sampling costs BLEU/acc, QUALITY.md) from the
+    distributional dispersion the residual stages provide. The default
+    sentinel -1 keeps one policy for all stages.
+
     Must execute inside the owning module's compact/apply context (the
     Dense/Embed submodules register on `mdl`; head param names stay
     `out_layer_r{s+1}` — the chain adds `stage_embed_{s}` tables).
@@ -187,14 +196,16 @@ def stage_chain(mdl, out: jnp.ndarray, logits_f32: jnp.ndarray,
     """
     H = out.shape[-1]
     teach = stage_teacher is not None
+    t0 = temperature if stage0_temperature < 0.0 else stage0_temperature
 
-    def choose(lg):
-        if temperature > 0.0:
-            return sample_logits(lg, temperature, top_k,
+    def choose(lg, temp):
+        if temp > 0.0:
+            return sample_logits(lg, temp, top_k,
                                  mdl.make_rng("sample"))
         return jnp.argmax(lg, axis=-1)
 
-    best = jnp.argmax(logits_f32, axis=-1) if teach else choose(logits_f32)
+    best = (jnp.argmax(logits_f32, axis=-1) if teach
+            else choose(logits_f32, t0))
     prev = stage_teacher[..., 0] if teach else best
     emb_init = nn.initializers.normal(1.0 / np.sqrt(H))
     h = out
@@ -206,7 +217,7 @@ def stage_chain(mdl, out: jnp.ndarray, logits_f32: jnp.ndarray,
         lg = nn.Dense(mdl.n_tokens, name=f"out_layer_r{s + 1}",
                       dtype=mdl.dtype)(h).astype(jnp.float32)
         stage_lg.append(lg)
-        c = stage_teacher[..., s + 1] if teach else choose(lg)
+        c = stage_teacher[..., s + 1] if teach else choose(lg, temperature)
         stage_ch.append(jnp.argmax(lg, axis=-1) if teach else c)
         prev = c
     return (jnp.stack(stage_lg, axis=-2), best,
@@ -270,7 +281,8 @@ class TokenDecoderStep(nn.Module):
                  encoder_outputs: jnp.ndarray, train: bool = False,
                  enc_mask: Optional[jnp.ndarray] = None,
                  stage_teacher: Optional[jnp.ndarray] = None,
-                 temperature: float = 0.0, top_k: int = 0
+                 temperature: float = 0.0, top_k: int = 0,
+                 stage0_temperature: float = -1.0
                  ) -> Tuple[jnp.ndarray, ...]:
         """Extra returns in the stage-conditional mode (see
         _stage_chain): (..., stage_logits, best, stage_best) — the step
@@ -305,7 +317,7 @@ class TokenDecoderStep(nn.Module):
             return (logits.astype(jnp.float32), new_hidden,
                     attn_weights) + stage_chain(
                 self, out, logits.astype(jnp.float32), stage_teacher,
-                temperature, top_k)
+                temperature, top_k, stage0_temperature)
         if self.n_stage_heads:
             stage = [nn.Dense(self.n_tokens, name=f"out_layer_r{s + 1}",
                               dtype=self.dtype)(out)
@@ -382,21 +394,27 @@ class Text2Token(nn.Module):
                       target_tokens: jnp.ndarray, train: bool = False,
                       enc_mask: Optional[jnp.ndarray] = None,
                       temperature: float = 0.0, top_k: int = 0,
-                      stage_targets: Optional[jnp.ndarray] = None
+                      stage_targets: Optional[jnp.ndarray] = None,
+                      stage0_temperature: float = -1.0
                       ) -> Dict[str, Any]:
         """The autoregressive token decode given a text encoding.
 
         temperature=0 (default) is the reference's greedy decode; >0
         samples each step's token ancestrally (the sampled token feeds
-        back) and needs a "sample" rng stream at apply time."""
+        back) and needs a "sample" rng stream at apply time.
+        stage0_temperature >= 0 overrides the PRIMARY token's policy
+        only (0 = greedy) while residual stages keep `temperature` —
+        see stage_chain."""
         return self._decode(enc_outs, dec_hidden, target_tokens, train,
                             enc_mask=enc_mask, temperature=temperature,
-                            top_k=top_k, stage_targets=stage_targets)
+                            top_k=top_k, stage_targets=stage_targets,
+                            stage0_temperature=stage0_temperature)
 
     def __call__(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
                  target_tokens: jnp.ndarray, train: bool = False,
                  temperature: float = 0.0, top_k: int = 0,
-                 stage_targets: Optional[jnp.ndarray] = None
+                 stage_targets: Optional[jnp.ndarray] = None,
+                 stage0_temperature: float = -1.0
                  ) -> Dict[str, Any]:
         """tokens (B, S) word ids; lengths (B,); target_tokens (B, n_steps)
         gesture-token ids (teacher signal). Returns logits
@@ -411,16 +429,20 @@ class Text2Token(nn.Module):
         enc_mask = jnp.arange(tokens.shape[1]) < jnp.max(lengths)
         return self._decode(enc_outs, dec_hidden, target_tokens, train,
                             enc_mask=enc_mask, temperature=temperature,
-                            top_k=top_k, stage_targets=stage_targets)
+                            top_k=top_k, stage_targets=stage_targets,
+                            stage0_temperature=stage0_temperature)
 
     def _decode(self, enc_outs: jnp.ndarray, dec_hidden: jnp.ndarray,
                 target_tokens: jnp.ndarray, train: bool,
                 enc_mask: Optional[jnp.ndarray] = None,
                 temperature: float = 0.0,
                 top_k: int = 0,
-                stage_targets: Optional[jnp.ndarray] = None
+                stage_targets: Optional[jnp.ndarray] = None,
+                stage0_temperature: float = -1.0
                 ) -> Dict[str, Any]:
 
+        t0 = (temperature if stage0_temperature < 0.0
+              else stage0_temperature)
         seed = target_tokens[:, 0]
         onehot0 = jax.nn.one_hot(seed, self.n_tokens)
         if self._dtype is not None:
@@ -457,7 +479,8 @@ class Text2Token(nn.Module):
                  stage_best) = mdl(token_in, hidden, enc_outs,
                                    train=train, enc_mask=enc_mask,
                                    stage_teacher=st,
-                                   temperature=temperature, top_k=top_k)
+                                   temperature=temperature, top_k=top_k,
+                                   stage0_temperature=stage0_temperature)
                 return (best, new_hidden), (
                     (logits, attn, stage_logits, stage_best), best)
             res = mdl(token_in, hidden, enc_outs, train=train,
@@ -467,16 +490,17 @@ class Text2Token(nn.Module):
             else:
                 logits, new_hidden, attn = res
                 stage_logits = None
-            if temperature > 0.0:
-                best = sample_logits(logits, temperature, top_k,
+            if t0 > 0.0:
+                best = sample_logits(logits, t0, top_k,
                                      mdl.make_rng("sample"))
-                if multi:
+            else:
+                best = jnp.argmax(logits, axis=-1)
+            if multi:
+                if temperature > 0.0:
                     stage_best = sample_logits(stage_logits, temperature,
                                                top_k,
                                                mdl.make_rng("sample"))
-            else:
-                best = jnp.argmax(logits, axis=-1)
-                if multi:
+                else:
                     stage_best = jnp.argmax(stage_logits, axis=-1)
             ys = ((logits, attn, stage_logits, stage_best) if multi
                   else (logits, attn))

@@ -221,7 +221,8 @@ class _TokenDecoder(nn.Module):
                  enc_mask: Optional[jnp.ndarray] = None,
                  train: bool = False,
                  stage_teacher: Optional[jnp.ndarray] = None,
-                 temperature: float = 0.0, top_k: int = 0
+                 temperature: float = 0.0, top_k: int = 0,
+                 stage0_temperature: float = -1.0
                  ) -> Tuple[jnp.ndarray, ...]:
         """buf (B, T) token ids, enc (B, S, H) -> fp32 (logits
         (B, T, K) where position j predicts step j+1, cross-attn
@@ -257,7 +258,8 @@ class _TokenDecoder(nn.Module):
                           dtype=self.dtype)(x).astype(jnp.float32)
         if self.n_stage_heads and self.stage_conditional:
             stage_logits, best, stage_best = stage_chain(
-                self, x, logits, stage_teacher, temperature, top_k)
+                self, x, logits, stage_teacher, temperature, top_k,
+                stage0_temperature)
             return (logits, cross_w.astype(jnp.float32), stage_logits,
                     best, stage_best)
         stage_logits = None
@@ -327,7 +329,8 @@ class TransformerText2Token(nn.Module):
     def __call__(self, tokens: jnp.ndarray, lengths: jnp.ndarray,
                  target_tokens: jnp.ndarray, train: bool = False,
                  temperature: float = 0.0, top_k: int = 0,
-                 stage_targets: Optional[jnp.ndarray] = None
+                 stage_targets: Optional[jnp.ndarray] = None,
+                 stage0_temperature: float = -1.0
                  ) -> Dict[str, Any]:
         enc_outs, dec_hidden = self.encode_text(tokens, lengths,
                                                 train=train)
@@ -340,14 +343,16 @@ class TransformerText2Token(nn.Module):
         return self.decode_tokens(enc_outs, dec_hidden, target_tokens,
                                   train=train, enc_mask=enc_mask,
                                   temperature=temperature, top_k=top_k,
-                                  stage_targets=stage_targets)
+                                  stage_targets=stage_targets,
+                                  stage0_temperature=stage0_temperature)
 
     def decode_tokens(self, enc_outs: jnp.ndarray,
                       dec_hidden: jnp.ndarray,
                       target_tokens: jnp.ndarray, train: bool = False,
                       enc_mask: Optional[jnp.ndarray] = None,
                       temperature: float = 0.0, top_k: int = 0,
-                      stage_targets: Optional[jnp.ndarray] = None
+                      stage_targets: Optional[jnp.ndarray] = None,
+                      stage0_temperature: float = -1.0
                       ) -> Dict[str, Any]:
         """Teacher-forced parallel pass in train mode; reference
         feedback semantics (autoregressive greedy/sampled) otherwise.
@@ -402,6 +407,8 @@ class TransformerText2Token(nn.Module):
         n_pre = max(1, min(self.n_pre_poses, T))
         pos = jnp.arange(T - 1)[None, :]
         buf0 = jnp.where(pos < n_pre, target_tokens[:, :T - 1], 0)
+        t0 = (temperature if stage0_temperature < 0.0
+              else stage0_temperature)
 
         def body(mdl, carry, t):
             buf, = carry
@@ -410,7 +417,8 @@ class TransformerText2Token(nn.Module):
                 # chain conditions on it); read position t-1's
                 logits_all, cross_w, stage_all, prim_ch, stage_ch = mdl(
                     buf, enc, enc_mask, train=False,
-                    temperature=temperature, top_k=top_k)
+                    temperature=temperature, top_k=top_k,
+                    stage0_temperature=stage0_temperature)
             else:
                 logits_all, cross_w, stage_all = mdl(buf, enc, enc_mask,
                                                      train=False)
@@ -420,8 +428,8 @@ class TransformerText2Token(nn.Module):
                 best = jax.lax.dynamic_index_in_dim(prim_ch, t - 1,
                                                     axis=1,
                                                     keepdims=False)
-            elif temperature > 0.0:
-                best = sample_logits(lg, temperature, top_k,
+            elif t0 > 0.0:
+                best = sample_logits(lg, t0, top_k,
                                      mdl.make_rng("sample"))
             else:
                 best = jnp.argmax(lg, axis=-1)

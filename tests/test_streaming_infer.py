@@ -324,3 +324,126 @@ def test_stream_step_batcher_close_unblocks(pipeline_artifacts):
                      np.zeros((gen.n_steps,), np.int32),
                      np.zeros((gen.seq_model.rep_dim,), np.float32),
                      None)
+
+
+# ---------------------------------------------------------------------
+# Recommended-recipe streaming coverage (round-5, VERDICT r4 item 5):
+# the configs/seq2seqtxt_recommended.yml shape — 4-stage residual-VQ
+# Part b + stage-conditional TRANSFORMER Part d — streamed window by
+# window must reproduce the batch path exactly, and the per-stage
+# decode policy must keep the primary chain deterministic.
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def recipe_artifacts():
+    """Init-only (untrained) 4-stage rvq + stage-conditional transformer
+    chain at tiny dims: streaming contracts are about plumbing and
+    carry semantics, which don't need trained weights."""
+    import jax
+    import jax.numpy as jnp
+
+    from gesture2vec_tpu.text.vocab import build_vocab
+    from gesture2vec_tpu.train.config import load_config
+    from gesture2vec_tpu.train.dae_trainer import make_frame_model
+    from gesture2vec_tpu.train.seq_ae_trainer import make_seq_ae
+    from gesture2vec_tpu.train.text2token_trainer import make_text2token
+
+    REP, K, S, NP, SL = 8, 12, 4, 10, 40
+    seq_cfg = load_config(dict(
+        name="rcp_seq", model="seq2seq", hidden_size=16, n_layers=2,
+        dropout_prob=0.0, epochs=1, batch_size=8, learning_rate=1e-3,
+        rep_learning_dim=REP, n_poses=NP, n_pre_poses=1,
+        autoencoder_vq=True, autoencoder_vq_components=K,
+        autoencoder_att=False, autoencoder_conditioned=True,
+        random_seed=0, autoencoder_vq_variant="rvq", rvq_stages=S))
+    seq_model = make_seq_ae(seq_cfg)
+    x = jnp.zeros((2, NP, REP), jnp.float32)
+    sv = seq_model.init({"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)}, x, x,
+                        train=False)
+    seq_vars = {"params": sv["params"],
+                "batch_stats": sv.get("batch_stats", {})}
+
+    dae_cfg = load_config(dict(name="rcp_dae", model="DAE",
+                               hidden_size=REP, epochs=1, batch_size=8,
+                               learning_rate=1e-3, input_motion_dim=24,
+                               random_seed=0))
+    dae = make_frame_model(dae_cfg)
+    dae_vars = dae.init({"params": jax.random.PRNGKey(7)},
+                        jnp.zeros((2, 24), jnp.float32))
+    vocab = build_vocab("rcp", [[w[0] for w in WORDS]],
+                        embedding_dim=16)
+    t2t_cfg = load_config(dict(
+        name="rcp_t2t", model="seq2seq", hidden_size=32, n_layers=2,
+        dropout_prob=0.1, epochs=1, batch_size=8, learning_rate=1e-3,
+        sentence_frame_length=SL, n_poses=NP, n_pre_poses=1,
+        autoencoder_vq=True, autoencoder_vq_components=K,
+        autoencoder_att=True, wordembed_dim=16, random_seed=0,
+        token_stages=S, stage_conditional=True,
+        extras={"t2t_arch": "transformer"}))
+    t2t = make_text2token(t2t_cfg, vocab.n_words)
+    tv = t2t.init({"params": jax.random.PRNGKey(2),
+                   "dropout": jax.random.PRNGKey(3)},
+                  jnp.zeros((2, 8), jnp.int32),
+                  jnp.full((2,), 8, jnp.int32),
+                  jnp.zeros((2, SL // NP), jnp.int32), train=False)
+    t2t_vars = {"params": tv["params"],
+                "batch_stats": tv.get("batch_stats", {})}
+    return dict(dae=(dae, dae_vars), seq=(seq_model, seq_vars),
+                t2t=(t2t, t2t_vars), vocab=vocab, n_poses=NP,
+                sent_len=SL, codes=K)
+
+
+def _recipe_generator(art, **kw):
+    return GestureGenerator(
+        t2t_model=art["t2t"][0], t2t_variables=art["t2t"][1],
+        seq_model=art["seq"][0], seq_variables=art["seq"][1],
+        dae_model=art["dae"][0], dae_variables=art["dae"][1],
+        vocab=art["vocab"], pose_mean=np.zeros(24, np.float32),
+        pose_std=np.ones(24, np.float32), n_frames=art["n_poses"],
+        sentence_frame_length=art["sent_len"], fps=FPS, max_words=16,
+        mode="decode", seed=0, **kw)
+
+
+def test_streaming_recipe_matches_batch_greedy(recipe_artifacts):
+    """4-stage stage-conditional transformer: streamed windows concat
+    == one-shot generate(), tokens AND frames (the multi-stage token
+    carry crosses push boundaries exactly like the batch path)."""
+    art = recipe_artifacts
+    f_batch, t_batch = _recipe_generator(art).generate(
+        WORDS, duration_s=4.0)
+    f_stream, t_stream = _stream_all(_recipe_generator(art), WORDS, 4.0)
+    np.testing.assert_array_equal(t_stream, t_batch)
+    np.testing.assert_allclose(f_stream, f_batch, atol=1e-5)
+
+
+def test_streaming_recipe_stage0_policy(recipe_artifacts):
+    """stage0_temperature=0 + temperature>0 on the recipe chain: the
+    PRIMARY token stream is deterministic (== the fully greedy decode)
+    in both batch and streamed sessions — only the residual-stage
+    dispersion samples; frames stay finite."""
+    art = recipe_artifacts
+    _, t_greedy = _recipe_generator(art).generate(WORDS, duration_s=4.0)
+
+    gen_b = _recipe_generator(art, temperature=1.5,
+                              stage0_temperature=0.0)
+    f_b, t_b = gen_b.generate(WORDS, duration_s=4.0)
+    np.testing.assert_array_equal(t_b, t_greedy)
+    assert np.isfinite(f_b).all()
+
+    gen_s = _recipe_generator(art, temperature=1.5,
+                              stage0_temperature=0.0)
+    f_s, t_s = _stream_all(gen_s, WORDS, 4.0)
+    np.testing.assert_array_equal(t_s, t_greedy)
+    assert np.isfinite(f_s).all()
+
+
+def test_streaming_recipe_sampled_valid(recipe_artifacts):
+    """Full sampling on the recipe chain streams valid output (no
+    determinism claim — streaming consumes the rng differently)."""
+    art = recipe_artifacts
+    gen = _recipe_generator(art, temperature=1.0)
+    frames, tokens = _stream_all(gen, WORDS, 4.0)
+    assert tokens.shape == (2 * (art["sent_len"] // art["n_poses"]),)
+    assert tokens.min() >= 0 and tokens.max() < art["codes"]
+    assert np.isfinite(frames).all()

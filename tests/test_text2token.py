@@ -195,6 +195,66 @@ def test_sampled_decode_model_level():
                                   np.asarray(r0["tokens"]))
 
 
+@pytest.mark.parametrize("cond", [False, True])
+def test_stage0_temperature_policy(cond):
+    """Per-stage decode policy (beyond reference): stage0_temperature=0
+    with temperature>0 keeps the PRIMARY token chain bit-equal to the
+    fully greedy decode (only the primary token feeds back) while the
+    residual stages stay key-sensitive sampled; the -1 sentinel is
+    bit-identical to the single-policy path; the inverse split
+    (stage0>0, temperature=0) samples the primary and argmaxes the
+    residual stages."""
+    from gesture2vec_tpu.models.text2token import Text2Token
+
+    m = Text2Token(n_words=50, n_tokens=16, hidden_size=24, n_layers=2,
+                   n_steps=6, n_pre_poses=1, token_stages=2,
+                   stage_conditional=cond)
+    rng = jax.random.PRNGKey(0)
+    wids = jnp.zeros((3, 8), jnp.int32).at[:, :4].set(5)
+    lens = jnp.full((3,), 4, jnp.int32)
+    tgt = jnp.zeros((3, 6), jnp.int32)
+    vs = m.init({"params": rng, "dropout": rng, "sample": rng},
+                wids, lens, tgt, train=False)
+    r0 = m.apply(vs, wids, lens, tgt, train=False)
+    k1, k2 = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+
+    # greedy primary + sampled residuals: primary == full greedy
+    r1 = m.apply(vs, wids, lens, tgt, train=False, temperature=1.5,
+                 stage0_temperature=0.0, rngs={"sample": k1})
+    np.testing.assert_array_equal(np.asarray(r1["tokens"]),
+                                  np.asarray(r0["tokens"]))
+    r2 = m.apply(vs, wids, lens, tgt, train=False, temperature=1.5,
+                 stage0_temperature=0.0, rngs={"sample": k2})
+    np.testing.assert_array_equal(np.asarray(r2["tokens"]),
+                                  np.asarray(r0["tokens"]))
+    assert not np.array_equal(np.asarray(r1["stage_tokens"]),
+                              np.asarray(r2["stage_tokens"]))
+    st = np.asarray(r1["stage_tokens"])
+    assert st.min() >= 0 and st.max() < 16
+
+    # -1 sentinel == single-policy path, bit for bit
+    ra = m.apply(vs, wids, lens, tgt, train=False, temperature=1.5,
+                 rngs={"sample": k1})
+    rb = m.apply(vs, wids, lens, tgt, train=False, temperature=1.5,
+                 stage0_temperature=-1.0, rngs={"sample": k1})
+    np.testing.assert_array_equal(np.asarray(ra["tokens"]),
+                                  np.asarray(rb["tokens"]))
+    np.testing.assert_array_equal(np.asarray(ra["stage_tokens"]),
+                                  np.asarray(rb["stage_tokens"]))
+
+    # sampled primary + greedy residuals: key-sensitive primaries,
+    # residual stages argmax their own (primary-conditioned) logits
+    r3 = m.apply(vs, wids, lens, tgt, train=False, temperature=0.0,
+                 stage0_temperature=1.5, rngs={"sample": k1})
+    r4 = m.apply(vs, wids, lens, tgt, train=False, temperature=0.0,
+                 stage0_temperature=1.5, rngs={"sample": k2})
+    assert not np.array_equal(np.asarray(r3["tokens"]),
+                              np.asarray(r4["tokens"]))
+    np.testing.assert_array_equal(
+        np.asarray(r3["stage_tokens"]),
+        np.argmax(np.asarray(r3["stage_logits"]), -1))
+
+
 def test_beam_decode_model_level():
     """Beam search contract: K=1 == greedy (tokens AND stage tokens),
     K>1 never scores below greedy, results deterministic and in-range."""

@@ -205,6 +205,48 @@ def test_multi_stage_heads(rng):
     assert rt["stage_logits"].shape == (4, N_STEPS - 1, 2, N_TOKENS)
 
 
+def test_stage0_temperature_policy(rng):
+    """Per-stage decode policy on the stage-conditional transformer:
+    stage0_temperature=0 + temperature>0 keeps the primary chain
+    bit-equal to the fully greedy decode (only primaries feed the
+    causal buffer) while residual stages stay key-sensitive; the -1
+    sentinel matches the single-policy path bit for bit."""
+    cfg = _config(token_stages=3, stage_conditional=True)
+    model = make_text2token(cfg, N_WORDS)
+    d = _dataset(rng, n=4)
+    variables = _init(model, d)
+    toks = jnp.asarray(d["word_ids"][:4])
+    lens = jnp.asarray(d["lengths"][:4])
+    tgt = jnp.asarray(d["tokens"][:4])
+    r0 = model.apply(variables, toks, lens, tgt, train=False)
+    k1, k2 = jax.random.PRNGKey(7), jax.random.PRNGKey(8)
+
+    r1 = model.apply(variables, toks, lens, tgt, train=False,
+                     temperature=1.5, stage0_temperature=0.0,
+                     rngs={"sample": k1})
+    np.testing.assert_array_equal(np.asarray(r1["tokens"]),
+                                  np.asarray(r0["tokens"]))
+    r2 = model.apply(variables, toks, lens, tgt, train=False,
+                     temperature=1.5, stage0_temperature=0.0,
+                     rngs={"sample": k2})
+    np.testing.assert_array_equal(np.asarray(r2["tokens"]),
+                                  np.asarray(r0["tokens"]))
+    assert not np.array_equal(np.asarray(r1["stage_tokens"]),
+                              np.asarray(r2["stage_tokens"]))
+    st = np.asarray(r1["stage_tokens"])
+    assert st.min() >= 0 and st.max() < N_TOKENS
+
+    ra = model.apply(variables, toks, lens, tgt, train=False,
+                     temperature=1.5, rngs={"sample": k1})
+    rb = model.apply(variables, toks, lens, tgt, train=False,
+                     temperature=1.5, stage0_temperature=-1.0,
+                     rngs={"sample": k1})
+    np.testing.assert_array_equal(np.asarray(ra["tokens"]),
+                                  np.asarray(rb["tokens"]))
+    np.testing.assert_array_equal(np.asarray(ra["stage_tokens"]),
+                                  np.asarray(rb["stage_tokens"]))
+
+
 def test_padding_positions_do_not_leak(rng):
     """Changing word ids past a sentence's length must not change its
     decode (the encoder's padding mask + enc_mask plumbing)."""
