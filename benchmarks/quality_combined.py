@@ -204,6 +204,18 @@ def main():
         # round-5: the two levers combined (VERDICT r4 item 1)
         "tf_cond_best_ls": ("transformer", True, 0.0,
                             {"keep_best": True, "label_smoothing": 0.1}),
+        # round-5 (VERDICT r4 item 3): feedback-matched finetune — the
+        # last 30 (of 120) epochs train on the model's own decode
+        # rollout (train/text2token_trainer.make_feedback_train_step)
+        # instead of the teacher-forced parallel pass. _ff = argmax
+        # feedback (the reference's train-time semantics,
+        # text2embedding_model.py:734-744); _ff_s = sampled feedback
+        # T=1 (matches the sampled eval decode policy exactly).
+        "tf_cond_ff": ("transformer", True, 0.0,
+                       {"feedback_finetune_epochs": 30}),
+        "tf_cond_ff_s": ("transformer", True, 0.0,
+                         {"feedback_finetune_epochs": 30,
+                          "feedback_temperature": 1.0}),
     }
     if args.variants:
         keep = set(args.variants.split(","))
@@ -326,6 +338,10 @@ def main():
         # a --modes-restricted run must not clobber a full run's
         # canonical results (round-4 advisor finding)
         out_name = out_name.replace(".json", "_modes.json")
+    if args.variants:
+        # same hazard for --variants: a restricted (re)train run would
+        # overwrite the canonical all-variant JSON with a partial one
+        out_name = out_name.replace(".json", "_partial.json")
     out_path = os.path.join(args.out, out_name)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)

@@ -161,6 +161,21 @@ class Config:
     # epoch's (early-stopping selection; the reference keeps only
     # fixed-cadence checkpoints and its Part d overfits past ~1/3 of its
     # schedule — QUALITY.md). False = reference behavior.
+    feedback_finetune_epochs: int = 0  # Part d (beyond reference): train
+    # the LAST N epochs on the model's own decode-time feedback rollout
+    # (argmax/sampled tokens feed back after n_pre_poses, the stage
+    # chain conditions on its own choices) instead of the parallel
+    # teacher-forced pass. Motivation: the transformer variant trains
+    # fully teacher-forced (models/transformer.py) while the reference
+    # GRU trains on its own argmax feedback
+    # (ref text2embedding_model.py:734-744) and the recommended recipe
+    # is EVALUATED free-running — this closes the train/inference
+    # feedback mismatch for the last N epochs. 0 = off (reference
+    # behavior for the GRU, which already feeds back argmax).
+    feedback_temperature: float = 0.0  # feedback policy for the
+    # finetune phase: 0 = argmax feedback (the reference's train-time
+    # semantics), > 0 = sampled feedback at this temperature (matches
+    # the sampled-decode inference policy the recipe ships with).
     eval_dropout_quirk: bool = True  # reproduce the reference's eval-time
     # 0.95 decoder dropout (ref: Autoencoder_VQVAE_model.py:570)
     audio_fusion: str = "audio"  # audio2token encoder: "audio" (the

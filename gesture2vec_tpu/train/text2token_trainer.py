@@ -140,6 +140,59 @@ def make_train_step(model: Text2Token,
     return jax.jit(step, donate_argnums=0)
 
 
+def make_feedback_train_step(model: Text2Token,
+                             optimizer: optax.GradientTransformation,
+                             label_smoothing: float = 0.0,
+                             feedback_temperature: float = 0.0):
+    """Feedback-matched finetune step (config.feedback_finetune_epochs;
+    beyond reference for the transformer arch, reference-semantics for
+    the GRU): the forward pass is the DECODE-TIME rollout — the model's
+    own argmax (or sampled, feedback_temperature > 0) token feeds back
+    after n_pre_poses and the stage-conditional chain conditions on its
+    own choices — with CE against the ground-truth codes. This trains
+    the distribution the free-running decode actually samples from,
+    closing the teacher-forced-train / free-running-eval mismatch the
+    round-4 temperature sweep isolated. The reference GRU itself trains
+    on argmax feedback (ref text2embedding_model.py:734-744); its
+    teacher signal only ever covers the pre-poses.
+
+    The rollout runs train=False (no dropout, BatchNorm stats frozen):
+    a finetune phase matching the inference-time activation statistics
+    is the point. Gradients flow through the per-step logits; the
+    integer token feedback is non-differentiable pass-through, same as
+    the reference's detached argmax feed."""
+    multi = model.token_stages > 1
+
+    def step(state: T2TTrainState, word_ids, lengths, targets,
+             *rest):
+        *stage, rng = rest
+
+        def loss_fn(params):
+            kw, rngs = {}, {}
+            if feedback_temperature > 0.0:
+                kw = dict(temperature=feedback_temperature)
+                rngs["sample"] = jax.random.fold_in(rng, 7)
+            res = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                word_ids, lengths, targets, train=False,
+                rngs=rngs, **kw)
+            loss = token_cross_entropy(res["logits"], targets,
+                                       label_smoothing=label_smoothing)
+            if multi:
+                loss = loss + _stage_ce(res, stage[0])
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (T2TTrainState(new_params, new_opt, state.batch_stats,
+                              state.step + 1),
+                {"loss": loss})
+
+    return jax.jit(step, donate_argnums=0)
+
+
 def make_eval_step(model: Text2Token):
     multi = model.token_stages > 1
 
@@ -200,6 +253,12 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
     train_step = make_train_step(model, optimizer,
                                  label_smoothing=config.label_smoothing)
     eval_step = make_eval_step(model)
+    step_late, late_from = None, None
+    if config.feedback_finetune_epochs > 0:
+        late_from = max(0, config.epochs - config.feedback_finetune_epochs)
+        step_late = make_feedback_train_step(
+            model, optimizer, label_smoothing=config.label_smoothing,
+            feedback_temperature=config.feedback_temperature)
 
     def save(st, save_rng, epoch1, tag=None):
         if not save_dir:
@@ -226,7 +285,8 @@ def train_text2token(config: Config, data: Dict[str, np.ndarray],
     return run_token_training(
         config, state, rng, start_epoch,
         fields, data, val_data,
-        train_step, eval_step, place, save, save_every, log_every)
+        train_step, eval_step, place, save, save_every, log_every,
+        train_step_late=step_late, late_from_epoch=late_from)
 
 
 @checkpoints.register_model_kind("text2embedding")

@@ -44,6 +44,8 @@ def run_token_training(config: Config, state: Any, rng: jax.Array,
                        save_checkpoint: Callable[[Any, jax.Array, int],
                                                  None],
                        save_every: int, log_every: int,
+                       train_step_late: Callable = None,
+                       late_from_epoch: int = None,
                        ) -> Tuple[Any, Dict[str, List[float]]]:
     """Run the shared loop.
 
@@ -53,6 +55,13 @@ def run_token_training(config: Config, state: Any, rng: jax.Array,
     checkpoint (tag="best" names the keep_best snapshot file).
     Losses stay on device between log points (a float() per step would
     host-sync every step — benchmarks/README.md's 12x methodology row).
+
+    train_step_late (optional): a second jitted step over the same
+    state/fields used from epoch `late_from_epoch` on — the
+    feedback-matched finetune phase (config.feedback_finetune_epochs).
+    Two separate compiled programs, not a lax.cond: the phase boundary
+    is a host-side epoch index, so neither program pays for the other's
+    branch.
     """
     seed = max(config.random_seed, 0)
     n, bs = data[fields[0]].shape[0], config.batch_size
@@ -70,6 +79,12 @@ def run_token_training(config: Config, state: Any, rng: jax.Array,
     best_loss, best_snapshot, best_epoch = float("inf"), None, -1
 
     for epoch in range(start_epoch, config.epochs):
+        step_fn = train_step
+        if train_step_late is not None and epoch >= late_from_epoch:
+            if epoch == late_from_epoch:
+                logging.info("EP %d: switching to the feedback-matched "
+                             "finetune step", epoch)
+            step_fn = train_step_late
         perm = np.random.default_rng(seed + epoch).permutation(n)
         meter.reset()
         t0 = time.time()
@@ -79,7 +94,7 @@ def run_token_training(config: Config, state: Any, rng: jax.Array,
             if take.size < bs:
                 break
             rng, srng = jax.random.split(rng)
-            state, metrics = train_step(
+            state, metrics = step_fn(
                 state, *(place(data[f][take]) for f in fields), srng)
             losses.append(metrics["loss"])
             if (b + 1) % log_every == 0:

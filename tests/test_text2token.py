@@ -293,6 +293,63 @@ def test_beam_decode_model_level():
     np.testing.assert_array_equal(t4, np.asarray(b4b["tokens"]))
 
 
+@pytest.mark.parametrize("arch,fb_temp", [("gru", 0.0),
+                                          ("transformer", 0.0),
+                                          ("transformer", 1.0)])
+def test_feedback_finetune_step(arch, fb_temp):
+    """Feedback-matched finetune (config.feedback_finetune_epochs): the
+    rollout-based step produces a finite loss, nonzero grads (params
+    move), and the full trainer switches phases and still learns."""
+    from gesture2vec_tpu.train.optim import make_optimizer
+    from gesture2vec_tpu.train.text2token_trainer import (
+        init_state, make_feedback_train_step)
+
+    rng = np.random.default_rng(0)
+    d = _dataset(rng, n=32)
+    kw = dict(token_stages=2, stage_conditional=True)
+    if arch == "transformer":
+        kw["extras"] = {"t2t_arch": "transformer"}
+    cfg = _config(**kw)
+    model = make_text2token(cfg, N_WORDS)
+    opt = make_optimizer(cfg.learning_rate)
+    state = init_state(model, jax.random.PRNGKey(0), opt, max_words=MAXW)
+    step = make_feedback_train_step(model, opt,
+                                    feedback_temperature=fb_temp)
+    # stage targets: stage 0 = the primary token
+    stage = np.stack([d["tokens"], (d["tokens"] + 1) % N_TOKENS],
+                     axis=-1).astype(np.int32)
+    before = [np.asarray(x) for x in
+              jax.tree_util.tree_leaves(state.params)]
+    state, metrics = step(state, jnp.asarray(d["word_ids"]),
+                          jnp.asarray(d["lengths"]),
+                          jnp.asarray(d["tokens"]),
+                          jnp.asarray(stage), jax.random.PRNGKey(3))
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss)
+    after = jax.tree_util.tree_leaves(state.params)
+    moved = sum(float(np.abs(np.asarray(a) - b).max())
+                for a, b in zip(after, before))
+    assert moved > 0.0, "feedback step produced zero gradient"
+
+
+def test_feedback_finetune_trainer_phase(rng):
+    """End-to-end: epochs=4 with feedback_finetune_epochs=2 runs both
+    phases through run_token_training and the loss history is finite."""
+    d = _dataset(rng, n=64)
+    data = {"word_ids": d["word_ids"], "lengths": d["lengths"],
+            "tokens": d["tokens"],
+            "stage_tokens": np.stack(
+                [d["tokens"], (d["tokens"] + 1) % N_TOKENS],
+                axis=-1).astype(np.int32)}
+    cfg = _config(epochs=4, token_stages=2, stage_conditional=True,
+                  feedback_finetune_epochs=2, feedback_temperature=1.0,
+                  extras={"t2t_arch": "transformer"})
+    state, hist = train_text2token(cfg, data, data, N_WORDS)
+    assert len(hist["train_loss"]) == 4
+    assert all(np.isfinite(v) for v in hist["train_loss"])
+    assert all(np.isfinite(v) for v in hist["val_loss"])
+
+
 def test_label_smoothing_ce_hand_computed():
     """label_smoothing=0 is bit-identical to the reference's plain
     integer-label CE; >0 matches the hand-computed smoothed-target CE
