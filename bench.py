@@ -84,7 +84,9 @@ def build_generator(hid: int = HID, rep: int = REP, k: int = K,
                     max_words: int = MAXW, n_layers: int = L,
                     wordembed: int = 300, fps: int = FPS,
                     vocab_words: int = 300, mode: str = "decode",
-                    bank_windows: int = 2000, **gen_kwargs):
+                    bank_windows: int = 2000, token_stages: int = 1,
+                    stage_conditional: bool = False,
+                    t2t_arch: str = "gru", **gen_kwargs):
     """Untrained production-shape pipeline models assembled into a
     GestureGenerator. Shared by bench.py, benchmarks/serve_bench.py and
     tests/test_serve.py (at smaller dims) — output quality is
@@ -117,7 +119,10 @@ def build_generator(hid: int = HID, rep: int = REP, k: int = K,
                               rep_learning_dim=rep,
                               n_poses=n_frames, n_pre_poses=1,
                               autoencoder_vq=True,
-                              autoencoder_vq_components=k, random_seed=0))
+                              autoencoder_vq_components=k, random_seed=0,
+                              **({"autoencoder_vq_variant": "rvq",
+                                  "rvq_stages": token_stages}
+                                 if token_stages > 1 else {})))
     seq = make_seq_ae(sq_cfg)
     sst = sq_init(sq_cfg, seq, jax.random.PRNGKey(1), opt)
     seq_vars = {"params": sst.params, "batch_stats": sst.batch_stats}
@@ -131,7 +136,10 @@ def build_generator(hid: int = HID, rep: int = REP, k: int = K,
                                autoencoder_vq_components=k,
                                autoencoder_att=True,
                                wordembed_dim=wordembed,
-                               random_seed=0))
+                               random_seed=0, token_stages=token_stages,
+                               stage_conditional=stage_conditional,
+                               extras=({"t2t_arch": t2t_arch}
+                                       if t2t_arch != "gru" else {})))
     t2t = make_text2token(t2t_cfg, n_words)
     tst = t2t_init(t2t, jax.random.PRNGKey(2), opt, max_words=max_words)
     t2t_vars = {"params": tst.params, "batch_stats": tst.batch_stats}

@@ -96,11 +96,20 @@ def main():
     ap.add_argument("--sweep", action="store_true",
                     help="also sweep the batch window (10/50/100/200 ms)"
                          " for the latency/throughput curve")
+    ap.add_argument("--recipe", action="store_true",
+                    help="serve the recommended-recipe model shape "
+                         "(4-stage rvq Part b + stage-conditional "
+                         "transformer Part d, configs/"
+                         "seq2seqtxt_recommended.yml) instead of the "
+                         "single-stage GRU chain")
     args = ap.parse_args()
 
     from gesture2vec_tpu.serve.server import serve
 
-    gen = build_generator()
+    gen = build_generator(**(dict(token_stages=4,
+                                  stage_conditional=True,
+                                  t2t_arch="transformer")
+                             if args.recipe else {}))
     httpd = serve(gen, port=0, max_batch=args.clients,
                   batch_window_s=args.window_ms / 1000.0,
                   request_timeout_s=560.0)  # covers cold-start compiles
@@ -150,8 +159,10 @@ def main():
 
     stats = httpd.worker.stats
     srv_lat = httpd.worker.latency_stats()
+    shape = "recipe (rvq4 + stage-conditional transformer)" \
+        if args.recipe else "single-stage GRU"
     print(f"serving bench ({args.clients} clients, "
-          f"{args.duration:.0f}s transcripts, decode mode):")
+          f"{args.duration:.0f}s transcripts, decode mode, {shape}):")
     print(f"  sequential: {seq_frames} frames in {seq_dt:.2f}s = "
           f"{seq_frames / seq_dt:,.0f} frames/s")
     print(f"  concurrent: {conc_frames} frames in {conc_dt:.2f}s = "

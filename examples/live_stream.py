@@ -8,6 +8,9 @@ moment its time range completes — the live-avatar integration pattern
 (infer/streaming.py; served over HTTP by `g2v-serve` POST /stream).
 
 Run:  python examples/live_stream.py [out_dir]     (~2 min on CPU)
+      python examples/live_stream.py [out_dir] --recipe   # stream the
+      recommended-recipe chain (4-stage rvq Part b + stage-conditional
+      transformer Part d, configs/seq2seqtxt_recommended.yml shape)
 """
 from __future__ import annotations
 
@@ -16,7 +19,7 @@ import sys
 
 
 def main(out_dir: str = "example_stream_out",
-         use_tpu: bool = False) -> None:
+         use_tpu: bool = False, recipe: bool = False) -> None:
     if not use_tpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -68,7 +71,9 @@ def main(out_dir: str = "example_stream_out",
                               autoencoder_vq_components=16,
                               autoencoder_att=False,
                               autoencoder_conditioned=True,
-                              random_seed=0))
+                              random_seed=0,
+                              **({"autoencoder_vq_variant": "rvq",
+                                  "rvq_stages": 4} if recipe else {})))
     sq_state, _ = train_seq_ae(sq_cfg, lat, lat[:16])
     seq = make_seq_ae(sq_cfg)
     seq_vars = {"params": sq_state.params,
@@ -80,7 +85,8 @@ def main(out_dir: str = "example_stream_out",
                                   dae_variables=dae_vars, seq_model=seq,
                                   seq_variables=seq_vars,
                                   sentence_frame_length=60, stride=30,
-                                  n_frames=20, fps=20, max_words=16)
+                                  n_frames=20, fps=20, max_words=16,
+                                  emit_stage_tokens=recipe)
     t2t_cfg = load_config(dict(name="t2t", model="seq2seq",
                                hidden_size=24, n_layers=2,
                                dropout_prob=0.1, epochs=2, batch_size=8,
@@ -89,7 +95,11 @@ def main(out_dir: str = "example_stream_out",
                                n_pre_poses=1, autoencoder_vq=True,
                                autoencoder_vq_components=16,
                                autoencoder_att=True, wordembed_dim=32,
-                               random_seed=0))
+                               random_seed=0,
+                               **({"token_stages": 4,
+                                   "stage_conditional": True,
+                                   "extras": {"t2t_arch": "transformer"}}
+                                  if recipe else {})))
     t2t_state, _ = train_text2token(
         t2t_cfg, sent, sent, vocab.n_words,
         embedding_weights=vocab.word_embedding_weights)
@@ -140,4 +150,4 @@ def main(out_dir: str = "example_stream_out",
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 and not
          sys.argv[1].startswith("-") else "example_stream_out",
-         use_tpu="--tpu" in sys.argv)
+         use_tpu="--tpu" in sys.argv, recipe="--recipe" in sys.argv)
