@@ -216,6 +216,13 @@ def main():
         "tf_cond_ff_s": ("transformer", True, 0.0,
                          {"feedback_finetune_epochs": 30,
                           "feedback_temperature": 1.0}),
+        # round-5 capacity probe (VERDICT r4 item 8): is the residual
+        # distribution gap capacity-bound? 2x hidden on the Part d
+        # ONLY (shared Part b unchanged), same schedule. The
+        # transformer's own docstring predicts its MFU inverts vs the
+        # GRU past H>=1024; H=400 probes quality, not wall-clock.
+        "tf_cond_h400": ("transformer", True, 0.0,
+                         {"hidden_size": 400}),
     }
     if args.variants:
         keep = set(args.variants.split(","))
@@ -229,7 +236,7 @@ def main():
 
     for name, (arch, cond, ctx, xcfg) in VARIANTS.items():
         d_dir = os.path.join(args.out, f"cmb_{name}")
-        t2t_cfg = load_config(dict(
+        ckw = dict(
             name=f"cmb_{name}", model="seq2seq", hidden_size=hid,
             n_layers=2, dropout_prob=0.1, epochs=(10 if fast else 120),
             batch_size=bs_d, learning_rate=0.001,
@@ -238,8 +245,13 @@ def main():
             autoencoder_vq_components=codes, autoencoder_att=True,
             wordembed_dim=100, random_seed=0, token_stages=S,
             stage_conditional=cond, text_context_s=ctx,
-            model_save_path=d_dir, **xcfg,
-            extras=({"t2t_arch": arch} if arch != "gru" else {})))
+            model_save_path=d_dir,
+            extras=({"t2t_arch": arch} if arch != "gru" else {}))
+        # update (not **) so a variant can OVERRIDE base keys too
+        # (tf_cond_h400 overrides hidden_size — Part d only; the shared
+        # Part b stays at `hid`)
+        ckw.update(xcfg)
+        t2t_cfg = load_config(ckw)
         sent = sent_c if ctx else sent0
         sent_val = sent_c_val if ctx else sent0_val
         # latest_checkpoint prefers the keep_best snapshot over the

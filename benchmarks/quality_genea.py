@@ -109,6 +109,15 @@ def main():
     ap.add_argument("out", nargs="?", default="/tmp/quality_genea")
     ap.add_argument("--fast", action="store_true")
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--scale", type=int, default=1,
+                    help="corpus scale multiplier (round-5, VERDICT r4 "
+                         "item 4): N x the default file count at the "
+                         "same per-file duration and the SAME training "
+                         "schedule. The round-4 TWH default decision "
+                         "(gssoft+soft-decode over the rvq recipe) was "
+                         "made on a data-starved 8x240s corpus that "
+                         "structurally favors gssoft; --scale 3 "
+                         "de-confounds it (use a fresh out dir)")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -138,7 +147,7 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     fast = args.fast
-    n_files = 4 if fast else 8
+    n_files = (4 if fast else 8) * args.scale
     duration_s = 60.0 if fast else 240.0
     # GENEA production shapes (configs/VQ-VAE_GENEA.yml): 162-dim
     # features at 10 fps, 10-frame chunks, 60-frame sentence windows
@@ -277,6 +286,7 @@ def main():
 
     metrics = {
         "corpus": {"n_files": n_files, "duration_s": duration_s,
+                   "scale": args.scale,
                    "codes": codes, "hidden": hid, "variant": "test1",
                    "feature_dim": int(store.pose_mean.shape[0]),
                    "fps": fps,
