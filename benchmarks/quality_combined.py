@@ -295,9 +295,19 @@ def main():
                  # sampled-decode FGD). Single-stage variants collapse
                  # to greedy; skip for them.
                  ("s0greedy_t1", {"temperature": 1.0,
-                                  "stage0_temperature": 0.0})]
+                                  "stage0_temperature": 0.0}),
+                 # ... and the complement: sampled PRIMARY + greedy
+                 # residual stages. First std measurements show
+                 # s0greedy_t1 == greedy on FGD/hellinger — the
+                 # distributional dispersion that wins FGD comes from
+                 # sampling the primary, not the residuals; this mode
+                 # tests whether residual sampling contributes ANYTHING
+                 # beyond primary sampling (== sampled_t1 would mean no)
+                 ("s0sampled_t1", {"temperature": 0.0,
+                                   "stage0_temperature": 1.0})]
         if S <= 1:
-            modes = [m for m in modes if m[0] != "s0greedy_t1"]
+            modes = [m for m in modes
+                     if m[0] not in ("s0greedy_t1", "s0sampled_t1")]
         if args.temps:
             modes = [(f"sampled_t{t}", {"temperature": float(t)})
                      for t in args.temps.split(",")]
