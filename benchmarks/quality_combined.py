@@ -316,7 +316,14 @@ def main():
                      ("exemplar_continuity",
                       {"mode": "exemplar", "exemplar_continuity": True}),
                      ("exemplar_sampled_t1",
-                      {"mode": "exemplar", "temperature": 1.0})]
+                      {"mode": "exemplar", "temperature": 1.0}),
+                     # round-5: the two strongest exemplar levers
+                     # combined — sampled tokens (the FGD driver) +
+                     # continuity-aware retrieval (the boundary-jump
+                     # fixer, QUALITY.md splice rows)
+                     ("exemplar_cont_sampled_t1",
+                      {"mode": "exemplar", "temperature": 1.0,
+                       "exemplar_continuity": True})]
         if args.modes:  # applied LAST so it filters whatever set
             # --temps/--exemplar built; unknown names are an error, not
             # a silent zero-mode run (round-4 advisor finding)
