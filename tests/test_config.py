@@ -119,5 +119,10 @@ def test_recommended_recipe_configs_build_models():
     assert d.token_stages == b.rvq_stages  # heads must match stages
     assert d.stage_conditional is True
     assert d.extras.get("t2t_arch") == "transformer"
+    # round-5 lever: label smoothing is the measured-best distribution
+    # regularizer (FGD 2.59, metrics_combined.json tf_cond_ls); it must
+    # not be combined with keep_best (best_ls measured worse, 3.30)
+    assert d.label_smoothing == 0.1
+    assert d.keep_best is False
     t2t = make_text2token(d, n_words=50)
     assert "Transformer" in type(t2t).__name__
