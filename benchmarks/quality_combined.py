@@ -66,6 +66,11 @@ def main():
                     help="comma list of extra sampled-decode temperatures "
                          "to evaluate per variant (reuses checkpoints; "
                          "writes metrics_combined_sweep.json)")
+    ap.add_argument("--s0-temps", default=None,
+                    help="comma list of PRIMARY-token temperatures for "
+                         "the round-5 winning policy (sampled stage 0, "
+                         "greedy residuals; reuses checkpoints; writes "
+                         "metrics_combined_s0sweep.json)")
     ap.add_argument("--modes", default=None,
                     help="comma list to restrict decode modes "
                          "(greedy,sampled_t1,soft_t1)")
@@ -311,6 +316,14 @@ def main():
         if args.temps:
             modes = [(f"sampled_t{t}", {"temperature": float(t)})
                      for t in args.temps.split(",")]
+        if args.s0_temps:
+            # round-5 follow-up: the winning decode samples ONLY the
+            # primary token (s0sampled_t1 = 2.59); sweep that
+            # temperature to check T=1 is not a local accident (the
+            # round-4 all-stage sweep was flat, but that was pre-ls)
+            modes = [(f"s0sampled_t{t}",
+                      {"temperature": 0.0, "stage0_temperature": float(t)})
+                     for t in args.s0_temps.split(",")]
         if args.exemplar:
             modes = [("exemplar", {"mode": "exemplar"}),
                      ("exemplar_continuity",
@@ -361,6 +374,8 @@ def main():
     out_name = "metrics_combined.json"
     if args.temps:
         out_name = "metrics_combined_sweep.json"
+    if args.s0_temps:
+        out_name = "metrics_combined_s0sweep.json"
     if args.exemplar:
         out_name = "metrics_combined_exemplar.json"
     if args.modes:
