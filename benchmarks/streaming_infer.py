@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--mode", choices=["decode", "exemplar"],
                     default="decode")
+    ap.add_argument("--recipe", action="store_true",
+                    help="stream the recommended-recipe model shape "
+                         "(4-stage rvq Part b + stage-conditional "
+                         "transformer Part d) instead of the "
+                         "single-stage GRU chain")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
     if args.platform:
@@ -45,7 +50,10 @@ def main():
     from gesture2vec_tpu.infer.streaming import StreamingGestureSession
 
     print("backend:", jax.devices()[0].platform)
-    gen = build_generator(mode=args.mode)
+    gen = build_generator(mode=args.mode,
+                          **(dict(token_stages=4, stage_conditional=True,
+                                  t2t_arch="transformer")
+                             if args.recipe else {}))
     unit = gen.sentence_frame_length / gen.fps
     total_s = (args.steps + 2) * unit
     words = _words(total_s)
@@ -72,6 +80,7 @@ def main():
         "unit": "s/window", "p99": p99, "compile_s": compile_s,
         "window_s": unit, "realtime_factor_p50": unit / p50,
         "mode": args.mode, "steps": int(args.steps),
+        "recipe": bool(args.recipe),
     }
     print(json.dumps(result))
 
