@@ -20,6 +20,7 @@ the two dataset families' numbers are directly comparable.
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import logging
 import os
@@ -118,6 +119,13 @@ def main():
                          "made on a data-starved 8x240s corpus that "
                          "structurally favors gssoft; --scale 3 "
                          "de-confounds it (use a fresh out dir)")
+    ap.add_argument("--bootstrap", action="store_true",
+                    help="build the corpus and train only the shared "
+                         "Part-a DAE, then exit — the prerequisites "
+                         "quality_genea_rvq.py needs (mirrors "
+                         "quality_bootstrap.py for the Trinity "
+                         "studies); a DAE checkpoint already present "
+                         "is reused either way")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -185,13 +193,24 @@ def main():
         epochs=(6 if fast else 40), batch_size=512,
         learning_rate=0.002, input_motion_dim=162, random_seed=0,
         model_save_path=os.path.join(args.out, "dae")))
-    dae_state, dae_hist = train_dae(
-        dae_cfg, all_frames(store),
-        all_frames(val_store, store.pose_mean, store.pose_std),
-        save_dir=os.path.join(args.out, "dae"), save_every=1000)
-    dae = make_frame_model(dae_cfg)
-    dae_vars = {"params": dae_state.params}
-    print(f"part a: val MSE {dae_hist['val_loss'][-1]:.5f}")
+    dae_ck = sorted(glob.glob(os.path.join(args.out, "dae", "*.bin")))
+    if dae_ck:
+        from gesture2vec_tpu.train import checkpoints as _ckpt
+        dae, dae_vars, _ = _ckpt.load_checkpoint_and_model(
+            dae_ck[-1], "DAE")
+        dae_hist = None
+        print(f"part a: reused {dae_ck[-1]}")
+    else:
+        dae_state, dae_hist = train_dae(
+            dae_cfg, all_frames(store),
+            all_frames(val_store, store.pose_mean, store.pose_std),
+            save_dir=os.path.join(args.out, "dae"), save_every=1000)
+        dae = make_frame_model(dae_cfg)
+        dae_vars = {"params": dae_state.params}
+        print(f"part a: val MSE {dae_hist['val_loss'][-1]:.5f}")
+    if args.bootstrap:
+        print("bootstrap done (corpus + Part-a DAE)")
+        return
 
     # ---------------- Part b ----------------
     train_wins = pose_windows(store, n_chunk, n_chunk // 2)
@@ -292,8 +311,11 @@ def main():
                    "fps": fps,
                    "train_windows": int(lat_train.shape[0]),
                    "train_sentences": int(sent["tokens"].shape[0])},
-        "part_a": {"val_mse_first": dae_hist["val_loss"][0],
-                   "val_mse_last": dae_hist["val_loss"][-1]},
+        "part_a": ({"val_mse_first": dae_hist["val_loss"][0],
+                    "val_mse_last": dae_hist["val_loss"][-1]}
+                   if dae_hist is not None
+                   else {"reused_checkpoint": os.path.basename(
+                       dae_ck[-1])}),
         "part_b": {"val_loss_first": sq_hist["val_loss"][0],
                    "val_loss_last": sq_hist["val_loss"][-1],
                    "codebook_perplexity": sq_hist["perplexity"][-1]},

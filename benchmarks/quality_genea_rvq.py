@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--stages", type=int, default=4)
     ap.add_argument("--arch", default="gru",
                     choices=["gru", "transformer"])
+    ap.add_argument("--label-smoothing", type=float, default=0.0,
+                    help="round-5 distribution lever on the Part d "
+                         "(the measured-best generated-motion lever on "
+                         "both Trinity corpora); a non-zero value gets "
+                         "its own checkpoint dir and a _ls result key")
     ap.add_argument("--retrain", action="store_true")
     args = ap.parse_args()
     if args.platform:
@@ -148,7 +153,8 @@ def main():
     sent_val = build_sentence_dataset(val_store, vocab, stride=sent_len,
                                       mean=store.pose_mean,
                                       std=store.pose_std, **kw)
-    d_dir = os.path.join(args.out, f"rvq_t2t_s{S}_{args.arch}")
+    ls_tag = "_ls" if args.label_smoothing else ""
+    d_dir = os.path.join(args.out, f"rvq_t2t_s{S}_{args.arch}{ls_tag}")
     t2t_cfg = load_config(dict(
         name="rvq_t2t_genea", model="seq2seq", hidden_size=hid,
         n_layers=2, dropout_prob=0.1, epochs=(10 if fast else 120),
@@ -157,6 +163,7 @@ def main():
         autoencoder_vq=True, autoencoder_vq_components=codes,
         autoencoder_att=True, wordembed_dim=100, random_seed=0,
         token_stages=S, stage_conditional=True, model_save_path=d_dir,
+        label_smoothing=args.label_smoothing,
         extras=({"t2t_arch": args.arch}
                 if args.arch != "gru" else {})))
     d_ck = sorted(glob.glob(os.path.join(d_dir, "*.bin")))
@@ -191,13 +198,15 @@ def main():
 
     def eval_chain(t2t_m, t2t_v, seq_m, seq_v, c_bank, c_bank_val,
                    n_codes, **extra):
+        extra = dict(extra)
+        gen_mode = extra.pop("mode", "decode")
         g = GestureGenerator(
             t2t_model=t2t_m, t2t_variables=t2t_v, seq_model=seq_m,
             seq_variables=seq_v, dae_model=dae, dae_variables=dae_vars,
             vocab=vocab, pose_mean=store.pose_mean,
             pose_std=store.pose_std, n_frames=n_chunk,
             sentence_frame_length=sent_len, fps=fps,
-            max_words=max_words, mode="decode", latent_bank=c_bank,
+            max_words=max_words, mode=gen_mode, latent_bank=c_bank,
             seed=0, **extra)
         m, frames = eval_generated_vs_gt(
             g, store, val_store, dae, dae_vars, seq_m, seq_v, n_chunk,
@@ -209,10 +218,25 @@ def main():
             frames, dae, dae_vars, store, val_frames_lat, n_chunk)
         return m
 
-    block = {"stages": S, "arch": args.arch, "train": train_info}
+    block = {"stages": S, "arch": args.arch,
+             "label_smoothing": args.label_smoothing,
+             "train": train_info}
     for label, extra in (("greedy", {}),
                          ("sampled_t1", {"temperature": 1.0}),
-                         ("soft_t1", {"soft_decode": 1.0})):
+                         ("soft_t1", {"soft_decode": 1.0}),
+                         # round-5 production modes (QUALITY.md): the
+                         # winning decode policy (sampled primary +
+                         # greedy residuals) and the retrieval modes
+                         # that land near the floor on both Trinity
+                         # corpora
+                         ("s0sampled_t1",
+                          {"temperature": 0.0,
+                           "stage0_temperature": 1.0}),
+                         ("exemplar_sampled_t1",
+                          {"mode": "exemplar", "temperature": 1.0}),
+                         ("exemplar_cont_sampled_t1",
+                          {"mode": "exemplar", "temperature": 1.0,
+                           "exemplar_continuity": True})):
         block[label] = eval_chain(t2t, t2t_vars, seq, seq_vars, bank,
                                   bank_val, codes, **extra)
         print(f"rvq {label}: shared-frame FGD "
@@ -253,7 +277,7 @@ def main():
     metrics = json.load(open(path)) if os.path.exists(path) else {}
     metrics["frame_floor_shared_dae_space"] = frame_floor
     key = ("rvq_multistage" if args.arch == "gru"
-           else f"rvq_multistage_{args.arch}")
+           else f"rvq_multistage_{args.arch}") + ls_tag
     metrics[key] = block
     if gss_shared is not None:
         metrics["gssoft_shared_space_reeval"] = gss_shared
